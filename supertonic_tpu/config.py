@@ -1,0 +1,327 @@
+"""Configuration schema for the Supertonic-TPU framework.
+
+Mirrors the reference ``tts.json`` schema (reconstructed from the Go port's
+typed structs, reference ``go/helper.go:25-84``), extended with model
+hyper-parameters needed to *define* the networks (the reference ships them
+frozen inside ONNX graphs, so it never needed them in config) and TPU
+execution options (precision, bucketing, mesh axes).
+
+Only four values of the reference schema are consumed at inference time
+(reference ``py/helper.py:156-159``): ``ae.sample_rate``,
+``ae.base_chunk_size``, ``ttl.chunk_compress_factor``, ``ttl.latent_dim``.
+We honor the full schema for round-tripping real ``tts.json`` files.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+AVAILABLE_LANGS = ("en", "ko", "es", "pt", "fr")
+
+# Voice style presets shipped by the reference (reference web/index.html:31-41).
+VOICE_PRESETS = ("M1", "M2", "M3", "M4", "M5", "F1", "F2", "F3", "F4", "F5")
+
+
+@dataclasses.dataclass(frozen=True)
+class SpecProcessorConfig:
+    """STFT/mel front of the speech autoencoder (training-time only; kept for
+    schema parity with reference go/helper.go:31-39)."""
+
+    n_fft: int = 2048
+    win_length: int = 2048
+    hop_length: int = 512
+    n_mels: int = 128
+    eps: float = 1e-5
+    norm_mean: float = -4.0
+    norm_std: float = 4.0
+
+
+@dataclasses.dataclass(frozen=True)
+class AEConfig:
+    """Speech autoencoder geometry (reference go/helper.go:25-45)."""
+
+    sample_rate: int = 44100
+    base_chunk_size: int = 512
+    spec_processor: SpecProcessorConfig = dataclasses.field(
+        default_factory=SpecProcessorConfig
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class StyleTokenLayerConfig:
+    """Shape of the pre-computed style-token tensors (reference
+    go/helper.go:47-53; voice style JSONs carry [1, n_style, style_value_dim])."""
+
+    n_style: int = 50
+    style_value_dim: int = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class TTLConfig:
+    """Text-to-latent module geometry (reference go/helper.go:55-70)."""
+
+    chunk_compress_factor: int = 4
+    latent_dim: int = 24
+    style: StyleTokenLayerConfig = dataclasses.field(
+        default_factory=StyleTokenLayerConfig
+    )
+    # proj_out of the text encoder (reference go/helper.go:64-68)
+    proj_out_idim: int = 256
+    proj_out_odim: int = 512
+
+
+@dataclasses.dataclass(frozen=True)
+class DPConfig:
+    """Duration-predictor geometry (reference go/helper.go:72-84)."""
+
+    latent_dim: int = 24
+    chunk_compress_factor: int = 4
+    style: StyleTokenLayerConfig = dataclasses.field(
+        default_factory=lambda: StyleTokenLayerConfig(n_style=50, style_value_dim=128)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model hyper-parameters (ours — the reference freezes these inside ONNX).
+# Defaults are sized so the total parameter count lands near the published
+# 66 M (reference README.md:60).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TextEncoderHParams:
+    vocab_size: int = 2048
+    dim: int = 256
+    n_layers: int = 4
+    n_heads: int = 4
+    ffn_mult: int = 4
+    conv_kernel: int = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class DurationPredictorHParams:
+    vocab_size: int = 2048
+    dim: int = 256
+    n_layers: int = 3
+    n_heads: int = 4
+    ffn_mult: int = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class VectorEstimatorHParams:
+    dim: int = 512
+    n_layers: int = 6
+    n_heads: int = 8
+    ffn_mult: int = 4
+    time_embed_dim: int = 256
+    # LARoPE base for text/latent cross-attention (arXiv:2509.11084)
+    larope_theta: float = 10000.0
+    larope_scale: float = 1024.0  # normalized positions are scaled into [0, scale)
+
+
+@dataclasses.dataclass(frozen=True)
+class VocoderHParams:
+    dim: int = 512
+    # Per-stage upsample factors; product MUST equal
+    # ae.base_chunk_size * ttl.chunk_compress_factor (the samples-per-latent-
+    # frame "chunk_size" of reference py/helper.py:167).
+    upsample_factors: tuple[int, ...] = (8, 8, 4, 4, 2)
+    # Channel width after each upsample stage.
+    channels: tuple[int, ...] = (256, 128, 64, 32, 32)
+    resblock_kernel: int = 3
+    resblock_dilations: tuple[int, ...] = (1, 3, 9)
+    stage_kernel: int = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """TPU execution options (no analog in the reference)."""
+
+    # "f32" = strict float32 matmuls for parity gates; "bf16" = fast path.
+    precision: str = "bf16"
+    # Text-length bucket ladder (characters incl. lang tags): pad L up to one of
+    # these to bound XLA recompiles.
+    text_buckets: tuple[int, ...] = (32, 64, 128, 192, 256, 320, 384)
+    # Latent-length bucket ladder (frames).
+    latent_buckets: tuple[int, ...] = (64, 128, 192, 256, 320, 448, 640)
+    # Batch-size bucket ladder.
+    batch_buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32)
+    # Mesh axis names for data/tensor parallelism.
+    data_axis: str = "data"
+    model_axis: str = "model"
+
+
+@dataclasses.dataclass(frozen=True)
+class TTSConfig:
+    ae: AEConfig = dataclasses.field(default_factory=AEConfig)
+    ttl: TTLConfig = dataclasses.field(default_factory=TTLConfig)
+    dp: DPConfig = dataclasses.field(default_factory=DPConfig)
+    text_encoder: TextEncoderHParams = dataclasses.field(
+        default_factory=TextEncoderHParams
+    )
+    duration_predictor: DurationPredictorHParams = dataclasses.field(
+        default_factory=DurationPredictorHParams
+    )
+    vector_estimator: VectorEstimatorHParams = dataclasses.field(
+        default_factory=VectorEstimatorHParams
+    )
+    vocoder: VocoderHParams = dataclasses.field(default_factory=VocoderHParams)
+    runtime: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)
+
+    # --- derived geometry (reference py/helper.py:161-175) ---
+    @property
+    def sample_rate(self) -> int:
+        return self.ae.sample_rate
+
+    @property
+    def chunk_size(self) -> int:
+        """Waveform samples per latent frame."""
+        return self.ae.base_chunk_size * self.ttl.chunk_compress_factor
+
+    @property
+    def latent_channels(self) -> int:
+        """Channel dim of the flow latent: latent_dim * chunk_compress_factor."""
+        return self.ttl.latent_dim * self.ttl.chunk_compress_factor
+
+    def __post_init__(self):
+        import math
+
+        up = math.prod(self.vocoder.upsample_factors)
+        if up != self.chunk_size:
+            raise ValueError(
+                f"prod(vocoder.upsample_factors)={up} must equal "
+                f"chunk_size={self.chunk_size}"
+            )
+        if len(self.vocoder.upsample_factors) != len(self.vocoder.channels):
+            raise ValueError("vocoder upsample_factors and channels length mismatch")
+
+
+def _dataclass_from_dict(cls, data: dict[str, Any]):
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for key, val in data.items():
+        if key not in fields:
+            continue
+        ftype = fields[key].type
+        default = fields[key].default_factory() if fields[key].default_factory is not dataclasses.MISSING else None  # type: ignore[misc]
+        if dataclasses.is_dataclass(default) and isinstance(val, dict):
+            kwargs[key] = _dataclass_from_dict(type(default), val)
+        elif isinstance(val, list):
+            kwargs[key] = tuple(val)
+        else:
+            kwargs[key] = val
+    return cls(**kwargs)
+
+
+def load_tts_json(path: str) -> TTSConfig:
+    """Load a reference-format ``tts.json`` (schema per go/helper.go:25-84),
+    mapping its nested keys onto :class:`TTSConfig`. Unknown keys are ignored;
+    missing keys keep our defaults."""
+    with open(path) as f:
+        raw = json.load(f)
+    return tts_config_from_reference_dict(raw)
+
+
+def tts_config_from_reference_dict(raw: dict[str, Any]) -> TTSConfig:
+    ae_raw = dict(raw.get("ae", {}))
+    enc = ae_raw.pop("encoder", {}) or {}
+    spec = enc.get("spec_processor", {}) or {}
+    ae = _dataclass_from_dict(
+        AEConfig, {**ae_raw, "spec_processor": spec}
+    )
+
+    ttl_raw = dict(raw.get("ttl", {}))
+    style_tl = ((ttl_raw.pop("style_encoder", {}) or {}).get("style_token_layer", {})) or {}
+    proj = ((ttl_raw.pop("text_encoder", {}) or {}).get("proj_out", {})) or {}
+    ttl = TTLConfig(
+        chunk_compress_factor=ttl_raw.get("chunk_compress_factor", 4),
+        latent_dim=ttl_raw.get("latent_dim", 24),
+        style=_dataclass_from_dict(StyleTokenLayerConfig, style_tl),
+        proj_out_idim=proj.get("idim", 256),
+        proj_out_odim=proj.get("odim", 512),
+    )
+
+    dp_raw = dict(raw.get("dp", {}))
+    dp_style = ((dp_raw.pop("style_encoder", {}) or {}).get("style_token_layer", {})) or {}
+    dp = DPConfig(
+        latent_dim=dp_raw.get("latent_dim", ttl.latent_dim),
+        chunk_compress_factor=dp_raw.get(
+            "chunk_compress_factor", ttl.chunk_compress_factor
+        ),
+        style=_dataclass_from_dict(StyleTokenLayerConfig, dp_style),
+    )
+
+    # Re-derive a consistent vocoder factor stack for the (possibly different)
+    # chunk size described by the file, with a matching channel ladder.
+    chunk = ae.base_chunk_size * ttl.chunk_compress_factor
+    default_voc = VocoderHParams()
+    import math
+
+    if math.prod(default_voc.upsample_factors) != chunk:
+        factors = _factorize_upsample(chunk)
+        chans = tuple(
+            max(default_voc.dim // (2 ** (i + 1)), 16) for i in range(len(factors))
+        )
+        vocoder = dataclasses.replace(
+            default_voc, upsample_factors=factors, channels=chans
+        )
+    else:
+        vocoder = default_voc
+    return TTSConfig(ae=ae, ttl=ttl, dp=dp, vocoder=vocoder)
+
+
+def _factorize_upsample(chunk: int, max_stage: int = 8) -> tuple[int, ...]:
+    """Split ``chunk`` into a stack of stage factors each <= max_stage,
+    largest first (keeps the widest layers shortest)."""
+    factors: list[int] = []
+    n = chunk
+    for f in (8, 8, 8, 8, 4, 4, 4, 2, 2, 2):
+        if n == 1:
+            break
+        while n % f == 0 and f <= max_stage and n > 1:
+            factors.append(f)
+            n //= f
+            break
+    if n != 1:
+        # fall back to powers of two
+        factors = []
+        n = chunk
+        while n > 1:
+            f = 8 if n % 8 == 0 else (4 if n % 4 == 0 else 2)
+            factors.append(f)
+            n //= f
+    return tuple(factors)
+
+
+def to_reference_dict(cfg: TTSConfig) -> dict[str, Any]:
+    """Serialize back to the reference ``tts.json`` nesting."""
+    sp = cfg.ae.spec_processor
+    return {
+        "ae": {
+            "sample_rate": cfg.ae.sample_rate,
+            "base_chunk_size": cfg.ae.base_chunk_size,
+            "encoder": {"spec_processor": dataclasses.asdict(sp)},
+        },
+        "ttl": {
+            "chunk_compress_factor": cfg.ttl.chunk_compress_factor,
+            "latent_dim": cfg.ttl.latent_dim,
+            "style_encoder": {
+                "style_token_layer": dataclasses.asdict(cfg.ttl.style)
+            },
+            "text_encoder": {
+                "proj_out": {
+                    "idim": cfg.ttl.proj_out_idim,
+                    "odim": cfg.ttl.proj_out_odim,
+                }
+            },
+        },
+        "dp": {
+            "latent_dim": cfg.dp.latent_dim,
+            "chunk_compress_factor": cfg.dp.chunk_compress_factor,
+            "style_encoder": {
+                "style_token_layer": dataclasses.asdict(cfg.dp.style)
+            },
+        },
+    }

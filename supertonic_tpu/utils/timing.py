@@ -1,0 +1,79 @@
+"""Timers and per-stage profiling counters.
+
+The reference only has a wall-clock context manager (py/helper.py:370-375).
+We keep that API and add a stage profiler whose counters are the BASELINE
+metrics: per-stage seconds, RTF, chars/sec, audio-sec/s.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+
+@contextlib.contextmanager
+def timer(name: str, verbose: bool = True):
+    start = time.perf_counter()
+    if verbose:
+        print(f"{name}...")
+    yield
+    if verbose:
+        print(f"  -> {name} completed in {time.perf_counter() - start:.2f} sec")
+
+
+@dataclass
+class StageProfiler:
+    """Accumulates wall time per pipeline stage (frontend / dp / text_enc /
+    flow / vocoder / egress) plus synthesis totals."""
+
+    stages: dict = field(default_factory=lambda: defaultdict(float))
+    counts: dict = field(default_factory=lambda: defaultdict(int))
+    audio_seconds: float = 0.0
+    chars: int = 0
+    synth_seconds: float = 0.0
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        start = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - start
+            self.stages[name] += dt
+            self.counts[name] += 1
+
+    def record_result(self, audio_seconds: float, chars: int, synth_seconds: float):
+        self.audio_seconds += audio_seconds
+        self.chars += chars
+        self.synth_seconds += synth_seconds
+
+    @property
+    def rtf(self) -> float:
+        return self.synth_seconds / self.audio_seconds if self.audio_seconds else float("inf")
+
+    @property
+    def chars_per_sec(self) -> float:
+        return self.chars / self.synth_seconds if self.synth_seconds else 0.0
+
+    @property
+    def audio_sec_per_sec(self) -> float:
+        return self.audio_seconds / self.synth_seconds if self.synth_seconds else 0.0
+
+    def summary(self) -> dict:
+        return {
+            "stages_s": dict(self.stages),
+            "rtf": self.rtf,
+            "chars_per_sec": self.chars_per_sec,
+            "audio_sec_per_sec": self.audio_sec_per_sec,
+            "audio_seconds": self.audio_seconds,
+            "synth_seconds": self.synth_seconds,
+        }
+
+
+def sanitize_filename(text: str, max_len: int) -> str:
+    """Replace non-word chars with underscores (reference py/helper.py:378-385)."""
+    import re
+
+    return re.sub(r"[^\w]", "_", text[:max_len], flags=re.UNICODE)
