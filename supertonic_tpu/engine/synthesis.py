@@ -1,0 +1,170 @@
+"""Jit-compiled synthesis stages.
+
+The reference host loop (py/helper.py:177-215) crosses the Python↔ONNX
+boundary 3 + total_step times per chunk. TPU-first redesign: TWO compiled
+programs with a single tiny host transfer between them.
+
+  Stage A  (text):     text_ids, masks, styles -> duration [B], text_emb
+  [host: duration -> wav lengths -> latent bucket choice -> noise shapes]
+  Stage B  (acoustic): text_emb, styles, masks, noise -> waveform
+
+The flow-matching Euler loop runs as ``lax.fori_loop`` INSIDE stage B — zero
+host round-trips in the hot loop (the reference pays one ORT call per step,
+py/helper.py:200-213). Stage B ends with the vocoder, so the only transfer
+out is the waveform itself (BASELINE "gather at egress only").
+
+Shapes are static per (B, L, T, total_step) bucket; the engine caches the
+compiled executables per bucket.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TTSConfig
+from ..models import duration_predictor, text_encoder, vector_estimator, vocoder
+from ..models import layers as L
+
+
+def _dtype_of(precision: str):
+    return jnp.bfloat16 if precision == "bf16" else jnp.float32
+
+
+def text_stage(
+    params: dict,
+    cfg: TTSConfig,
+    text_ids: jax.Array,    # [B, L] int32
+    text_mask: jax.Array,   # [B, L] f32
+    style_dp: jax.Array,    # [B, S_dp, D_dp]
+    style_ttl: jax.Array,   # [B, S, D]
+    speed: jax.Array,       # scalar f32
+    *,
+    precision: str = "bf16",
+    attn_fn=L.attention_core,
+) -> tuple[jax.Array, jax.Array]:
+    """Duration prediction + text encoding. Returns (duration [B] f32 seconds
+    — already divided by speed, reference py/helper.py:193 — and text_emb)."""
+    dtype = _dtype_of(precision)
+    dur = duration_predictor.apply(
+        params["duration_predictor"], cfg, text_ids, style_dp, text_mask,
+        dtype=dtype, attn_fn=attn_fn,
+    )
+    dur = dur / speed
+    emb = text_encoder.apply(
+        params["text_encoder"], cfg, text_ids, style_ttl, text_mask,
+        dtype=dtype, attn_fn=attn_fn,
+    )
+    return dur, emb
+
+
+def acoustic_stage(
+    params: dict,
+    cfg: TTSConfig,
+    text_emb: jax.Array,     # [B, L, odim]
+    style_ttl: jax.Array,    # [B, S, D]
+    text_mask: jax.Array,    # [B, L]
+    latent_mask: jax.Array,  # [B, T]
+    noise: jax.Array,        # [B, T, C] ~ N(0,1) (pre-mask)
+    total_step: int,         # STATIC loop bound
+    *,
+    precision: str = "bf16",
+    attn_fn=L.attention_core,
+) -> jax.Array:
+    """Flow-matching Euler loop + vocoder. Returns wav [B, T*chunk] f32.
+
+    Per-sample semantics identical to the reference (§2.2): initial latent =
+    noise * latent_mask (py/helper.py:170-174), each step feeds x_t with
+    (current_step, total_step) into the estimator which applies the Euler
+    update internally.
+    """
+    dtype = _dtype_of(precision)
+    b = text_emb.shape[0]
+    x0 = noise.astype(jnp.float32) * latent_mask[:, :, None]
+    tot = jnp.full((b,), float(total_step), jnp.float32)
+
+    def body(step, x):
+        cur = jnp.full((b,), 1.0, jnp.float32) * step
+        return vector_estimator.step(
+            params["vector_estimator"], cfg, x, text_emb, style_ttl,
+            text_mask, latent_mask, cur, tot, dtype=dtype, attn_fn=attn_fn,
+        )
+
+    xt = jax.lax.fori_loop(0, total_step, body, x0)
+    return vocoder.apply(params["vocoder"], cfg, xt, dtype=dtype)
+
+
+def synthesize_padded(
+    params: dict,
+    cfg: TTSConfig,
+    text_ids: jax.Array,
+    text_mask: jax.Array,
+    style_dp: jax.Array,
+    style_ttl: jax.Array,
+    noise: jax.Array,        # [B, T, C]
+    speed: jax.Array,
+    total_step: int,
+    *,
+    precision: str = "bf16",
+    attn_fn=L.attention_core,
+) -> tuple[jax.Array, jax.Array]:
+    """Single fully-jittable end-to-end program with a FIXED latent length
+    (noise carries the T dim). The latent mask is derived on-device from the
+    predicted duration (reference geometry py/helper.py:161-175). Used by the
+    driver entry point and the fixed-shape serving fast path; the engine's
+    two-stage path picks T adaptively instead.
+
+    Returns (wav [B, T*chunk] f32, duration [B] f32 seconds).
+    """
+    dur, emb = text_stage(
+        params, cfg, text_ids, text_mask, style_dp, style_ttl, speed,
+        precision=precision, attn_fn=attn_fn,
+    )
+    t_pad = noise.shape[1]
+    chunk = cfg.chunk_size
+    wav_len = dur * cfg.sample_rate
+    latent_len = jnp.ceil(wav_len / chunk)
+    # clamp into the padded window
+    latent_len = jnp.minimum(latent_len, float(t_pad))
+    frame_idx = jnp.arange(t_pad, dtype=jnp.float32)[None, :]
+    latent_mask = (frame_idx < latent_len[:, None]).astype(jnp.float32)
+    wav = acoustic_stage(
+        params, cfg, emb, style_ttl, text_mask, latent_mask, noise,
+        total_step, precision=precision, attn_fn=attn_fn,
+    )
+    return wav, dur
+
+
+def jit_text_stage(params, cfg: TTSConfig, *, precision="bf16", attn_fn=None,
+                   in_shardings=None, out_shardings=None) -> Callable:
+    fn = functools.partial(
+        text_stage, precision=precision,
+        attn_fn=attn_fn or L.attention_core,
+    )
+    closed = lambda ids, mask, sdp, sttl, speed: fn(params, cfg, ids, mask, sdp, sttl, speed)
+    kw: dict[str, Any] = {}
+    if in_shardings is not None:
+        kw["in_shardings"] = in_shardings
+    if out_shardings is not None:
+        kw["out_shardings"] = out_shardings
+    return jax.jit(closed, **kw)
+
+
+def jit_acoustic_stage(params, cfg: TTSConfig, *, precision="bf16",
+                       attn_fn=None, in_shardings=None, out_shardings=None) -> Callable:
+    fn = functools.partial(
+        acoustic_stage, precision=precision,
+        attn_fn=attn_fn or L.attention_core,
+    )
+    closed = lambda emb, sttl, tmask, lmask, noise, total_step: fn(
+        params, cfg, emb, sttl, tmask, lmask, noise, total_step
+    )
+    kw: dict[str, Any] = {"static_argnums": (5,)}
+    if in_shardings is not None:
+        kw["in_shardings"] = in_shardings
+    if out_shardings is not None:
+        kw["out_shardings"] = out_shardings
+    return jax.jit(closed, **kw)

@@ -1,0 +1,303 @@
+"""Core functional layers (pure JAX, explicit param pytrees).
+
+Design notes (TPU-first):
+  * Layout is [B, T, C] (channels-last) everywhere — last dim maps to the
+    128-lane axis, convs lower to MXU matmuls.
+  * Params are nested dicts of float32 arrays; compute dtype is chosen per
+    call (bf16 fast path / f32 parity path). All matmuls set
+    ``preferred_element_type=float32`` so MXU accumulation stays f32.
+  * No data-dependent Python control flow — everything here traces under jit.
+
+The networks built from these layers re-implement the four ONNX graphs of the
+reference (I/O contract per SURVEY.md §2.2; reference py/helper.py:177-215),
+architectures per the SupertonicTTS paper (arXiv:2503.23108) and LARoPE
+(arXiv:2509.11084).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict[str, Any]
+
+NEG_INF = -1e9
+
+
+# ---------------------------------------------------------------------------
+# init helpers — numpy RNG, NOT jax.random: eager jax.random dispatch compiles
+# one XLA kernel per distinct shape (~0.7 s each on this host), and production
+# weights come from extracted checkpoints anyway. np.random.Generator is
+# deterministic and free.
+# ---------------------------------------------------------------------------
+
+def _uniform_init(rng: np.random.Generator, shape, scale):
+    return rng.uniform(-scale, scale, shape).astype(np.float32)
+
+
+def linear_init(rng, din: int, dout: int, *, zero: bool = False) -> Params:
+    if zero:
+        return {"w": np.zeros((din, dout), np.float32),
+                "b": np.zeros((dout,), np.float32)}
+    scale = 1.0 / math.sqrt(din)
+    return {"w": _uniform_init(rng, (din, dout), scale),
+            "b": np.zeros((dout,), np.float32)}
+
+
+def linear(p: Params, x: jax.Array) -> jax.Array:
+    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+    return (y + p["b"]).astype(x.dtype)
+
+
+def embedding_init(rng, vocab: int, dim: int) -> Params:
+    return {"table": (rng.standard_normal((vocab, dim)) * 0.02).astype(np.float32)}
+
+
+def embedding(p: Params, ids: jax.Array, dtype=jnp.float32) -> jax.Array:
+    return jnp.asarray(p["table"], dtype)[ids]
+
+
+def layer_norm_init(dim: int) -> Params:
+    return {"g": np.ones((dim,), np.float32), "b": np.zeros((dim,), np.float32)}
+
+
+def layer_norm(p: Params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["g"] + p["b"]).astype(x.dtype)
+
+
+def conv1d_init(rng, cin: int, cout: int, kernel: int) -> Params:
+    scale = 1.0 / math.sqrt(cin * kernel)
+    return {"w": _uniform_init(rng, (kernel, cin, cout), scale),
+            "b": np.zeros((cout,), np.float32)}
+
+
+def conv1d(p: Params, x: jax.Array, *, dilation: int = 1, padding: str | int = "SAME") -> jax.Array:
+    """x: [B, T, C] -> [B, T', C']. 'SAME' keeps T for odd kernels."""
+    if isinstance(padding, int):
+        pad = [(padding, padding)]
+    elif padding == "SAME":
+        k = p["w"].shape[0]
+        total = dilation * (k - 1)
+        pad = [(total // 2, total - total // 2)]
+    else:
+        pad = padding
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype),
+        window_strides=(1,),
+        padding=pad,
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    )
+    return (y + p["b"]).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Rotary position embeddings (standard + length-aware)
+# ---------------------------------------------------------------------------
+
+def rope_angles(positions: jax.Array, head_dim: int, theta: float) -> tuple[jax.Array, jax.Array]:
+    """positions [..., T] -> (cos, sin) each [..., T, head_dim//2]."""
+    half = head_dim // 2
+    freqs = jnp.exp(
+        -math.log(theta) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    ang = positions.astype(jnp.float32)[..., None] * freqs
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [B, H, T, Dh]; cos/sin: [B, T, Dh//2] or [T, Dh//2]."""
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    if cos.ndim == 3:  # per-batch positions -> broadcast over heads
+        cos = cos[:, None]
+        sin = sin[:, None]
+    out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    return out.astype(x.dtype)
+
+
+def larope_positions(lengths: jax.Array, padded_len: int, scale: float) -> jax.Array:
+    """Length-Aware RoPE positions (arXiv:2509.11084): index i of a sequence
+    with true length L maps to ``i * scale / L`` so that text and latent
+    sequences share a normalized [0, scale) position axis and cross-attention
+    distance is measured along the proportional alignment diagonal.
+
+    lengths: [B] true lengths; returns [B, padded_len] float32 positions.
+    """
+    idx = jnp.arange(padded_len, dtype=jnp.float32)[None, :]
+    return idx * (scale / jnp.maximum(lengths.astype(jnp.float32), 1.0))[:, None]
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+def mha_init(rng, dim: int, *, kv_dim: int | None = None) -> Params:
+    kv_dim = kv_dim or dim
+    return {
+        "q": linear_init(rng, dim, dim),
+        "k": linear_init(rng, kv_dim, dim),
+        "v": linear_init(rng, kv_dim, dim),
+        "o": linear_init(rng, dim, dim),
+    }
+
+
+def _split_heads(x: jax.Array, n_heads: int) -> jax.Array:
+    b, t, d = x.shape
+    return x.reshape(b, t, n_heads, d // n_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+def attention_core(q, k, v, key_mask) -> jax.Array:
+    """q,k,v: [B,H,T,Dh]; key_mask: [B, Tk] (1 = valid). Returns [B,H,Tq,Dh].
+
+    Plain XLA path; the Pallas fused kernel in ops/attention.py is a drop-in
+    replacement selected by the engine.
+    """
+    dh = q.shape[-1]
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / math.sqrt(dh)
+    if key_mask is not None:
+        bias = (1.0 - key_mask.astype(jnp.float32))[:, None, None, :] * NEG_INF
+        logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def mha(
+    p: Params,
+    x: jax.Array,
+    n_heads: int,
+    memory: jax.Array | None = None,
+    *,
+    key_mask: jax.Array | None = None,
+    q_rope: tuple[jax.Array, jax.Array] | None = None,
+    k_rope: tuple[jax.Array, jax.Array] | None = None,
+    attn_fn=attention_core,
+) -> jax.Array:
+    """Multi-head attention; self-attn when memory is None."""
+    mem = x if memory is None else memory
+    q = _split_heads(linear(p["q"], x), n_heads)
+    k = _split_heads(linear(p["k"], mem), n_heads)
+    v = _split_heads(linear(p["v"], mem), n_heads)
+    if q_rope is not None:
+        q = apply_rope(q, *q_rope)
+    if k_rope is not None:
+        k = apply_rope(k, *k_rope)
+    out = attn_fn(q, k, v, key_mask)
+    return linear(p["o"], _merge_heads(out))
+
+
+# ---------------------------------------------------------------------------
+# FFN + transformer blocks
+# ---------------------------------------------------------------------------
+
+def ffn_init(rng, dim: int, mult: int) -> Params:
+    return {"in": linear_init(rng, dim, dim * mult),
+            "out": linear_init(rng, dim * mult, dim)}
+
+
+def ffn(p: Params, x: jax.Array) -> jax.Array:
+    return linear(p["out"], jax.nn.silu(linear(p["in"], x)))
+
+
+def block_init(rng, dim: int, ffn_mult: int, *,
+               cross_dim: int | None = None, adaln: bool = False,
+               cond_dim: int | None = None) -> Params:
+    p: Params = {
+        "ln1": layer_norm_init(dim),
+        "self": mha_init(rng, dim),
+        "ln3": layer_norm_init(dim),
+        "ffn": ffn_init(rng, dim, ffn_mult),
+    }
+    if cross_dim is not None:
+        p["ln2"] = layer_norm_init(dim)
+        p["cross"] = mha_init(rng, dim, kv_dim=cross_dim)
+    if adaln:
+        n_sub = 3 if cross_dim is not None else 2
+        # AdaLN-Zero (DiT-style): cond -> shift/scale/gate per sublayer,
+        # zero-init so the block starts as identity.
+        p["adaln"] = linear_init(rng, cond_dim or dim, 3 * n_sub * dim, zero=True)
+    return p
+
+
+def _modulate(x, shift, scale):
+    return x * (1.0 + scale) + shift
+
+
+def block(
+    p: Params,
+    x: jax.Array,
+    n_heads: int,
+    *,
+    self_mask: jax.Array | None = None,
+    self_rope=None,
+    memory: jax.Array | None = None,
+    memory_mask: jax.Array | None = None,
+    q_rope_cross=None,
+    k_rope_cross=None,
+    cond: jax.Array | None = None,
+    attn_fn=attention_core,
+) -> jax.Array:
+    """Pre-LN transformer block: self-attn [+ cross-attn] + FFN, optionally
+    AdaLN-Zero conditioned on ``cond`` [B, cond_dim]."""
+    has_cross = "cross" in p
+    if cond is not None and "adaln" in p:
+        mods = linear(p["adaln"], cond)[:, None, :]  # [B,1,3*n_sub*dim]
+        n_sub = 3 if has_cross else 2
+        mods = jnp.split(mods, 3 * n_sub, axis=-1)
+    else:
+        mods = None
+
+    def mod(i, h):
+        if mods is None:
+            return h, 1.0
+        shift, scale, gate = mods[3 * i], mods[3 * i + 1], mods[3 * i + 2]
+        return _modulate(h, shift, scale), gate
+
+    i_sub = 0
+    h, gate = mod(i_sub, layer_norm(p["ln1"], x))
+    x = x + gate * mha(p["self"], h, n_heads, key_mask=self_mask,
+                       q_rope=self_rope, k_rope=self_rope, attn_fn=attn_fn)
+    i_sub += 1
+    if has_cross:
+        h, gate = mod(i_sub, layer_norm(p["ln2"], x))
+        x = x + gate * mha(p["cross"], h, n_heads, memory=memory,
+                           key_mask=memory_mask,
+                           q_rope=q_rope_cross, k_rope=k_rope_cross, attn_fn=attn_fn)
+        i_sub += 1
+    h, gate = mod(i_sub, layer_norm(p["ln3"], x))
+    x = x + gate * ffn(p["ffn"], h)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Time embedding (flow step conditioning)
+# ---------------------------------------------------------------------------
+
+def sinusoidal_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
+    """t: [B] in [0, 1] -> [B, dim]."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    ang = t.astype(jnp.float32)[:, None] * freqs[None, :] * 1000.0
+    return jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+
+
+def count_params(tree) -> int:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return int(sum(np.prod(l.shape) for l in leaves if hasattr(l, "shape")))

@@ -13,6 +13,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# XLA-CPU compiles cost ~0.65 s each on this host; persist them across runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.05")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -23,7 +27,9 @@ def tiny_config():
     """A scaled-down TTSConfig so model tests compile in milliseconds."""
     from supertonic_tpu.config import (
         AEConfig,
+        DPConfig,
         DurationPredictorHParams,
+        StyleTokenLayerConfig,
         TextEncoderHParams,
         TTLConfig,
         TTSConfig,
@@ -31,9 +37,17 @@ def tiny_config():
         VocoderHParams,
     )
 
+    style = StyleTokenLayerConfig(n_style=4, style_value_dim=16)
     return TTSConfig(
         ae=AEConfig(sample_rate=16000, base_chunk_size=64),
-        ttl=TTLConfig(chunk_compress_factor=2, latent_dim=8),
+        ttl=TTLConfig(
+            chunk_compress_factor=2,
+            latent_dim=8,
+            proj_out_idim=32,
+            proj_out_odim=64,
+            style=style,
+        ),
+        dp=DPConfig(latent_dim=8, chunk_compress_factor=2, style=style),
         text_encoder=TextEncoderHParams(vocab_size=256, dim=32, n_layers=2, n_heads=2),
         duration_predictor=DurationPredictorHParams(
             vocab_size=256, dim=32, n_layers=2, n_heads=2

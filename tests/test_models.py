@@ -1,0 +1,185 @@
+"""Shape/semantics tests for the four networks (contract per SURVEY.md §2.2).
+
+All applies go through jax.jit: on this host each *eager* primitive dispatch
+costs a ~0.65 s XLA-CPU compile, while a whole-model jit is ~1 s total and is
+persisted by the compilation cache (see conftest.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from supertonic_tpu.models import (
+    duration_predictor,
+    init_all,
+    text_encoder,
+    vector_estimator,
+    vocoder,
+)
+from supertonic_tpu.models.layers import count_params
+
+
+@pytest.fixture(scope="module")
+def params(tiny_config):
+    return init_all(0, tiny_config)
+
+
+@pytest.fixture(scope="module")
+def fns(params, tiny_config):
+    cfg = tiny_config
+
+    @jax.jit
+    def dp(ids, style, mask):
+        return duration_predictor.apply(
+            params["duration_predictor"], cfg, ids, style, mask
+        )
+
+    @jax.jit
+    def te(ids, style, mask):
+        return text_encoder.apply(params["text_encoder"], cfg, ids, style, mask)
+
+    @jax.jit
+    def ve(latent, emb, style, tmask, lmask, cur, tot):
+        return vector_estimator.step(
+            params["vector_estimator"], cfg, latent, emb, style, tmask, lmask,
+            cur, tot,
+        )
+
+    @jax.jit
+    def voc(latent):
+        return vocoder.apply(params["vocoder"], cfg, latent)
+
+    return {"dp": dp, "te": te, "ve": ve, "voc": voc}
+
+
+def _inputs(tiny_config, b=2, l=16, t=12, seed=0):
+    rng = np.random.default_rng(seed)
+    cfg = tiny_config
+    s, d = cfg.ttl.style.n_style, cfg.ttl.style.style_value_dim
+    text_ids = jnp.asarray(rng.integers(1, 200, (b, l)))
+    text_mask = jnp.asarray(
+        (np.arange(l)[None, :] < np.array([[l], [l - 5]])).astype(np.float32)
+    )
+    style = jnp.asarray(rng.standard_normal((b, s, d)), dtype=jnp.float32)
+    latent = jnp.asarray(
+        rng.standard_normal((b, t, cfg.latent_channels)), dtype=jnp.float32
+    )
+    latent_mask = jnp.asarray(
+        (np.arange(t)[None, :] < np.array([[t], [t - 4]])).astype(np.float32)
+    )
+    return text_ids, text_mask, style, latent, latent_mask
+
+
+class TestDurationPredictor:
+    def test_output_shape_and_positive(self, fns, tiny_config):
+        text_ids, text_mask, style, *_ = _inputs(tiny_config)
+        dur = fns["dp"](text_ids, style, text_mask)
+        assert dur.shape == (2,)
+        assert (np.asarray(dur) > 0).all()
+
+    def test_padding_invariance(self, fns, tiny_config):
+        """Extending the pad region must not change the prediction."""
+        text_ids, text_mask, style, *_ = _inputs(tiny_config)
+        dur1 = fns["dp"](text_ids, style, text_mask)
+        ids2 = jnp.pad(text_ids, ((0, 0), (0, 8)))
+        mask2 = jnp.pad(text_mask, ((0, 0), (0, 8)))
+        dur2 = fns["dp"](ids2, style, mask2)
+        np.testing.assert_allclose(np.asarray(dur1), np.asarray(dur2), atol=1e-5)
+
+
+class TestTextEncoder:
+    def test_output_shape(self, fns, tiny_config):
+        text_ids, text_mask, style, *_ = _inputs(tiny_config)
+        emb = fns["te"](text_ids, style, text_mask)
+        assert emb.shape == (2, 16, tiny_config.ttl.proj_out_odim)
+
+    def test_masked_positions_zero(self, fns, tiny_config):
+        text_ids, text_mask, style, *_ = _inputs(tiny_config)
+        emb = np.asarray(fns["te"](text_ids, style, text_mask))
+        assert np.abs(emb[1, -5:]).max() == 0.0
+
+    def test_padding_invariance(self, fns, tiny_config):
+        text_ids, text_mask, style, *_ = _inputs(tiny_config)
+        emb1 = fns["te"](text_ids, style, text_mask)
+        ids2 = jnp.pad(text_ids, ((0, 0), (0, 8)))
+        mask2 = jnp.pad(text_mask, ((0, 0), (0, 8)))
+        emb2 = fns["te"](ids2, style, mask2)
+        np.testing.assert_allclose(
+            np.asarray(emb1), np.asarray(emb2)[:, :16], atol=2e-5
+        )
+
+
+class TestVectorEstimator:
+    def test_step_preserves_shape_and_mask(self, fns, tiny_config):
+        text_ids, text_mask, style, latent, latent_mask = _inputs(tiny_config)
+        emb = fns["te"](text_ids, style, text_mask)
+        out = fns["ve"](latent, emb, style, text_mask, latent_mask,
+                        jnp.zeros((2,)), jnp.full((2,), 4.0))
+        assert out.shape == latent.shape
+        assert np.abs(np.asarray(out)[1, -4:]).max() == 0.0  # masked frames zero
+
+    def test_zero_init_means_first_step_identity_in_mask(self, fns, tiny_config):
+        """out_proj is zero-init, so a freshly initialized flow step returns
+        x unchanged inside the mask (Euler update with v=0)."""
+        text_ids, text_mask, style, latent, latent_mask = _inputs(tiny_config)
+        latent = latent * latent_mask[:, :, None]
+        emb = fns["te"](text_ids, style, text_mask)
+        out = fns["ve"](latent, emb, style, text_mask, latent_mask,
+                        jnp.zeros((2,)), jnp.full((2,), 4.0))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(latent), atol=1e-6)
+
+    def test_steps_differ_over_time(self, params, fns, tiny_config):
+        # perturb the zero-init heads (out_proj AND the final AdaLN, which is
+        # where time conditioning enters) so the velocity depends on t
+        rng = np.random.default_rng(1)
+
+        def _randomize(p):
+            return {
+                "w": (rng.standard_normal(p["w"].shape) * 0.1).astype(np.float32),
+                "b": p["b"],
+            }
+
+        base = params["vector_estimator"]
+        p2 = {**base,
+              "out_proj": _randomize(base["out_proj"]),
+              "adaln_out": _randomize(base["adaln_out"])}
+
+        @jax.jit
+        def ve2(latent, emb, style, tmask, lmask, cur, tot):
+            return vector_estimator.step(
+                p2, tiny_config, latent, emb, style, tmask, lmask, cur, tot
+            )
+
+        text_ids, text_mask, style, latent, latent_mask = _inputs(tiny_config)
+        emb = fns["te"](text_ids, style, text_mask)
+        tot = jnp.full((2,), 4.0)
+        o0 = ve2(latent, emb, style, text_mask, latent_mask, jnp.zeros((2,)), tot)
+        o1 = ve2(latent, emb, style, text_mask, latent_mask, jnp.ones((2,)), tot)
+        assert np.abs(np.asarray(o0) - np.asarray(o1)).max() > 1e-6
+
+
+class TestVocoder:
+    def test_upsample_geometry(self, fns, tiny_config):
+        *_, latent, _ = _inputs(tiny_config)
+        wav = fns["voc"](latent)
+        assert wav.shape == (2, 12 * tiny_config.chunk_size)
+        assert np.abs(np.asarray(wav)).max() <= 1.0
+
+    def test_chunk_size_matches_reference_geometry(self, tiny_config):
+        # T_lat * chunk_size >= sample_rate * duration always holds with
+        # T_lat = ceil(dur * sr / chunk) (reference py/helper.py:165-168)
+        dur, sr, chunk = 1.7, tiny_config.sample_rate, tiny_config.chunk_size
+        t_lat = -(-int(dur * sr) // chunk)
+        assert t_lat * chunk >= dur * sr
+
+
+def test_param_count_default_config_near_66m():
+    """Reference model is 66 M params (README.md:60); our default config must
+    land in the same ballpark so compute cost is comparable."""
+    from supertonic_tpu.config import TTSConfig
+
+    cfg = TTSConfig()
+    params = init_all(0, cfg)
+    n = count_params(params)
+    assert 40e6 < n < 90e6, f"param count {n/1e6:.1f}M out of range"
