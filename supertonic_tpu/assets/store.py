@@ -1,0 +1,199 @@
+"""Asset management: model checkpoint, config, unicode indexer, voice styles.
+
+The reference loads four frozen ONNX graphs + tts.json + unicode_indexer.json
++ voice style JSONs from an assets dir fetched from Hugging Face
+(`Supertone/supertonic-2`, reference README.md:104, py/helper.py:289-336).
+
+Our asset layout (``<dir>/``):
+    params.npz            flattened param pytree ('/'-joined keys)
+    tts.json              reference-format config (see config.py)
+    unicode_indexer.json  dense codepoint->id table (reference format)
+    voice_styles/XX.json  reference-format style files
+
+``load_assets`` falls back to deterministic random-init params + the built-in
+indexer + synthetic styles when the directory (or any piece) is missing —
+this environment has no egress to Hugging Face, and random weights exercise
+the identical compute graph for benchmarking. When real assets are present,
+``tools/convert_onnx.py`` extracts ONNX initializers into params.npz.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+
+from ..config import TTSConfig, VOICE_PRESETS, load_tts_json, to_reference_dict
+from ..engine.engine import VoiceStyle
+from ..frontend import UnicodeProcessor, build_default_indexer
+from ..models import init_all
+
+
+# ---------------------------------------------------------------------------
+# param pytree <-> npz
+# ---------------------------------------------------------------------------
+
+def flatten_tree(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_tree(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(flatten_tree(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def unflatten_tree(flat: dict[str, np.ndarray]) -> Any:
+    root: dict = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [listify(node[str(i)]) for i in range(len(keys))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
+
+
+def save_params(path: str, params: Any) -> None:
+    np.savez(path, **flatten_tree(params))
+
+
+def load_params(path: str) -> Any:
+    with np.load(path) as z:
+        return unflatten_tree({k: z[k] for k in z.files})
+
+
+# ---------------------------------------------------------------------------
+# voice styles (reference format: {"style_ttl": {"data", "dims", "type"},
+#               "style_dp": {...}} — rust/src/helper.rs:59-71)
+# ---------------------------------------------------------------------------
+
+def load_voice_style(paths: list[str], verbose: bool = False) -> VoiceStyle:
+    """Stack style files into a batch (reference py/helper.py:339-367)."""
+    ttls, dps = [], []
+    for p in paths:
+        with open(p) as f:
+            raw = json.load(f)
+        ttl = np.array(raw["style_ttl"]["data"], np.float32).reshape(
+            raw["style_ttl"]["dims"][1:]
+        )
+        dp = np.array(raw["style_dp"]["data"], np.float32).reshape(
+            raw["style_dp"]["dims"][1:]
+        )
+        ttls.append(ttl)
+        dps.append(dp)
+    if verbose:
+        print(f"Loaded {len(paths)} voice styles")
+    return VoiceStyle(np.stack(ttls), np.stack(dps))
+
+
+def save_voice_style(path: str, style: VoiceStyle, index: int = 0) -> None:
+    ttl = style.ttl[index]
+    dp = style.dp[index]
+    data = {
+        "style_ttl": {"data": ttl[None].tolist(), "dims": [1, *ttl.shape],
+                      "type": "float32"},
+        "style_dp": {"data": dp[None].tolist(), "dims": [1, *dp.shape],
+                     "type": "float32"},
+    }
+    with open(path, "w") as f:
+        json.dump(data, f)
+
+
+def synthesize_default_styles(cfg: TTSConfig, seed: int = 1234) -> dict[str, VoiceStyle]:
+    """Deterministic stand-in styles for the 10 presets when the real style
+    assets are unavailable."""
+    rng = np.random.default_rng(seed)
+    styles = {}
+    for name in VOICE_PRESETS:
+        ttl = rng.standard_normal(
+            (1, cfg.ttl.style.n_style, cfg.ttl.style.style_value_dim)
+        ).astype(np.float32)
+        dp = rng.standard_normal(
+            (1, cfg.dp.style.n_style, cfg.dp.style.style_value_dim)
+        ).astype(np.float32)
+        styles[name] = VoiceStyle(ttl, dp)
+    return styles
+
+
+# ---------------------------------------------------------------------------
+# asset bundle
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Assets:
+    cfg: TTSConfig
+    params: Any
+    processor: UnicodeProcessor
+    style_dir: str | None
+
+    def get_voice_style(self, name_or_path: str) -> VoiceStyle:
+        """Accepts a preset name ("M1") or a style-file path."""
+        if os.path.exists(name_or_path):
+            return load_voice_style([name_or_path])
+        if self.style_dir:
+            p = os.path.join(self.style_dir, f"{name_or_path}.json")
+            if os.path.exists(p):
+                return load_voice_style([p])
+        if name_or_path in VOICE_PRESETS:
+            return synthesize_default_styles(self.cfg)[name_or_path]
+        raise FileNotFoundError(f"voice style {name_or_path!r} not found")
+
+
+def save_assets(dirpath: str, cfg: TTSConfig, params: Any,
+                indexer: np.ndarray | None = None,
+                styles: dict[str, VoiceStyle] | None = None) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    save_params(os.path.join(dirpath, "params.npz"), params)
+    with open(os.path.join(dirpath, "tts.json"), "w") as f:
+        json.dump(to_reference_dict(cfg), f)
+    idx = indexer if indexer is not None else build_default_indexer()
+    with open(os.path.join(dirpath, "unicode_indexer.json"), "w") as f:
+        json.dump(np.asarray(idx).tolist(), f)
+    sd = os.path.join(dirpath, "voice_styles")
+    os.makedirs(sd, exist_ok=True)
+    for name, st in (styles or synthesize_default_styles(cfg)).items():
+        save_voice_style(os.path.join(sd, f"{name}.json"), st)
+
+
+def load_assets(dirpath: str | None = None, *, seed: int = 0) -> Assets:
+    """Load the asset bundle; any missing piece falls back to deterministic
+    defaults (random-init params, built-in indexer, synthetic styles)."""
+    cfg = TTSConfig()
+    params = None
+    indexer = None
+    style_dir = None
+    if dirpath and os.path.isdir(dirpath):
+        cfg_path = os.path.join(dirpath, "tts.json")
+        if os.path.exists(cfg_path):
+            cfg = load_tts_json(cfg_path)
+        params_path = os.path.join(dirpath, "params.npz")
+        if os.path.exists(params_path):
+            params = load_params(params_path)
+        idx_path = os.path.join(dirpath, "unicode_indexer.json")
+        if os.path.exists(idx_path):
+            with open(idx_path) as f:
+                indexer = np.asarray(json.load(f), np.int64)
+        sd = os.path.join(dirpath, "voice_styles")
+        if os.path.isdir(sd):
+            style_dir = sd
+    if params is None:
+        params = init_all(seed, cfg)
+    if indexer is None:
+        indexer = build_default_indexer()
+    return Assets(cfg, params, UnicodeProcessor(indexer), style_dir)

@@ -1,0 +1,143 @@
+"""End-to-end engine tests on the tiny config (virtual CPU devices)."""
+
+import numpy as np
+import pytest
+
+from supertonic_tpu.engine import SynthesisEngine, VoiceStyle, pick_bucket, stitch
+from supertonic_tpu.frontend import UnicodeProcessor, build_default_indexer
+from supertonic_tpu.models import init_all
+
+
+@pytest.fixture(scope="module")
+def engine(tiny_config):
+    params = init_all(0, tiny_config)
+    proc = UnicodeProcessor(build_default_indexer())
+    return SynthesisEngine(params, tiny_config, proc, precision="f32", seed=0)
+
+
+@pytest.fixture(scope="module")
+def style(tiny_config):
+    rng = np.random.default_rng(7)
+    cfg = tiny_config
+    return VoiceStyle(
+        rng.standard_normal(
+            (1, cfg.ttl.style.n_style, cfg.ttl.style.style_value_dim)
+        ).astype(np.float32),
+        rng.standard_normal(
+            (1, cfg.dp.style.n_style, cfg.dp.style.style_value_dim)
+        ).astype(np.float32),
+    )
+
+
+class TestBuckets:
+    def test_pick_bucket(self):
+        assert pick_bucket(5, (32, 64)) == 32
+        assert pick_bucket(33, (32, 64)) == 64
+        assert pick_bucket(65, (32, 64)) == 128  # rounds up by last step
+        assert pick_bucket(0, (32, 64)) == 32
+
+
+class TestStitch:
+    def test_silence_join(self):
+        w = [np.ones(100, np.float32), np.ones(100, np.float32) * 0.5]
+        out, dur = stitch(w, [100 / 16000, 100 / 16000], 16000,
+                          silence_duration=0.01)
+        assert len(out) == 100 + 160 + 100
+        assert (out[100:260] == 0).all()
+        assert abs(dur - len(out) / 16000) < 1e-6
+
+    def test_trim_before_join(self):
+        # chunks are padded; stitch must trim to duration first (the Rust
+        # behavior, rust/src/helper.rs:700-714 — the Python reference's
+        # untrimmed concat is a bug we do not reproduce)
+        w = [np.ones(200, np.float32)]
+        out, _ = stitch(w, [100 / 16000], 16000)
+        assert len(out) == 100
+
+    def test_crossfade_join(self):
+        w = [np.ones(200, np.float32), np.ones(200, np.float32)]
+        out, _ = stitch(
+            w, [200 / 16000, 200 / 16000], 16000, crossfade_duration=0.005
+        )
+        xf = 80  # 0.005 * 16000
+        assert len(out) == 400 - xf
+        # equal-power crossfade of two equal signals stays near 1
+        assert np.abs(out).max() <= np.sqrt(2) + 1e-5
+        assert out.min() > 0.9
+
+    def test_empty(self):
+        out, dur = stitch([], [], 16000)
+        assert len(out) == 0 and dur == 0.0
+
+
+class TestEngine:
+    def test_batch_shapes(self, engine, tiny_config, style):
+        texts = ["Hello there.", "A somewhat longer test sentence."]
+        wav, dur = engine.batch(texts, ["en", "en"], style.tile(2))
+        assert wav.shape[0] == 2
+        assert wav.shape[1] % tiny_config.chunk_size == 0
+        assert dur.shape == (2,)
+        assert (dur > 0).all()
+
+    def test_single_call(self, engine, style):
+        wav, dur = engine("Hi world.", "en", style, total_step=2)
+        assert wav.shape[0] == 1
+        assert float(dur[0]) > 0
+
+    def test_wav_covers_duration(self, engine, tiny_config, style):
+        wav, dur = engine.batch(["Test sentence."], ["en"], style)
+        assert wav.shape[1] >= int(tiny_config.sample_rate * float(dur[0]))
+
+    def test_injected_noise_is_deterministic(self, engine, tiny_config, style):
+        texts = ["Deterministic check."]
+        # run once to learn the latent bucket, then inject fixed noise twice
+        wav0, dur = engine.batch(texts, ["en"], style)
+        t = wav0.shape[1] // tiny_config.chunk_size
+        noise = np.random.default_rng(3).standard_normal(
+            (1, t, tiny_config.latent_channels)
+        ).astype(np.float32)
+        w1, _ = engine.infer_batch(texts, ["en"], style, 5, 1.05, noise=noise)
+        w2, _ = engine.infer_batch(texts, ["en"], style, 5, 1.05, noise=noise)
+        np.testing.assert_array_equal(w1, w2)
+
+    def test_device_noise_differs_between_calls(self, engine, style):
+        w1, _ = engine.batch(["Same text."], ["en"], style)
+        w2, _ = engine.batch(["Same text."], ["en"], style)
+        assert np.abs(w1 - w2).max() > 0  # fresh key per request
+
+    def test_style_batch_mismatch_raises(self, engine, style):
+        with pytest.raises(AssertionError):
+            engine.batch(["a", "b"], ["en", "en"], style)  # 2 texts, 1 style
+
+    def test_trim_helper(self, engine, style):
+        wav, dur = engine.batch(["Trim me."], ["en"], style)
+        trimmed = engine.trim(wav, dur)
+        assert len(trimmed[0]) == int(engine.cfg.sample_rate * float(dur[0]))
+
+
+class TestTopLevelAPI:
+    def test_tts_synthesize(self, tmp_path, tiny_config):
+        # exercises the pypi-style API shape (reference py/example_pypi.py)
+        from supertonic_tpu import TTS
+
+        tts = TTS.__new__(TTS)  # build around tiny config without assets dir
+        from supertonic_tpu.assets import Assets, synthesize_default_styles
+        from supertonic_tpu.frontend import UnicodeProcessor, build_default_indexer
+        from supertonic_tpu.models import init_all as _init
+
+        params = _init(0, tiny_config)
+        tts.assets = Assets(tiny_config, params,
+                            UnicodeProcessor(build_default_indexer()), None)
+        tts.cfg = tiny_config
+        tts.engine = SynthesisEngine(
+            params, tiny_config, tts.assets.processor, precision="f32"
+        )
+        style = tts.get_voice_style("M4")
+        wav, dur = tts.synthesize("Hello!", style, total_step=2)
+        assert wav.shape[0] == 1
+        out = tmp_path / "o.wav"
+        tts.save_audio(wav, str(out))
+        from supertonic_tpu.utils import read_wav
+
+        w, sr = read_wav(str(out))
+        assert sr == tiny_config.sample_rate
