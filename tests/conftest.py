@@ -7,16 +7,23 @@ SURVEY.md §4; the real TPU chip is reserved for bench.py.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# This image's sitecustomize.py registers the axon TPU backend and imports
+# jax at interpreter startup with JAX_PLATFORMS=axon, so env edits here are
+# too late — override via jax.config instead (backends initialize lazily, so
+# XLA_FLAGS set before the first jax.devices() call still applies).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# XLA-CPU compiles cost ~0.65 s each on this host; persist them across runs.
+# Persist XLA compiles across runs (compiles are slow on this host).
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.05")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
