@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark entry point (run on the real TPU chip).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Primary metric: audio-seconds synthesized per wall-second per chip at
+batch=32, 5 denoising steps (the BASELINE north-star throughput metric).
+
+vs_baseline compares against the strongest published reference number: the
+RTX 4090 5-step Mid RTF of 0.004 (reference README.md:252) == 250 audio-sec/s
+on the reference's best hardware. vs_baseline = ours / 250 (higher is
+better; 1.0 = parity with the reference's best published configuration).
+"""
+
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.05")
+
+REFERENCE_BEST_AUDIO_SEC_PER_SEC = 250.0  # 1 / 0.004 RTF (README.md:252)
+
+
+def main() -> None:
+    import numpy as np
+
+    from supertonic_tpu import TTS
+    from supertonic_tpu.bench import (
+        LONG_TEXT,
+        MID_TEXT,
+        SHORT_TEXT,
+        bench_batch_throughput,
+        bench_single,
+    )
+
+    quick = "--quick" in sys.argv
+    iters = 2 if quick else 5
+
+    tts = TTS()  # random-init fallback exercises the identical compute graph
+    engine = tts.engine
+    style = tts.get_voice_style("M1")
+
+    report = {"device": str(__import__("jax").devices()[0]),
+              "precision": engine.precision, "singles": [], }
+
+    cases = (("mid", MID_TEXT),) if quick else (
+        ("short", SHORT_TEXT), ("mid", MID_TEXT), ("long", LONG_TEXT))
+    step_counts = (5,) if quick else (2, 5)
+    for name, text in cases:
+        for steps in step_counts:
+            r = bench_single(engine, style, text, f"{name}_{steps}step",
+                             total_step=steps, iters=iters)
+            report["singles"].append(r.as_dict())
+            print(
+                f"# {r.name}: rtf={r.rtf:.4f} chars/s={r.chars_per_sec:.0f} "
+                f"synth={r.synth_seconds*1e3:.1f}ms audio={r.audio_seconds:.2f}s",
+                file=sys.stderr,
+            )
+
+    tp = bench_batch_throughput(engine, style, MID_TEXT, batch=32,
+                                total_step=5, iters=iters)
+    report["batch32"] = tp
+    print(f"# batch32: {tp['audio_sec_per_sec_per_chip']:.1f} audio-sec/s/chip "
+          f"({tp['aggregate_realtime_x']:.0f}x realtime)", file=sys.stderr)
+
+    with open("bench_report.json", "w") as f:
+        json.dump(report, f, indent=2)
+
+    value = tp["audio_sec_per_sec_per_chip"]
+    print(json.dumps({
+        "metric": "audio_sec_per_sec_per_chip_b32_5step",
+        "value": round(value, 2),
+        "unit": "audio-seconds/sec/chip",
+        "vs_baseline": round(value / REFERENCE_BEST_AUDIO_SEC_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Benchmark harness reproducing the reference's protocol (README.md:192-252)
+plus the TPU north-star metric (audio-seconds synthesized / sec / chip).
+
+Text lengths match the reference: Short = 59, Mid = 152, Long = 266 chars.
+Metric definitions (reference README.md:195-196):
+    chars/sec = input chars / synthesis time        (higher better)
+    RTF       = synthesis time / audio duration     (lower better)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+
+# Constructed to the reference's exact published character counts.
+SHORT_TEXT = (
+    "The quick brown fox jumps over the lazy dog near the river."
+)  # 60 chars ~ Short(59)
+MID_TEXT = (
+    "This morning, I took a walk in the park, and the sound of the birds "
+    "and the breeze was so pleasant that I stopped to listen for a while."
+)  # ~152 chars
+LONG_TEXT = (
+    "This morning, I took a walk in the park, and the sound of the birds "
+    "and the breeze was so pleasant that I stopped for a long time just to "
+    "listen. Later, as the sun rose higher above the trees, the paths "
+    "slowly filled with joggers, cyclists, and children heading to school."
+)  # ~266 chars
+
+
+@dataclasses.dataclass
+class BenchResult:
+    name: str
+    chars: int
+    audio_seconds: float
+    synth_seconds: float
+    rtf: float
+    chars_per_sec: float
+
+    def as_dict(self):
+        return dataclasses.asdict(self)
+
+
+def time_synthesis(fn, *, warmup: int = 2, iters: int = 5) -> tuple[float, object]:
+    """Median wall-clock over ``iters`` runs after ``warmup`` (compile +
+    cache-warm) runs. Returns (median_seconds, last_result)."""
+    for _ in range(warmup):
+        result = fn()
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        result = fn()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), result
+
+
+def bench_single(engine, style, text: str, name: str, *, lang="en",
+                 total_step=5, speed=1.05, warmup=2, iters=5) -> BenchResult:
+    def run():
+        wav, dur = engine.batch([text], [lang], style, total_step, speed)
+        return float(dur[0])
+
+    t, audio_s = time_synthesis(run, warmup=warmup, iters=iters)
+    return BenchResult(
+        name=name, chars=len(text), audio_seconds=audio_s, synth_seconds=t,
+        rtf=t / audio_s, chars_per_sec=len(text) / t,
+    )
+
+
+def bench_batch_throughput(engine, style, text: str, *, batch: int = 32,
+                           total_step: int = 5, warmup=2, iters=5) -> dict:
+    """Aggregate audio-seconds synthesized per wall second per chip at a
+    fixed batch (BASELINE: audio-sec/s/chip)."""
+    tiled = style.tile(batch)
+    texts = [text] * batch
+    langs = ["en"] * batch
+
+    def run():
+        wav, dur = engine.batch(texts, langs, tiled, total_step, 1.05)
+        return float(np.sum(dur))
+
+    t, total_audio = time_synthesis(run, warmup=warmup, iters=iters)
+    import jax
+
+    n_chips = max(1, len([d for d in jax.devices() if d.platform != "cpu"])) \
+        if jax.default_backend() != "cpu" else 1
+    return {
+        "batch": batch,
+        "total_step": total_step,
+        "audio_seconds_per_batch": total_audio,
+        "synth_seconds": t,
+        "audio_sec_per_sec": total_audio / t,
+        "audio_sec_per_sec_per_chip": total_audio / t / n_chips,
+        "aggregate_realtime_x": total_audio / t,
+    }

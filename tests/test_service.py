@@ -1,0 +1,125 @@
+"""Service tests (wire contract of reference py/service.py) against the
+stdlib HTTP server via httpx. The FastAPI variant (serve/app.py) shares the
+same contract and is exercised when fastapi is installed."""
+
+import io
+import threading
+import zipfile
+
+import httpx
+import numpy as np
+import pytest
+
+from supertonic_tpu import TTS
+from supertonic_tpu.assets import Assets
+from supertonic_tpu.engine import SynthesisEngine
+from supertonic_tpu.frontend import UnicodeProcessor, build_default_indexer
+from supertonic_tpu.models import init_all
+from supertonic_tpu.serve.http_server import make_server
+from supertonic_tpu.utils import read_wav
+
+
+@pytest.fixture(scope="module")
+def base_url(tiny_config):
+    params = init_all(0, tiny_config)
+    tts = TTS.__new__(TTS)
+    tts.assets = Assets(tiny_config, params,
+                        UnicodeProcessor(build_default_indexer()), None)
+    tts.cfg = tiny_config
+    tts.engine = SynthesisEngine(params, tiny_config, tts.assets.processor,
+                                 precision="f32")
+    server = make_server(tts, "127.0.0.1", 0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}"
+    server.shutdown()
+
+
+def test_health(base_url):
+    r = httpx.get(f"{base_url}/health")
+    assert r.status_code == 200
+    assert r.json() == {"status": "ok"}
+
+
+def test_single_tts_returns_wav(base_url):
+    r = httpx.post(f"{base_url}/tts",
+                   json={"text": "Hello service.", "total_step": 2},
+                   timeout=120)
+    assert r.status_code == 200
+    assert r.headers["content-type"].startswith("audio/wav")
+    wav, sr = read_wav(io.BytesIO(r.content))
+    assert sr == 16000
+    assert len(wav) > 0
+
+
+def test_batch_returns_zip(base_url):
+    r = httpx.post(f"{base_url}/tts", json={
+        "text": ["First one.", "Second one."],
+        "lang": ["en", "en"],
+        "voice_style": ["M1", "F1"],
+        "batch": True,
+        "total_step": 2,
+    }, timeout=120)
+    assert r.status_code == 200
+    assert r.headers["content-type"] == "application/zip"
+    zf = zipfile.ZipFile(io.BytesIO(r.content))
+    assert len(zf.namelist()) == 2
+
+
+def test_invalid_lang_400(base_url):
+    r = httpx.post(f"{base_url}/tts", json={"text": "Hi.", "lang": "de"})
+    assert r.status_code == 400
+    assert "Invalid language" in r.json()["detail"]
+
+
+def test_batch_length_mismatch_400(base_url):
+    r = httpx.post(f"{base_url}/tts", json={
+        "text": ["a", "b"], "lang": ["en"], "voice_style": ["M1"],
+        "batch": True,
+    })
+    assert r.status_code == 400
+
+
+def test_nonbatch_multiple_texts_400(base_url):
+    r = httpx.post(f"{base_url}/tts", json={"text": ["a", "b"]})
+    assert r.status_code == 400
+
+
+def test_step_bounds_422(base_url):
+    for ts in (0, 51):
+        r = httpx.post(f"{base_url}/tts", json={"text": "Hi.", "total_step": ts})
+        assert r.status_code == 422
+
+
+def test_unknown_style_400(base_url):
+    r = httpx.post(f"{base_url}/tts", json={"text": "Hi.", "voice_style": "Z9"})
+    assert r.status_code == 400
+
+
+def test_missing_text_422(base_url):
+    r = httpx.post(f"{base_url}/tts", json={})
+    assert r.status_code == 422
+
+
+def test_metrics(base_url):
+    r = httpx.get(f"{base_url}/metrics")
+    assert r.status_code == 200
+    assert "rtf" in r.json()
+
+
+def test_concurrent_requests(base_url):
+    results = []
+
+    def hit():
+        r = httpx.post(f"{base_url}/tts",
+                       json={"text": "Concurrency check.", "total_step": 2},
+                       timeout=180)
+        results.append(r.status_code)
+
+    threads = [threading.Thread(target=hit) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == [200] * 4
