@@ -1,0 +1,384 @@
+"""Dependency-free ONNX graph reader (and minimal writer, for tests).
+
+The reference ships its networks as four ONNX graphs (SURVEY.md §2.2); this
+environment has neither the assets nor the ``onnx``/``onnxruntime`` packages,
+so weight extraction is implemented directly against the protobuf wire
+format. Field numbers follow onnx.proto3 (onnx/onnx.proto in the upstream
+ONNX repo):
+
+    ModelProto:   ir_version=1, producer_name=2, graph=7, opset_import=8
+    GraphProto:   node=1, name=2, initializer=5, input=11, output=12
+    NodeProto:    input=1, output=2, name=3, op_type=4, attribute=5, domain=7
+    AttributeProto: name=1, f=2, i=3, s=4, t=5, floats=7, ints=8, type=20
+    TensorProto:  dims=1, data_type=2, float_data=4, int32_data=5,
+                  int64_data=7, name=8, raw_data=9, double_data=10
+    ValueInfoProto: name=1, type=2; TypeProto.tensor_type=1;
+    TensorTypeProto: elem_type=1, shape=2; TensorShapeProto.dim=1;
+    Dimension: dim_value=1, dim_param=2
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from typing import Any, Iterator
+
+import numpy as np
+
+# ONNX TensorProto.DataType
+DTYPE_MAP = {
+    1: np.float32,
+    2: np.uint8,
+    3: np.int8,
+    4: np.uint16,
+    5: np.int16,
+    6: np.int32,
+    7: np.int64,
+    9: np.bool_,
+    10: np.float16,
+    11: np.float64,
+    12: np.uint32,
+    13: np.uint64,
+}
+DTYPE_REV = {np.dtype(v): k for k, v in DTYPE_MAP.items()}
+
+
+# ---------------------------------------------------------------------------
+# protobuf wire format
+# ---------------------------------------------------------------------------
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint too long")
+
+
+def iter_fields(buf: bytes) -> Iterator[tuple[int, int, Any]]:
+    """Yields (field_number, wire_type, value). wire types: 0 varint,
+    1 fixed64, 2 length-delimited(bytes), 5 fixed32."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        field, wt = tag >> 3, tag & 7
+        if wt == 0:
+            val, pos = _read_varint(buf, pos)
+        elif wt == 1:
+            val = buf[pos : pos + 8]
+            pos += 8
+        elif wt == 2:
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos : pos + ln]
+            pos += ln
+        elif wt == 5:
+            val = buf[pos : pos + 4]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        yield field, wt, val
+
+
+def _packed_varints(buf: bytes) -> list[int]:
+    out = []
+    pos = 0
+    while pos < len(buf):
+        v, pos = _read_varint(buf, pos)
+        out.append(v)
+    return out
+
+
+def _zigzag_to_signed(v: int, bits: int = 64) -> int:
+    # ONNX int64 fields are plain (not zigzag); two's-complement from varint
+    if v >= 1 << (bits - 1):
+        v -= 1 << bits
+    return v
+
+
+# ---------------------------------------------------------------------------
+# message decoders
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class OnnxTensor:
+    name: str
+    dims: tuple[int, ...]
+    dtype: Any
+    data: np.ndarray
+
+
+@dataclasses.dataclass
+class OnnxNode:
+    op_type: str
+    name: str
+    inputs: list[str]
+    outputs: list[str]
+    attrs: dict[str, Any]
+
+
+@dataclasses.dataclass
+class OnnxValueInfo:
+    name: str
+    elem_type: int | None
+    shape: tuple[Any, ...]  # ints or str dim_params
+
+
+@dataclasses.dataclass
+class OnnxGraph:
+    name: str
+    nodes: list[OnnxNode]
+    initializers: dict[str, OnnxTensor]
+    inputs: list[OnnxValueInfo]
+    outputs: list[OnnxValueInfo]
+
+
+def parse_tensor(buf: bytes) -> OnnxTensor:
+    dims: list[int] = []
+    data_type = 1
+    name = ""
+    raw = None
+    float_data: list[float] = []
+    int_data: list[int] = []
+    double_data: list[float] = []
+    for field, wt, val in iter_fields(buf):
+        if field == 1:
+            if wt == 0:
+                dims.append(_zigzag_to_signed(val))
+            else:
+                dims.extend(_zigzag_to_signed(v) for v in _packed_varints(val))
+        elif field == 2:
+            data_type = val
+        elif field == 4:
+            if wt == 2:
+                float_data.extend(
+                    struct.unpack(f"<{len(val) // 4}f", val)
+                )
+            else:
+                float_data.append(struct.unpack("<f", val)[0])
+        elif field == 5:
+            if wt == 2:
+                int_data.extend(_packed_varints(val))
+            else:
+                int_data.append(val)
+        elif field == 7:
+            if wt == 2:
+                int_data.extend(
+                    _zigzag_to_signed(v) for v in _packed_varints(val)
+                )
+            else:
+                int_data.append(_zigzag_to_signed(val))
+        elif field == 8:
+            name = val.decode()
+        elif field == 9:
+            raw = bytes(val)
+        elif field == 10:
+            if wt == 2:
+                double_data.extend(struct.unpack(f"<{len(val) // 8}d", val))
+            else:
+                double_data.append(struct.unpack("<d", val)[0])
+    np_dtype = DTYPE_MAP.get(data_type, np.float32)
+    shape = tuple(dims)
+    if raw is not None:
+        arr = np.frombuffer(raw, dtype=np_dtype).reshape(shape)
+    elif float_data:
+        arr = np.array(float_data, np.float32).reshape(shape)
+    elif double_data:
+        arr = np.array(double_data, np.float64).reshape(shape)
+    elif int_data:
+        arr = np.array(int_data, np.int64).astype(np_dtype).reshape(shape)
+    else:
+        arr = np.zeros(shape, np_dtype)
+    return OnnxTensor(name, shape, np_dtype, arr)
+
+
+def _parse_attribute(buf: bytes) -> tuple[str, Any]:
+    name = ""
+    value: Any = None
+    ints: list[int] = []
+    floats: list[float] = []
+    for field, wt, val in iter_fields(buf):
+        if field == 1:
+            name = val.decode()
+        elif field == 2:
+            value = struct.unpack("<f", val)[0]
+        elif field == 3:
+            value = _zigzag_to_signed(val)
+        elif field == 4:
+            value = val.decode(errors="replace")
+        elif field == 5:
+            value = parse_tensor(val)
+        elif field == 7:
+            if wt == 2:
+                floats.extend(struct.unpack(f"<{len(val) // 4}f", val))
+            else:
+                floats.append(struct.unpack("<f", val)[0])
+        elif field == 8:
+            if wt == 2:
+                ints.extend(_zigzag_to_signed(v) for v in _packed_varints(val))
+            else:
+                ints.append(_zigzag_to_signed(val))
+    if ints:
+        value = ints
+    elif floats:
+        value = floats
+    return name, value
+
+
+def _parse_node(buf: bytes) -> OnnxNode:
+    inputs, outputs, attrs = [], [], {}
+    op_type = name = ""
+    for field, _wt, val in iter_fields(buf):
+        if field == 1:
+            inputs.append(val.decode())
+        elif field == 2:
+            outputs.append(val.decode())
+        elif field == 3:
+            name = val.decode()
+        elif field == 4:
+            op_type = val.decode()
+        elif field == 5:
+            k, v = _parse_attribute(val)
+            attrs[k] = v
+    return OnnxNode(op_type, name, inputs, outputs, attrs)
+
+
+def _parse_value_info(buf: bytes) -> OnnxValueInfo:
+    name = ""
+    elem_type = None
+    shape: tuple[Any, ...] = ()
+    for field, _wt, val in iter_fields(buf):
+        if field == 1:
+            name = val.decode()
+        elif field == 2:  # TypeProto
+            for f2, _w2, v2 in iter_fields(val):
+                if f2 == 1:  # tensor_type
+                    for f3, _w3, v3 in iter_fields(v2):
+                        if f3 == 1:
+                            elem_type = v3
+                        elif f3 == 2:  # TensorShapeProto
+                            dims: list[Any] = []
+                            for f4, _w4, v4 in iter_fields(v3):
+                                if f4 == 1:  # Dimension
+                                    dim: Any = None
+                                    for f5, _w5, v5 in iter_fields(v4):
+                                        if f5 == 1:
+                                            dim = _zigzag_to_signed(v5)
+                                        elif f5 == 2:
+                                            dim = v5.decode()
+                                    dims.append(dim)
+                            shape = tuple(dims)
+    return OnnxValueInfo(name, elem_type, shape)
+
+
+def parse_graph(buf: bytes) -> OnnxGraph:
+    nodes: list[OnnxNode] = []
+    inits: dict[str, OnnxTensor] = {}
+    inputs: list[OnnxValueInfo] = []
+    outputs: list[OnnxValueInfo] = []
+    name = ""
+    for field, _wt, val in iter_fields(buf):
+        if field == 1:
+            nodes.append(_parse_node(val))
+        elif field == 2:
+            name = val.decode()
+        elif field == 5:
+            t = parse_tensor(val)
+            inits[t.name] = t
+        elif field == 11:
+            inputs.append(_parse_value_info(val))
+        elif field == 12:
+            outputs.append(_parse_value_info(val))
+    return OnnxGraph(name, nodes, inits, inputs, outputs)
+
+
+def parse_model(data: bytes) -> OnnxGraph:
+    """Parse a serialized ModelProto, returning its graph."""
+    for field, _wt, val in iter_fields(data):
+        if field == 7:
+            return parse_graph(val)
+    raise ValueError("no graph found in model")
+
+
+def load_onnx(path: str) -> OnnxGraph:
+    with open(path, "rb") as f:
+        return parse_model(f.read())
+
+
+# ---------------------------------------------------------------------------
+# minimal writer (round-trip tests + fixture generation)
+# ---------------------------------------------------------------------------
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    if v < 0:
+        v += 1 << 64
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(field: int, wt: int) -> bytes:
+    return _varint((field << 3) | wt)
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def encode_tensor(name: str, arr: np.ndarray) -> bytes:
+    arr = np.ascontiguousarray(arr)
+    out = b""
+    for d in arr.shape:
+        out += _tag(1, 0) + _varint(d)
+    out += _tag(2, 0) + _varint(DTYPE_REV[arr.dtype])
+    out += _ld(8, name.encode())
+    out += _ld(9, arr.tobytes())
+    return out
+
+
+def encode_node(op_type: str, inputs: list[str], outputs: list[str],
+                name: str = "", attrs: dict | None = None) -> bytes:
+    out = b""
+    for i in inputs:
+        out += _ld(1, i.encode())
+    for o in outputs:
+        out += _ld(2, o.encode())
+    out += _ld(3, name.encode())
+    out += _ld(4, op_type.encode())
+    for k, v in (attrs or {}).items():
+        a = _ld(1, k.encode())
+        if isinstance(v, float):
+            a += _tag(2, 5) + struct.pack("<f", v)
+        elif isinstance(v, int):
+            a += _tag(3, 0) + _varint(v)
+        elif isinstance(v, str):
+            a += _ld(4, v.encode())
+        elif isinstance(v, (list, tuple)) and all(isinstance(x, int) for x in v):
+            for x in v:
+                a += _tag(8, 0) + _varint(x)
+        out += _ld(5, a)
+    return out
+
+
+def encode_model(graph_name: str, nodes: list[bytes],
+                 initializers: list[bytes]) -> bytes:
+    g = _ld(2, graph_name.encode())
+    for n in nodes:
+        g += _ld(1, n)
+    for t in initializers:
+        g += _ld(5, t)
+    model = _tag(1, 0) + _varint(8)  # ir_version
+    model += _ld(7, g)
+    return model

@@ -1,0 +1,138 @@
+"""ctypes binding for the C++ text frontend (native/frontend.cpp).
+
+``NativeUnicodeProcessor`` is a drop-in replacement for the pure-Python
+``UnicodeProcessor``; ``load_native()`` builds the shared library on first
+use (make + g++) and returns None when no toolchain is available, so callers
+can always fall back to Python. Parity between the two implementations is
+enforced by tests/test_native_frontend.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from .normalize import length_to_mask
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libstpu_frontend.so")
+
+_lib = None
+_build_failed = False
+
+
+def build_native(force: bool = False) -> str | None:
+    """Build libstpu_frontend.so via make; returns its path or None."""
+    global _build_failed
+    if os.path.exists(_LIB_PATH) and not force:
+        return _LIB_PATH
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR] + (["-B"] if force else []),
+            check=True, capture_output=True, timeout=300,
+        )
+        return _LIB_PATH if os.path.exists(_LIB_PATH) else None
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
+            FileNotFoundError):
+        _build_failed = True
+        return None
+
+
+def load_native():
+    """Returns the loaded ctypes library, building if needed, else None."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    path = build_native()
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    lib.stpu_preprocess.restype = ctypes.c_int
+    lib.stpu_preprocess.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+    ]
+    lib.stpu_tokenize.restype = ctypes.c_long
+    lib.stpu_tokenize.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_longlong),
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_longlong),
+        ctypes.c_long,
+    ]
+    _lib = lib
+    return lib
+
+
+def native_preprocess(text: str, lang: str) -> str:
+    lib = load_native()
+    if lib is None:
+        raise RuntimeError("native frontend unavailable")
+    raw = text.encode("utf-8")
+    cap = 4 * len(raw) + 64
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.stpu_preprocess(raw, lang.encode(), buf, cap)
+    if n == -1:
+        raise ValueError(f"Invalid language: {lang}")
+    if n < 0:
+        raise RuntimeError(f"native preprocess error {n}")
+    return buf.raw[:n].decode("utf-8")
+
+
+class NativeUnicodeProcessor:
+    """Same call contract as frontend.normalize.UnicodeProcessor, backed by
+    the C++ library (normalization AND tokenization run native)."""
+
+    def __init__(self, indexer):
+        if load_native() is None:
+            raise RuntimeError("native frontend unavailable")
+        self.indexer = np.ascontiguousarray(np.asarray(indexer, np.int64))
+        self._indexer_ptr = self.indexer.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_longlong)
+        )
+
+    def tokenize_text(self, text: str) -> np.ndarray:
+        lib = load_native()
+        raw = text.encode("utf-8")
+        cap = len(text) + 8
+        out = np.empty(cap, np.int64)
+        n = lib.stpu_tokenize(
+            raw, self._indexer_ptr, len(self.indexer),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)), cap,
+        )
+        if n < 0:
+            raise RuntimeError(f"native tokenize error {n}")
+        return out[:n]
+
+    def __call__(
+        self,
+        text_list: list[str],
+        lang_list: list[str],
+        max_len: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        texts = [native_preprocess(t, g) for t, g in zip(text_list, lang_list)]
+        token_rows = [self.tokenize_text(t) for t in texts]
+        lengths = np.array([len(r) for r in token_rows], dtype=np.int64)
+        pad_to = int(max_len if max_len is not None else lengths.max())
+        if pad_to < int(lengths.max()):
+            raise ValueError(
+                f"max_len={pad_to} is smaller than longest text {int(lengths.max())}"
+            )
+        ids = np.zeros((len(texts), pad_to), dtype=np.int64)
+        for i, row in enumerate(token_rows):
+            ids[i, : len(row)] = row
+        return ids, length_to_mask(lengths, pad_to)
+
+
+def best_processor(indexer):
+    """Native processor when buildable, else the Python one."""
+    try:
+        return NativeUnicodeProcessor(indexer)
+    except RuntimeError:
+        from .normalize import UnicodeProcessor
+
+        return UnicodeProcessor(indexer)

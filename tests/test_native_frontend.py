@@ -1,0 +1,99 @@
+"""Parity tests: C++ frontend vs pure-Python frontend (same corpus).
+
+The C++ implementation must agree character-for-character with the Python
+one (which itself matches reference py/helper.py semantics).
+"""
+
+import numpy as np
+import pytest
+
+from supertonic_tpu.frontend import (
+    UnicodeProcessor,
+    build_default_indexer,
+    preprocess_text,
+)
+from supertonic_tpu.frontend.native import (
+    NativeUnicodeProcessor,
+    load_native,
+    native_preprocess,
+)
+
+pytestmark = pytest.mark.skipif(
+    load_native() is None, reason="native frontend not buildable"
+)
+
+CORPUS = [
+    ("Hello world", "en"),
+    ("Hello world.", "en"),
+    ("what ?  really !", "en"),
+    ("a–b—c_d [x] |y| /z/ #tag", "en"),
+    ("“curly quotes” and ‘single’ ones", "en"),
+    ("me@home and fruits, e.g., apples, i.e., the red ones", "en"),
+    ('she said ""hi"" and ``bye``', "en"),
+    ("hearts ♥ stars ☆ love ♡ copy © back\\slash", "en"),
+    ("emoji test 😀🚀🎉 flag 🇺🇸 done", "en"),
+    ("ellipsis… here", "en"),
+    ("trailing quote”", "en"),
+    ("multi   space\t\ttabs\nnewlines", "en"),
+    ("café résumé naïve", "fr"),
+    ("mañana señor", "es"),
+    ("ação coração", "pt"),
+    ("안녕하세요 세계", "ko"),
+    ("한국어 테스트 문장입니다", "ko"),
+    ("ﬁne ligature ™ symbol ½ fraction", "en"),
+    ("ＦＵＬＬｗｉｄｔｈ", "en"),
+    ("already ends!", "en"),
+    ("colon ends:", "en"),
+    ("CJK stop。", "en"),
+    ("", "en"),
+]
+
+
+def test_preprocess_parity_corpus():
+    for text, lang in CORPUS:
+        py = preprocess_text(text, lang)
+        cc = native_preprocess(text, lang)
+        assert cc == py, f"mismatch for {text!r} ({lang}): {cc!r} != {py!r}"
+
+
+def test_invalid_lang_raises():
+    with pytest.raises(ValueError):
+        native_preprocess("hi", "de")
+
+
+def test_tokenize_parity():
+    idx = build_default_indexer()
+    py_proc = UnicodeProcessor(idx)
+    cc_proc = NativeUnicodeProcessor(idx)
+    texts = [t for t, _ in CORPUS if t]
+    langs = [g for t, g in CORPUS if t]
+    ids_py, mask_py = py_proc(texts, langs)
+    ids_cc, mask_cc = cc_proc(texts, langs)
+    np.testing.assert_array_equal(ids_py, ids_cc)
+    np.testing.assert_array_equal(mask_py, mask_cc)
+
+
+def test_tokenize_parity_bucketed():
+    idx = build_default_indexer()
+    py_proc = UnicodeProcessor(idx)
+    cc_proc = NativeUnicodeProcessor(idx)
+    ids_py, _ = py_proc(["Short."], ["en"], max_len=64)
+    ids_cc, _ = cc_proc(["Short."], ["en"], max_len=64)
+    np.testing.assert_array_equal(ids_py, ids_cc)
+
+
+def test_random_unicode_fuzz():
+    rng = np.random.default_rng(0)
+    pools = (
+        list(range(0x20, 0x7F))
+        + list(range(0xA0, 0x100))
+        + list(range(0xAC00, 0xAC80))
+        + list(range(0x2010, 0x2030))
+        + [0x1F600, 0x1F680, 0x2764]
+    )
+    for _ in range(50):
+        n = int(rng.integers(1, 80))
+        text = "".join(chr(int(c)) for c in rng.choice(pools, n))
+        py = preprocess_text(text, "en")
+        cc = native_preprocess(text, "en")
+        assert cc == py, f"fuzz mismatch for {text!r}"
