@@ -68,10 +68,10 @@ class SynthesisEngine:
         self.profiler = StageProfiler()
         self._key = jax.random.key(seed)
         self._text_fn = synthesis.jit_text_stage(
-            self.params, cfg, precision=self.precision, attn_fn=self.attn_fn
+            cfg, precision=self.precision, attn_fn=self.attn_fn
         )
         self._acoustic_fn = synthesis.jit_acoustic_stage(
-            self.params, cfg, precision=self.precision, attn_fn=self.attn_fn
+            cfg, precision=self.precision, attn_fn=self.attn_fn
         )
         self._noise_fn = jax.jit(
             lambda key, b, t: jax.random.normal(
@@ -134,6 +134,7 @@ class SynthesisEngine:
 
         with self.profiler.stage("text_stage"):
             dur_dev, emb = self._text_fn(
+                self.params,
                 jnp.asarray(text_ids, jnp.int32),
                 jnp.asarray(text_mask, jnp.float32),
                 jnp.asarray(style_dp, jnp.float32),
@@ -162,6 +163,7 @@ class SynthesisEngine:
 
         with self.profiler.stage("acoustic_stage"):
             wav = self._acoustic_fn(
+                self.params,
                 emb,
                 jnp.asarray(style_ttl, jnp.float32),
                 jnp.asarray(text_mask, jnp.float32),

@@ -138,13 +138,20 @@ def synthesize_padded(
     return wav, dur
 
 
-def jit_text_stage(params, cfg: TTSConfig, *, precision="bf16", attn_fn=None,
+def jit_text_stage(cfg: TTSConfig, *, precision="bf16", attn_fn=None,
                    in_shardings=None, out_shardings=None) -> Callable:
+    """jit of text_stage taking params as a RUNTIME ARGUMENT. Never close jit
+    over the 59M-param tree: captured arrays are baked into the HLO as
+    constants, which bloats every compiled program by ~235 MB and multiplies
+    (remote-)compile time."""
     fn = functools.partial(
         text_stage, precision=precision,
         attn_fn=attn_fn or L.attention_core,
     )
-    closed = lambda ids, mask, sdp, sttl, speed: fn(params, cfg, ids, mask, sdp, sttl, speed)
+
+    def closed(params, ids, mask, sdp, sttl, speed):
+        return fn(params, cfg, ids, mask, sdp, sttl, speed)
+
     kw: dict[str, Any] = {}
     if in_shardings is not None:
         kw["in_shardings"] = in_shardings
@@ -153,16 +160,17 @@ def jit_text_stage(params, cfg: TTSConfig, *, precision="bf16", attn_fn=None,
     return jax.jit(closed, **kw)
 
 
-def jit_acoustic_stage(params, cfg: TTSConfig, *, precision="bf16",
+def jit_acoustic_stage(cfg: TTSConfig, *, precision="bf16",
                        attn_fn=None, in_shardings=None, out_shardings=None) -> Callable:
     fn = functools.partial(
         acoustic_stage, precision=precision,
         attn_fn=attn_fn or L.attention_core,
     )
-    closed = lambda emb, sttl, tmask, lmask, noise, total_step: fn(
-        params, cfg, emb, sttl, tmask, lmask, noise, total_step
-    )
-    kw: dict[str, Any] = {"static_argnums": (5,)}
+
+    def closed(params, emb, sttl, tmask, lmask, noise, total_step):
+        return fn(params, cfg, emb, sttl, tmask, lmask, noise, total_step)
+
+    kw: dict[str, Any] = {"static_argnums": (6,)}
     if in_shardings is not None:
         kw["in_shardings"] = in_shardings
     if out_shardings is not None:
