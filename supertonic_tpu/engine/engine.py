@@ -58,7 +58,7 @@ class SynthesisEngine:
         precision: str | None = None,
         attn_fn=None,
         seed: int = 0,
-        donate_noise: bool = False,
+        egress_format: str = "int16",
     ):
         self.cfg = cfg
         self.processor = processor
@@ -66,6 +66,7 @@ class SynthesisEngine:
         self.attn_fn = attn_fn or L.attention_core
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self.profiler = StageProfiler()
+        self.egress_format = egress_format
         self._key = jax.random.key(seed)
         self._text_fn = synthesis.jit_text_stage(
             cfg, precision=self.precision, attn_fn=self.attn_fn
@@ -73,12 +74,12 @@ class SynthesisEngine:
         self._acoustic_fn = synthesis.jit_acoustic_stage(
             cfg, precision=self.precision, attn_fn=self.attn_fn
         )
-        self._noise_fn = jax.jit(
-            lambda key, b, t: jax.random.normal(
-                key, (b, t, cfg.latent_channels), jnp.float32
-            ),
-            static_argnums=(1, 2),
+        self._fused_fn = synthesis.jit_synthesize_fused(
+            cfg, precision=self.precision, attn_fn=self.attn_fn
         )
+        # host-side latent-bucket heuristic: chars -> seconds at a
+        # conservative speaking rate; overflow triggers a re-run
+        self.est_chars_per_sec = 11.0
 
     # ------------------------------------------------------------------
     # internals
@@ -115,11 +116,10 @@ class SynthesisEngine:
         )
         b_true = len(text_list)
         rt = self.cfg.runtime
+        chunk = self.cfg.chunk_size
+        sr = self.cfg.sample_rate
 
         with self.profiler.stage("frontend"):
-            texts_norm_len = max(
-                len(t) + 9 for t in text_list
-            )  # crude upper bound before tokenize; real length set below
             text_ids, text_mask3 = self.processor(text_list, lang_list)
             l_true = text_ids.shape[1]
             l_bucket = buckets.pick_bucket(l_true, rt.text_buckets)
@@ -131,50 +131,79 @@ class SynthesisEngine:
         text_ids, text_mask, style_ttl, style_dp = self._pad_batch(
             [text_ids, text_mask, style.ttl, style.dp], b_bucket
         )
+        dev_args = (
+            jnp.asarray(text_ids, jnp.int32),
+            jnp.asarray(text_mask, jnp.float32),
+            jnp.asarray(style_dp, jnp.float32),
+            jnp.asarray(style_ttl, jnp.float32),
+        )
 
+        if noise is not None:
+            return self._infer_injected_noise(
+                dev_args, text_mask, noise, b_true, b_bucket,
+                total_step, speed,
+            )
+
+        # production path: one fused program, no mid-pipeline sync.
+        # t bucket from a conservative chars/sec heuristic; the returned
+        # (unclamped) duration exposes overflows, which re-run bigger.
+        est_secs = (l_true / self.est_chars_per_sec) / min(speed, 1.0)
+        t_guess = buckets.latent_len_for_duration(est_secs, sr, chunk)
+        t_bucket = buckets.pick_bucket(t_guess, rt.latent_buckets)
+        for _attempt in range(4):
+            with self.profiler.stage("fused_synthesis"):
+                wav_dev, dur_dev = self._fused_fn(
+                    self.params, *dev_args, self._next_key(),
+                    jnp.float32(speed), int(total_step), int(t_bucket),
+                    self.egress_format,
+                )
+            with self.profiler.stage("duration_sync"):
+                dur = np.asarray(dur_dev)
+            t_needed = int(
+                ((dur[:b_true] * sr).astype(np.int64).max() + chunk - 1) // chunk
+            )
+            if t_needed <= t_bucket:
+                break
+            t_bucket = buckets.pick_bucket(t_needed, rt.latent_buckets)
+        with self.profiler.stage("egress"):
+            wav_np = np.asarray(wav_dev)[:b_true]
+            if self.egress_format == "int16":
+                wav_np = wav_np.astype(np.float32) / 32767.0
+        return wav_np, dur[:b_true]
+
+    def _infer_injected_noise(
+        self, dev_args, text_mask, noise, b_true, b_bucket, total_step, speed
+    ):
+        """Parity path (noise-as-input per SURVEY.md §2.2): two-stage with an
+        explicit duration sync so the latent grid matches the caller's noise."""
+        rt = self.cfg.runtime
+        chunk = self.cfg.chunk_size
+        sr = self.cfg.sample_rate
         with self.profiler.stage("text_stage"):
             dur_dev, emb = self._text_fn(
-                self.params,
-                jnp.asarray(text_ids, jnp.int32),
-                jnp.asarray(text_mask, jnp.float32),
-                jnp.asarray(style_dp, jnp.float32),
-                jnp.asarray(style_ttl, jnp.float32),
-                jnp.float32(speed),
+                self.params, *dev_args, jnp.float32(speed)
             )
-            dur = np.asarray(dur_dev)  # tiny [B] transfer — the ONLY mid sync
-
+            dur = np.asarray(dur_dev)
         with self.profiler.stage("latent_setup"):
-            chunk = self.cfg.chunk_size
-            sr = self.cfg.sample_rate
             wav_lengths = (dur * sr).astype(np.int64)
             latent_lengths = (wav_lengths + chunk - 1) // chunk
             t_true = int(latent_lengths[:b_true].max())
             t_bucket = buckets.pick_bucket(t_true, rt.latent_buckets)
             frame = np.arange(t_bucket)[None, :]
             latent_mask = (frame < latent_lengths[:, None]).astype(np.float32)
-            if noise is not None:
-                noise_arr = np.zeros(
-                    (b_bucket, t_bucket, self.cfg.latent_channels), np.float32
-                )
-                noise_arr[: noise.shape[0], : noise.shape[1]] = noise
-                noise_dev = jnp.asarray(noise_arr)
-            else:
-                noise_dev = self._noise_fn(self._next_key(), b_bucket, t_bucket)
-
+            noise_arr = np.zeros(
+                (b_bucket, t_bucket, self.cfg.latent_channels), np.float32
+            )
+            t_copy = min(noise.shape[1], t_bucket)
+            noise_arr[: noise.shape[0], :t_copy] = noise[:, :t_copy]
         with self.profiler.stage("acoustic_stage"):
             wav = self._acoustic_fn(
-                self.params,
-                emb,
-                jnp.asarray(style_ttl, jnp.float32),
-                jnp.asarray(text_mask, jnp.float32),
+                self.params, emb, dev_args[3], dev_args[1],
                 jnp.asarray(latent_mask, jnp.float32),
-                noise_dev,
-                int(total_step),
+                jnp.asarray(noise_arr), int(total_step),
             )
-
         with self.profiler.stage("egress"):
             wav_np = np.asarray(wav)[:b_true]
-
         return wav_np, dur[:b_true]
 
     # ------------------------------------------------------------------

@@ -138,6 +138,75 @@ def synthesize_padded(
     return wav, dur
 
 
+def synthesize_fused(
+    params: dict,
+    cfg: TTSConfig,
+    text_ids: jax.Array,
+    text_mask: jax.Array,
+    style_dp: jax.Array,
+    style_ttl: jax.Array,
+    key: jax.Array,          # PRNG key — noise is generated ON DEVICE
+    speed: jax.Array,
+    total_step: int,         # STATIC
+    t_pad: int,              # STATIC latent bucket
+    *,
+    precision: str = "bf16",
+    egress: str = "int16",   # STATIC: "int16" halves egress bytes (the WAV
+                             # target format anyway); "f32" for parity
+    attn_fn=L.attention_core,
+) -> tuple[jax.Array, jax.Array]:
+    """The production path: ONE compiled program, ZERO mid-pipeline host
+    syncs. The reference crosses the host boundary 3 + total_step times per
+    chunk (py/helper.py:177-215); the two-stage path above still crosses once
+    (duration -> latent sizing). Here the latent mask is derived on device
+    from the predicted duration and the caller chooses t_pad from a text-
+    length heuristic, re-running on the rare bucket overflow (detected from
+    the returned duration).
+
+    Returns (wav [B, t_pad*chunk] int16|f32, duration [B] f32 — UNCLAMPED,
+    so callers can detect t_pad overflow as ceil(dur*sr/chunk) > t_pad).
+    """
+    dur, emb = text_stage(
+        params, cfg, text_ids, text_mask, style_dp, style_ttl, speed,
+        precision=precision, attn_fn=attn_fn,
+    )
+    chunk = cfg.chunk_size
+    latent_len = jnp.minimum(
+        jnp.ceil(dur * cfg.sample_rate / chunk), float(t_pad)
+    )
+    frame_idx = jnp.arange(t_pad, dtype=jnp.float32)[None, :]
+    latent_mask = (frame_idx < latent_len[:, None]).astype(jnp.float32)
+    b = text_ids.shape[0]
+    noise = jax.random.normal(key, (b, t_pad, cfg.latent_channels), jnp.float32)
+    wav = acoustic_stage(
+        params, cfg, emb, style_ttl, text_mask, latent_mask, noise,
+        total_step, precision=precision, attn_fn=attn_fn,
+    )
+    if egress == "int16":
+        wav = jnp.clip(wav * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
+    return wav, dur
+
+
+def jit_synthesize_fused(cfg: TTSConfig, *, precision="bf16", attn_fn=None,
+                         in_shardings=None, out_shardings=None) -> Callable:
+    fn = functools.partial(
+        synthesize_fused, precision=precision,
+        attn_fn=attn_fn or L.attention_core,
+    )
+
+    def closed(params, ids, mask, sdp, sttl, key, speed, total_step, t_pad,
+               egress):
+        return fn(params, cfg, ids, mask, sdp, sttl, key, speed,
+                  total_step, t_pad, egress=egress)
+
+    kw: dict[str, Any] = {"static_argnums": (7, 8, 9)}
+    if in_shardings is not None:
+        kw["in_shardings"] = in_shardings
+    if out_shardings is not None:
+        kw["out_shardings"] = out_shardings
+    return jax.jit(closed, **kw)
+
+
 def jit_text_stage(cfg: TTSConfig, *, precision="bf16", attn_fn=None,
                    in_shardings=None, out_shardings=None) -> Callable:
     """jit of text_stage taking params as a RUNTIME ARGUMENT. Never close jit

@@ -9,7 +9,10 @@ go/helper.go:873-874):
 Architecture (ours, per SupertonicTTS arXiv:2503.23108 §duration): character
 embeddings -> transformer blocks with RoPE self-attention over text and
 cross-attention to the pre-computed style tokens -> masked mean-pool ->
-MLP head -> softplus (durations are positive).
+MLP head -> softplus SPEAKING RATE (seconds per character), multiplied by the
+true character count. Predicting rate x length instead of raw seconds bakes
+in the dominant linear dependence of duration on text length; the head bias
+is initialized so a fresh model speaks at ~15 chars/sec (a realistic prior).
 """
 
 from __future__ import annotations
@@ -33,8 +36,19 @@ def init(rng, cfg: TTSConfig) -> L.Params:
         ],
         "ln_out": L.layer_norm_init(hp.dim),
         "head1": L.linear_init(rng, hp.dim, hp.dim),
-        "head2": L.linear_init(rng, hp.dim, 1),
+        "head2": _rate_head_init(rng, hp.dim),
     }
+
+
+def _rate_head_init(rng, dim: int) -> L.Params:
+    import numpy as np
+
+    head = L.linear_init(rng, dim, 1)
+    # softplus(bias) = 1/15 s per char  =>  ~15 chars/sec at init
+    head["b"] = np.full((1,), np.log(np.expm1(1.0 / 15.0)), np.float32)
+    # damp the random contribution so init-time rates stay near the prior
+    head["w"] = (head["w"] * 0.1).astype(np.float32)
+    return head
 
 
 def apply(
@@ -67,5 +81,7 @@ def apply(
     m = text_mask.astype(x.dtype)[:, :, None]
     pooled = jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
     h = jax.nn.silu(L.linear(params["head1"], pooled))
-    dur = jax.nn.softplus(L.linear(params["head2"], h)[..., 0].astype(jnp.float32))
-    return dur
+    rate = jax.nn.softplus(
+        L.linear(params["head2"], h)[..., 0].astype(jnp.float32)
+    )  # seconds per character
+    return rate * text_len.astype(jnp.float32)
