@@ -1,0 +1,110 @@
+"""Pallas fused attention kernel (TPU).
+
+Drop-in replacement for ``models.layers.attention_core`` (same signature:
+q,k,v [B,H,T,D], key_mask [B,Tk] -> [B,H,Tq,D]), used for both the RoPE
+self-attention over latent frames and the LARoPE cross-attention into
+[style;text] memory of the vector estimator — the op that runs
+``total_step`` times per utterance (reference hot loop, SURVEY.md §3.1).
+
+Design: TTS sequences are short (Tq,Tk <= ~700 at the default geometry), so
+whole (Tq,D) / (Tk,D) panels fit VMEM per (batch, head) grid cell — a
+single-pass softmax(QK^T)V with zero HBM round-trips for the logits, rather
+than a chunked flash kernel whose online-softmax bookkeeping only pays off
+at sequence lengths TTS never reaches. Logits/softmax in f32 on the VPU,
+both matmuls on the MXU via preferred_element_type=f32.
+
+Falls back to the pure-XLA path on CPU (tests run the kernel in interpreter
+mode for parity).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.layers import NEG_INF, attention_core
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
+    q = q_ref[0, 0].astype(jnp.float32)              # [Tq, D]
+    k = k_ref[0, 0].astype(jnp.float32)              # [Tk, D]
+    v = v_ref[0, 0]                                   # [Tk, D]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                         # [Tq, Tk]
+    if mask_ref is not None:
+        bias = (1.0 - mask_ref[0].astype(jnp.float32)) * NEG_INF  # [Tk]
+        logits = logits + bias[None, :]
+    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+    probs = jnp.exp(logits)
+    denom = jnp.sum(probs, axis=-1, keepdims=True)
+    probs = (probs / denom).astype(v.dtype)
+    out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _fused_attention_call(q, k, v, key_mask, *, interpret: bool):
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    scale = 1.0 / math.sqrt(d)
+    kernel = functools.partial(_attn_kernel, scale=scale)
+
+    qspec = pl.BlockSpec((1, 1, tq, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, 1, tk, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    in_specs = [qspec, kspec, kspec]
+    args = [q, k, v]
+    if key_mask is not None:
+        in_specs.append(
+            pl.BlockSpec((1, tk), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(key_mask.astype(jnp.float32))
+    else:
+        kernel = functools.partial(_attn_kernel_nomask, scale=scale)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, tq, d), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, tq, d), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * tq * tk * d * 2,
+            bytes_accessed=4 * b * h * (tq * d * 2 + tk * d * 2),
+            transcendentals=b * h * tq * tk,
+        ),
+    )(*args)
+
+
+def _attn_kernel_nomask(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    _attn_kernel(q_ref, k_ref, v_ref, None, o_ref, scale=scale)
+
+
+# VMEM budget guard: beyond this the single-pass panel no longer fits and we
+# defer to XLA (which will chunk internally).
+_MAX_PANEL = 4096
+
+
+def fused_attention(q, k, v, key_mask=None):
+    """Same contract as models.layers.attention_core."""
+    tq, tk = q.shape[2], k.shape[2]
+    backend = jax.default_backend()
+    if tq > _MAX_PANEL or tk > _MAX_PANEL:
+        return attention_core(q, k, v, key_mask)
+    interpret = backend != "tpu"
+    return _fused_attention_call(q, k, v, key_mask, interpret=interpret)
+
+
+def fused_attention_interpret(q, k, v, key_mask=None):
+    """Force interpreter mode (for CPU parity tests)."""
+    return _fused_attention_call(q, k, v, key_mask, interpret=True)
