@@ -124,12 +124,14 @@ class VectorEstimatorHParams:
 @dataclasses.dataclass(frozen=True)
 class VocoderHParams:
     dim: int = 512
-    # Per-stage upsample factors; product MUST equal
-    # ae.base_chunk_size * ttl.chunk_compress_factor (the samples-per-latent-
-    # frame "chunk_size" of reference py/helper.py:167).
-    upsample_factors: tuple[int, ...] = (8, 8, 4, 4, 2)
-    # Channel width after each upsample stage.
-    channels: tuple[int, ...] = (256, 128, 64, 32, 32)
+    # Conv-stage upsample factors. Their product must DIVIDE chunk_size
+    # (= ae.base_chunk_size * ttl.chunk_compress_factor, reference
+    # py/helper.py:167); the remaining chunk_size/prod samples per step are
+    # emitted by the final subpixel projection head (see models/vocoder.py —
+    # convs never run at audio sample rate on TPU).
+    upsample_factors: tuple[int, ...] = (8, 8)
+    # Channel width after each upsample stage (keep >=128: lane-friendly).
+    channels: tuple[int, ...] = (256, 128)
     resblock_kernel: int = 3
     resblock_dilations: tuple[int, ...] = (1, 3, 9)
     stage_kernel: int = 5
@@ -189,9 +191,9 @@ class TTSConfig:
         import math
 
         up = math.prod(self.vocoder.upsample_factors)
-        if up != self.chunk_size:
+        if self.chunk_size % up != 0:
             raise ValueError(
-                f"prod(vocoder.upsample_factors)={up} must equal "
+                f"prod(vocoder.upsample_factors)={up} must divide "
                 f"chunk_size={self.chunk_size}"
             )
         if len(self.vocoder.upsample_factors) != len(self.vocoder.channels):
@@ -259,10 +261,10 @@ def tts_config_from_reference_dict(raw: dict[str, Any]) -> TTSConfig:
     default_voc = VocoderHParams()
     import math
 
-    if math.prod(default_voc.upsample_factors) != chunk:
+    if chunk % math.prod(default_voc.upsample_factors) != 0:
         factors = _factorize_upsample(chunk)
         chans = tuple(
-            max(default_voc.dim // (2 ** (i + 1)), 16) for i in range(len(factors))
+            max(default_voc.dim // (2 ** (i + 1)), 128) for i in range(len(factors))
         )
         vocoder = dataclasses.replace(
             default_voc, upsample_factors=factors, channels=chans
@@ -272,27 +274,19 @@ def tts_config_from_reference_dict(raw: dict[str, Any]) -> TTSConfig:
     return TTSConfig(ae=ae, ttl=ttl, dp=dp, vocoder=vocoder)
 
 
-def _factorize_upsample(chunk: int, max_stage: int = 8) -> tuple[int, ...]:
-    """Split ``chunk`` into a stack of stage factors each <= max_stage,
-    largest first (keeps the widest layers shortest)."""
+def _factorize_upsample(chunk: int, min_final_depth: int = 16) -> tuple[int, ...]:
+    """Pick conv-stage factors whose product times the subpixel head depth
+    equals ``chunk``, leaving >= min_final_depth samples/step to the head
+    (convs stay on coarse timelines — see models/vocoder.py)."""
     factors: list[int] = []
     n = chunk
-    for f in (8, 8, 8, 8, 4, 4, 4, 2, 2, 2):
-        if n == 1:
-            break
-        while n % f == 0 and f <= max_stage and n > 1:
-            factors.append(f)
-            n //= f
-            break
-    if n != 1:
-        # fall back to powers of two
-        factors = []
-        n = chunk
-        while n > 1:
-            f = 8 if n % 8 == 0 else (4 if n % 4 == 0 else 2)
-            factors.append(f)
-            n //= f
-    return tuple(factors)
+    while n >= min_final_depth * 8 and n % 8 == 0 and len(factors) < 2:
+        factors.append(8)
+        n //= 8
+    while n >= min_final_depth * 4 and n % 4 == 0 and len(factors) < 3:
+        factors.append(4)
+        n //= 4
+    return tuple(factors) if factors else (1,)
 
 
 def to_reference_dict(cfg: TTSConfig) -> dict[str, Any]:

@@ -8,17 +8,28 @@ The output covers full latent frames — i.e. it is PADDED past the true
 duration; consumers trim to int(sample_rate * duration[b]) (reference
 py/example_onnx.py:113, py/service.py:63-71).
 
-TPU-first design: every upsampling stage is a conv1d producing
-``C_out * factor`` channels followed by depth-to-space — a pure matmul +
-reshape, which maps straight onto the MXU, unlike literal transposed
-convolution (the reference's ONNX graph runs on CPU and can afford
-scatter-style conv-transpose; on TPU sub-pixel conv is the speed-of-light
-formulation). Dilated residual blocks after each stage provide the receptive
-field (HiFi-GAN-family design, sized for the 66 M budget).
+TPU-first design ("coarse-timeline subpixel" vocoder):
+
+  * Every upsampling stage is a conv1d producing C_out*factor channels
+    followed by depth-to-space — a pure matmul + reshape that maps straight
+    onto the MXU (literal transposed convolution scatters; fine on the
+    reference's CPU ONNX path, hostile on TPU).
+  * Convolutions NEVER run at the audio sample rate. XLA lowers low-channel
+    convs on huge timelines via materialized im2col patches (measured:
+    6.5 GB HBM temp per 8 utterances with a conventional to-the-sample
+    stack). Instead the conv trunk stops at timeline T * prod(factors) with
+    >=128 lane-friendly channels, and the last `final_depth =
+    chunk_size / prod(factors)` samples-per-step are emitted by one
+    subpixel projection (k-tap conv as matmul) + reshape.
+  * Dilated residual blocks provide the receptive field at each (coarse)
+    timeline (HiFi-GAN-family design, sized for the 66 M budget).
+
 Internal layout [B, T, C].
 """
 
 from __future__ import annotations
+
+import math
 
 import jax
 import jax.numpy as jnp
@@ -47,12 +58,19 @@ def _resblock(p: L.Params, x: jax.Array, dilations) -> jax.Array:
     return x
 
 
+def final_depth(cfg: TTSConfig) -> int:
+    """Samples emitted per finest-timeline step by the subpixel head."""
+    return cfg.chunk_size // math.prod(cfg.vocoder.upsample_factors)
+
+
 def init(rng, cfg: TTSConfig) -> L.Params:
     hp = cfg.vocoder
     c_lat = cfg.latent_channels
     stages = []
     cin = hp.dim
     pre = L.conv1d_init(rng, c_lat, hp.dim, 7)
+    pre_res = _resblock_init(rng, hp.dim, hp.resblock_kernel,
+                             hp.resblock_dilations)
     for factor, cout in zip(hp.upsample_factors, hp.channels):
         stages.append({
             "up": L.conv1d_init(rng, cin, cout * factor, hp.stage_kernel),
@@ -62,8 +80,10 @@ def init(rng, cfg: TTSConfig) -> L.Params:
         cin = cout
     return {
         "pre": pre,
+        "pre_res": pre_res,
         "stages": stages,
-        "post": L.conv1d_init(rng, cin, 1, 7),
+        # subpixel head: k-tap conv emitting final_depth samples per step
+        "head": L.conv1d_init(rng, cin, final_depth(cfg), 3),
     }
 
 
@@ -77,10 +97,12 @@ def apply(
     """Returns wav [B, T * chunk_size] float32."""
     hp = cfg.vocoder
     x = L.conv1d(params["pre"], latent.astype(dtype))
+    x = _resblock(params["pre_res"], x, hp.resblock_dilations)
     for sp, factor in zip(params["stages"], hp.upsample_factors):
-        h = L.conv1d(sp["up"], jax.nn.silu(x))         # [B, T, cout*factor]
+        h = L.conv1d(sp["up"], jax.nn.silu(x))          # [B, T, cout*factor]
         b, t, cf = h.shape
-        x = h.reshape(b, t * factor, cf // factor)      # depth-to-space
+        x = h.reshape(b, t * factor, cf // factor)       # depth-to-space
         x = _resblock(sp["res"], x, hp.resblock_dilations)
-    wav = L.conv1d(params["post"], jax.nn.silu(x))[..., 0]
-    return jnp.tanh(wav.astype(jnp.float32))
+    wav = L.conv1d(params["head"], jax.nn.silu(x))       # [B, Tf, final_depth]
+    b, tf, d = wav.shape
+    return jnp.tanh(wav.astype(jnp.float32).reshape(b, tf * d))

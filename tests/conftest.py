@@ -64,8 +64,8 @@ def tiny_config():
         ),
         vocoder=VocoderHParams(
             dim=64,
-            upsample_factors=(4, 4, 4, 2),
-            channels=(32, 32, 16, 16),
+            upsample_factors=(4, 4),
+            channels=(32, 16),
             resblock_dilations=(1, 3),
         ),
     )

@@ -17,11 +17,16 @@ def test_default_geometry():
     assert cfg.sample_rate == 44100
 
 
-def test_vocoder_factors_match_chunk():
+def test_vocoder_factors_divide_chunk():
     import math
 
     cfg = TTSConfig()
-    assert math.prod(cfg.vocoder.upsample_factors) == cfg.chunk_size
+    prod = math.prod(cfg.vocoder.upsample_factors)
+    assert cfg.chunk_size % prod == 0
+    from supertonic_tpu.models.vocoder import final_depth
+
+    assert final_depth(cfg) == cfg.chunk_size // prod
+    assert final_depth(cfg) >= 1
 
 
 def test_reference_json_roundtrip(tmp_path):
@@ -45,11 +50,13 @@ def test_foreign_chunk_size_refactorizes():
     }
     cfg = tts_config_from_reference_dict(raw)
     assert cfg.chunk_size == 512
-    assert math.prod(cfg.vocoder.upsample_factors) == 512
+    assert cfg.chunk_size % math.prod(cfg.vocoder.upsample_factors) == 0
 
 
 def test_mismatched_factors_raise():
     from supertonic_tpu.config import VocoderHParams
 
     with pytest.raises(ValueError):
-        TTSConfig(vocoder=VocoderHParams(upsample_factors=(8, 8), channels=(64, 32)))
+        TTSConfig(vocoder=VocoderHParams(upsample_factors=(3,), channels=(64,)))
+    with pytest.raises(ValueError):
+        TTSConfig(vocoder=VocoderHParams(upsample_factors=(8, 8), channels=(64,)))
