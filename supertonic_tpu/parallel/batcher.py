@@ -1,0 +1,123 @@
+"""Continuous request batching.
+
+The reference service synthesizes each HTTP request alone (py/service.py:97-
+109) — fine for one CPU user, wasteful on a TPU whose MXU wants batch work.
+This batcher coalesces concurrent requests into bucketed batches:
+
+  * requests accumulate for at most ``max_wait_ms`` or until ``max_batch``;
+  * each flush groups requests by text-length bucket (so one compiled
+    program shape serves the whole group, no padding blowup from one long
+    outlier);
+  * every request carries its own voice style row — mixed-style batches are
+    native (style tensors are per-utterance batch rows, SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..engine.buckets import pick_bucket
+from ..engine.engine import SynthesisEngine, VoiceStyle
+
+
+@dataclass
+class _Request:
+    text: str
+    lang: str
+    style: VoiceStyle  # batch == 1
+    total_step: int
+    speed: float
+    future: Future = field(default_factory=Future)
+
+
+class ContinuousBatcher:
+    def __init__(
+        self,
+        engine: SynthesisEngine,
+        *,
+        max_batch: int = 32,
+        max_wait_ms: float = 10.0,
+    ):
+        self.engine = engine
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self._queue: list[_Request] = []
+        self._lock = threading.Lock()
+        self._wake = threading.Condition(self._lock)
+        self._stop = False
+        self.stats = {"requests": 0, "batches": 0, "batched_requests": 0}
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(
+        self,
+        text: str,
+        lang: str,
+        style: VoiceStyle,
+        total_step: int = 5,
+        speed: float = 1.05,
+    ) -> Future:
+        """Returns a Future resolving to (wav [T] trimmed f32, duration s)."""
+        assert style.batch == 1
+        req = _Request(text, lang, style, total_step, speed)
+        with self._wake:
+            if self._stop:
+                raise RuntimeError("batcher is shut down")
+            self._queue.append(req)
+            self.stats["requests"] += 1
+            self._wake.notify()
+        return req.future
+
+    def shutdown(self):
+        with self._wake:
+            self._stop = True
+            self._wake.notify()
+        self._thread.join(timeout=30)
+
+    # ------------------------------------------------------------------
+    def _run(self):
+        while True:
+            with self._wake:
+                while not self._queue and not self._stop:
+                    self._wake.wait()
+                if self._stop and not self._queue:
+                    return
+                # linger briefly to let a batch accumulate
+                if len(self._queue) < self.max_batch and not self._stop:
+                    self._wake.wait(self.max_wait_ms / 1000.0)
+                batch = self._queue[: self.max_batch]
+                del self._queue[: len(batch)]
+            if batch:
+                self._process(batch)
+
+    def _process(self, batch: list[_Request]):
+        # group by (text-length bucket, total_step, speed) so every group is
+        # one compiled shape
+        ladder = self.engine.cfg.runtime.text_buckets
+        groups: dict[tuple, list[_Request]] = {}
+        for r in batch:
+            key = (pick_bucket(len(r.text) + 9, ladder), r.total_step, r.speed)
+            groups.setdefault(key, []).append(r)
+        for (_, total_step, speed), reqs in groups.items():
+            try:
+                style = VoiceStyle(
+                    np.concatenate([r.style.ttl for r in reqs]),
+                    np.concatenate([r.style.dp for r in reqs]),
+                )
+                wav, dur = self.engine.batch(
+                    [r.text for r in reqs], [r.lang for r in reqs],
+                    style, total_step, speed,
+                )
+                trimmed = self.engine.trim(wav, dur)
+                self.stats["batches"] += 1
+                self.stats["batched_requests"] += len(reqs)
+                for r, w, d in zip(reqs, trimmed, dur):
+                    r.future.set_result((w, float(d)))
+            except Exception as e:  # pragma: no cover
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(e)

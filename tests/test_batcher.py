@@ -1,0 +1,86 @@
+"""Continuous batcher tests."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from supertonic_tpu.engine import SynthesisEngine, VoiceStyle
+from supertonic_tpu.frontend import UnicodeProcessor, build_default_indexer
+from supertonic_tpu.models import init_all
+from supertonic_tpu.parallel.batcher import ContinuousBatcher
+
+
+@pytest.fixture()
+def engine(tiny_config):
+    params = init_all(0, tiny_config)
+    proc = UnicodeProcessor(build_default_indexer())
+    return SynthesisEngine(params, tiny_config, proc, precision="f32", seed=0)
+
+
+def _style(cfg, seed=7):
+    rng = np.random.default_rng(seed)
+    return VoiceStyle(
+        rng.standard_normal(
+            (1, cfg.ttl.style.n_style, cfg.ttl.style.style_value_dim)
+        ).astype(np.float32),
+        rng.standard_normal(
+            (1, cfg.dp.style.n_style, cfg.dp.style.style_value_dim)
+        ).astype(np.float32),
+    )
+
+
+def test_requests_are_batched(engine, tiny_config):
+    batcher = ContinuousBatcher(engine, max_batch=8, max_wait_ms=150.0)
+    style = _style(tiny_config)
+    try:
+        futures = [
+            batcher.submit(f"Concurrent request number {i}.", "en", style,
+                           total_step=2)
+            for i in range(6)
+        ]
+        results = [f.result(timeout=300) for f in futures]
+        for wav, dur in results:
+            assert dur > 0
+            assert len(wav) == int(tiny_config.sample_rate * dur)
+        # 6 same-bucket requests arriving together -> far fewer batches
+        assert batcher.stats["batches"] < 6
+        assert batcher.stats["batched_requests"] == 6
+    finally:
+        batcher.shutdown()
+
+
+def test_mixed_styles_and_langs(engine, tiny_config):
+    batcher = ContinuousBatcher(engine, max_batch=8, max_wait_ms=100.0)
+    try:
+        futs = [
+            batcher.submit("Hello there.", "en", _style(tiny_config, 1), 2),
+            batcher.submit("Bonjour le monde.", "fr", _style(tiny_config, 2), 2),
+            batcher.submit("Hola mundo.", "es", _style(tiny_config, 3), 2),
+        ]
+        for f in futs:
+            wav, dur = f.result(timeout=300)
+            assert dur > 0
+    finally:
+        batcher.shutdown()
+
+
+def test_different_steps_split_groups(engine, tiny_config):
+    batcher = ContinuousBatcher(engine, max_batch=8, max_wait_ms=100.0)
+    style = _style(tiny_config)
+    try:
+        f1 = batcher.submit("Steps two.", "en", style, total_step=2)
+        f2 = batcher.submit("Steps three.", "en", style, total_step=3)
+        assert f1.result(timeout=300)[1] > 0
+        assert f2.result(timeout=300)[1] > 0
+        assert batcher.stats["batches"] == 2
+    finally:
+        batcher.shutdown()
+
+
+def test_shutdown_rejects_new_work(engine, tiny_config):
+    batcher = ContinuousBatcher(engine, max_batch=4, max_wait_ms=10.0)
+    batcher.shutdown()
+    with pytest.raises(RuntimeError):
+        batcher.submit("Late.", "en", _style(tiny_config))
