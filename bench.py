@@ -17,9 +17,9 @@ import json
 import os
 import sys
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.05")
+from supertonic_tpu.utils.jaxenv import setup_compilation_cache
+
+setup_compilation_cache()
 
 REFERENCE_BEST_AUDIO_SEC_PER_SEC = 250.0  # 1 / 0.004 RTF (README.md:252)
 

@@ -108,6 +108,7 @@ class SynthesisEngine:
         total_step: int = 5,
         speed: float = 1.05,
         noise: np.ndarray | None = None,
+        device_output: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Synthesize a batch. Returns (wav [B, T*chunk] f32 np — PADDED, trim
         to int(sr * duration[b]) like the reference —, duration [B] f32)."""
@@ -165,6 +166,10 @@ class SynthesisEngine:
             if t_needed <= t_bucket:
                 break
             t_bucket = buckets.pick_bucket(t_needed, rt.latent_buckets)
+        if device_output:
+            # leave the waveform on device (benchmarks; pod-scale egress
+            # pipelines gather separately) — caller owns the transfer
+            return wav_dev[:b_true], dur[:b_true]
         with self.profiler.stage("egress"):
             wav_np = np.asarray(wav_dev)[:b_true]
             if self.egress_format == "int16":

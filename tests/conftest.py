@@ -16,14 +16,15 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# Persist XLA compiles across runs (compiles are slow on this host).
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.05")
-
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persist XLA compiles across runs (compiles are slow on this host). Must go
+# through jax.config — env vars are too late, sitecustomize imported jax.
+from supertonic_tpu.utils.jaxenv import setup_compilation_cache  # noqa: E402
+
+setup_compilation_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
