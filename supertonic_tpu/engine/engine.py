@@ -15,6 +15,7 @@ Replaces the reference's ``TextToSpeech`` orchestration class
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Any
 
 import jax
@@ -115,6 +116,7 @@ class SynthesisEngine:
         assert len(text_list) == style.batch, (
             "Number of texts must match number of style vectors"
         )
+        t_start = time.perf_counter()
         b_true = len(text_list)
         rt = self.cfg.runtime
         chunk = self.cfg.chunk_size
@@ -174,6 +176,11 @@ class SynthesisEngine:
             wav_np = np.asarray(wav_dev)[:b_true]
             if self.egress_format == "int16":
                 wav_np = wav_np.astype(np.float32) / 32767.0
+        self.profiler.record_result(
+            float(np.sum(dur[:b_true])),
+            sum(len(t) for t in text_list),
+            time.perf_counter() - t_start,
+        )
         return wav_np, dur[:b_true]
 
     def _infer_injected_noise(

@@ -26,10 +26,12 @@ def timer(name: str, verbose: bool = True):
 @dataclass
 class StageProfiler:
     """Accumulates wall time per pipeline stage (frontend / dp / text_enc /
-    flow / vocoder / egress) plus synthesis totals."""
+    flow / vocoder / egress) plus synthesis totals and per-request latency
+    percentiles (p50 time-to-audio is a BASELINE metric)."""
 
     stages: dict = field(default_factory=lambda: defaultdict(float))
     counts: dict = field(default_factory=lambda: defaultdict(int))
+    latencies_s: list = field(default_factory=list)
     audio_seconds: float = 0.0
     chars: int = 0
     synth_seconds: float = 0.0
@@ -48,6 +50,14 @@ class StageProfiler:
         self.audio_seconds += audio_seconds
         self.chars += chars
         self.synth_seconds += synth_seconds
+        self.latencies_s.append(synth_seconds)
+
+    def latency_percentile(self, pct: float) -> float:
+        if not self.latencies_s:
+            return 0.0
+        import numpy as np
+
+        return float(np.percentile(np.asarray(self.latencies_s), pct))
 
     @property
     def rtf(self) -> float:
@@ -69,7 +79,22 @@ class StageProfiler:
             "audio_sec_per_sec": self.audio_sec_per_sec,
             "audio_seconds": self.audio_seconds,
             "synth_seconds": self.synth_seconds,
+            "requests": len(self.latencies_s),
+            "latency_p50_s": self.latency_percentile(50),
+            "latency_p95_s": self.latency_percentile(95),
         }
+
+
+@contextlib.contextmanager
+def device_trace(logdir: str):
+    """Capture a jax.profiler device trace (view with TensorBoard/XProf)."""
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
 
 
 def sanitize_filename(text: str, max_len: int) -> str:

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Extract the reference ONNX checkpoints into a supertonic_tpu asset bundle.
+
+Usage:
+    python tools/convert_onnx.py --onnx-dir assets/onnx --out assets \
+        [--mapping mapping.py] [--list-only]
+
+Works without the `onnx` package (dependency-free protobuf reader,
+supertonic_tpu/assets/onnx_reader.py). With --list-only it dumps every
+initializer name+shape of each graph — the starting point for writing the
+mapping table (assets/convert.MappingRule) once the real Hugging Face assets
+are available.
+"""
+
+import argparse
+import importlib.util
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--onnx-dir", required=True)
+    ap.add_argument("--out", default="assets")
+    ap.add_argument("--mapping", help="python file defining RULES = {model: [MappingRule...]}")
+    ap.add_argument("--list-only", action="store_true")
+    ap.add_argument("--lenient", action="store_true",
+                    help="fill unmapped params from random-init skeleton")
+    args = ap.parse_args()
+
+    from supertonic_tpu.assets.convert import convert, extract_onnx_dir
+    from supertonic_tpu.assets.store import save_assets
+    from supertonic_tpu.config import TTSConfig, load_tts_json
+
+    cfg_path = os.path.join(args.onnx_dir, "tts.json")
+    cfg = load_tts_json(cfg_path) if os.path.exists(cfg_path) else TTSConfig()
+
+    if args.list_only:
+        for model, inits in extract_onnx_dir(args.onnx_dir).items():
+            print(f"== {model} ({len(inits)} initializers)")
+            for name, arr in sorted(inits.items()):
+                print(f"  {name:60s} {arr.dtype} {tuple(arr.shape)}")
+        return
+
+    rules = {}
+    if args.mapping:
+        spec = importlib.util.spec_from_file_location("mapping", args.mapping)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        rules = mod.RULES
+
+    params, report = convert(args.onnx_dir, cfg, rules, strict=not args.lenient)
+    for model, unmapped in report.items():
+        if unmapped:
+            print(f"[warn] {model}: {len(unmapped)} unmapped initializers")
+
+    indexer = None
+    idx_path = os.path.join(args.onnx_dir, "unicode_indexer.json")
+    if os.path.exists(idx_path):
+        with open(idx_path) as f:
+            import numpy as np
+
+            indexer = np.asarray(json.load(f), np.int64)
+
+    save_assets(args.out, cfg, params, indexer=indexer)
+    print(f"asset bundle written to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
