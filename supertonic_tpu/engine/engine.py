@@ -60,12 +60,25 @@ class SynthesisEngine:
         attn_fn=None,
         seed: int = 0,
         egress_format: str = "int16",
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh (axes 'data'/'model', see
+        parallel.make_mesh). Params are placed with TP shardings (replicated
+        when model=1) and every batch is sharded over the data axis; GSPMD
+        compiles the collectives. Without a mesh, single-device jit."""
         self.cfg = cfg
         self.processor = processor
         self.precision = precision or cfg.runtime.precision
         self.attn_fn = attn_fn or L.attention_core
-        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import shard_params
+
+            self.params = shard_params(params, mesh)
+            self._data_size = mesh.shape[cfg.runtime.data_axis]
+        else:
+            self.params = jax.tree_util.tree_map(jnp.asarray, params)
+            self._data_size = 1
         self.profiler = StageProfiler()
         self.egress_format = egress_format
         self._key = jax.random.key(seed)
@@ -131,6 +144,8 @@ class SynthesisEngine:
             text_mask = np.pad(text_mask3[:, 0, :], ((0, 0), (0, pad_l)))
 
         b_bucket = buckets.pick_bucket(b_true, rt.batch_buckets)
+        if b_bucket % self._data_size:
+            b_bucket = -(-b_bucket // self._data_size) * self._data_size
         text_ids, text_mask, style_ttl, style_dp = self._pad_batch(
             [text_ids, text_mask, style.ttl, style.dp], b_bucket
         )
@@ -140,6 +155,10 @@ class SynthesisEngine:
             jnp.asarray(style_dp, jnp.float32),
             jnp.asarray(style_ttl, jnp.float32),
         )
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            dev_args = shard_batch(self.mesh, *dev_args)
 
         if noise is not None:
             return self._infer_injected_noise(

@@ -1,0 +1,67 @@
+"""Engine on an 8-device mesh must match single-device output exactly."""
+
+import numpy as np
+import pytest
+
+from supertonic_tpu.engine import SynthesisEngine, VoiceStyle
+from supertonic_tpu.frontend import UnicodeProcessor, build_default_indexer
+from supertonic_tpu.models import init_all
+from supertonic_tpu.parallel import make_mesh
+from supertonic_tpu.parallel.multihost import host_shard
+
+
+def _style(cfg, n=1, seed=7):
+    rng = np.random.default_rng(seed)
+    return VoiceStyle(
+        rng.standard_normal(
+            (n, cfg.ttl.style.n_style, cfg.ttl.style.style_value_dim)
+        ).astype(np.float32),
+        rng.standard_normal(
+            (n, cfg.dp.style.n_style, cfg.dp.style.style_value_dim)
+        ).astype(np.float32),
+    )
+
+
+def test_mesh_engine_matches_single_device(tiny_config):
+    params = init_all(0, tiny_config)
+    proc = UnicodeProcessor(build_default_indexer())
+    texts = [f"Utterance number {i} for the mesh test." for i in range(8)]
+    langs = ["en"] * 8
+    style = _style(tiny_config, 8)
+
+    single = SynthesisEngine(params, tiny_config, proc, precision="f32",
+                             seed=3, egress_format="f32")
+    w1, d1 = single.batch(texts, langs, style, total_step=2)
+
+    mesh = make_mesh(8)
+    sharded = SynthesisEngine(params, tiny_config, proc, precision="f32",
+                              seed=3, egress_format="f32", mesh=mesh)
+    w2, d2 = sharded.batch(texts, langs, style, total_step=2)
+
+    np.testing.assert_allclose(d1, d2, atol=1e-6)
+    np.testing.assert_allclose(w1, w2, atol=3e-5)
+
+
+def test_mesh_engine_with_tensor_parallel(tiny_config):
+    params = init_all(0, tiny_config)
+    proc = UnicodeProcessor(build_default_indexer())
+    texts = ["Tensor parallel check one.", "Tensor parallel check two."]
+    style = _style(tiny_config, 2)
+
+    single = SynthesisEngine(params, tiny_config, proc, precision="f32",
+                             seed=5, egress_format="f32")
+    w1, d1 = single.batch(texts, ["en", "en"], style, total_step=2)
+
+    mesh = make_mesh(8, model_parallel=4)
+    tp = SynthesisEngine(params, tiny_config, proc, precision="f32",
+                         seed=5, egress_format="f32", mesh=mesh)
+    w2, d2 = tp.batch(texts, ["en", "en"], style, total_step=2)
+    np.testing.assert_allclose(d1, d2, atol=1e-6)
+    np.testing.assert_allclose(w1, w2, atol=5e-5)
+
+
+def test_host_shard_partition():
+    items = list(range(10))
+    shards = [host_shard(items, pid, 3) for pid in range(3)]
+    assert sorted(sum(shards, [])) == items
+    assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
