@@ -179,8 +179,17 @@ class SynthesisEngine:
                     jnp.float32(speed), int(total_step), int(t_bucket),
                     self.egress_format,
                 )
-            with self.profiler.stage("duration_sync"):
-                dur = np.asarray(dur_dev)
+            if device_output:
+                # benchmark / pod-egress path: waveform stays device-resident,
+                # only the tiny duration vector crosses to the host
+                with self.profiler.stage("duration_sync"):
+                    dur = np.asarray(dur_dev)
+            else:
+                # ONE host round-trip for both outputs (each sync costs ~46 ms
+                # through the device tunnel); on the rare bucket overflow the
+                # wasted wav transfer is the price of the retry
+                with self.profiler.stage("egress"):
+                    wav_host, dur = jax.device_get((wav_dev, dur_dev))
             t_needed = int(
                 ((dur[:b_true] * sr).astype(np.int64).max() + chunk - 1) // chunk
             )
@@ -188,13 +197,10 @@ class SynthesisEngine:
                 break
             t_bucket = buckets.pick_bucket(t_needed, rt.latent_buckets)
         if device_output:
-            # leave the waveform on device (benchmarks; pod-scale egress
-            # pipelines gather separately) — caller owns the transfer
             return wav_dev[:b_true], dur[:b_true]
-        with self.profiler.stage("egress"):
-            wav_np = np.asarray(wav_dev)[:b_true]
-            if self.egress_format == "int16":
-                wav_np = wav_np.astype(np.float32) / 32767.0
+        wav_np = wav_host[:b_true]
+        if self.egress_format == "int16":
+            wav_np = wav_np.astype(np.float32) / 32767.0
         self.profiler.record_result(
             float(np.sum(dur[:b_true])),
             sum(len(t) for t in text_list),
