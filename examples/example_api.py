@@ -1,0 +1,26 @@
+"""High-level API example (mirrors the reference's PyPI usage,
+reference py/example_pypi.py:1-16)."""
+
+from supertonic_tpu import TTS
+
+# Without an assets dir this runs deterministic random-init weights —
+# identical compute graph, placeholder audio. Point at a converted asset
+# bundle (tools/convert_onnx.py) for real speech.
+tts = TTS()
+
+style = tts.get_voice_style("M4")
+
+text = (
+    "This morning, I took a walk in the park, and the sound of the birds "
+    "and the breeze was so pleasant that I stopped for a long time just to "
+    "listen."
+)
+wav, duration = tts.synthesize(text, voice_style=style)
+# wav: np.ndarray [1, num_samples]; duration: np.ndarray [1]
+
+import os
+
+os.makedirs("results", exist_ok=True)
+tts.save_audio(wav[:, : int(tts.sample_rate * duration[0])],
+               "results/example_api.wav")
+print(f"saved results/example_api.wav ({duration[0]:.2f}s)")

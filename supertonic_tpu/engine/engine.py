@@ -289,6 +289,31 @@ class SynthesisEngine:
     ) -> tuple[np.ndarray, np.ndarray]:
         return self.infer_batch(text_list, lang_list, style, total_step, speed)
 
+    def stream(
+        self,
+        text: str,
+        lang: str,
+        style: VoiceStyle,
+        total_step: int = 5,
+        speed: float = 1.05,
+        group_size: int = 2,
+    ):
+        """Long-form streaming: yields (trimmed wav [T] f32, duration s) per
+        chunk as soon as it is synthesized — playback can start after chunk
+        one (time-to-first-audio) while later groups synthesize. Chunks are
+        processed in small batched groups (group_size) to keep the MXU fed
+        without delaying the first yield behind the whole document."""
+        assert style.batch == 1
+        chunks = chunk_text(text, max_len=max_len_for_lang(lang))
+        for i in range(0, len(chunks), group_size):
+            group = chunks[i : i + group_size]
+            wavs, durs = self.infer_batch(
+                group, [lang] * len(group), style.tile(len(group)),
+                total_step, speed,
+            )
+            for w, d in zip(self.trim(wavs, durs), durs):
+                yield w, float(d)
+
     # convenience: reference example trims at save time (py/example_onnx.py:113)
     def trim(self, wav: np.ndarray, duration: np.ndarray) -> list[np.ndarray]:
         sr = self.cfg.sample_rate
