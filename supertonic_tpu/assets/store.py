@@ -158,10 +158,16 @@ class Assets:
 def save_assets(dirpath: str, cfg: TTSConfig, params: Any,
                 indexer: np.ndarray | None = None,
                 styles: dict[str, VoiceStyle] | None = None) -> None:
+    import dataclasses
+
     os.makedirs(dirpath, exist_ok=True)
     save_params(os.path.join(dirpath, "params.npz"), params)
     with open(os.path.join(dirpath, "tts.json"), "w") as f:
         json.dump(to_reference_dict(cfg), f)
+    # the reference tts.json schema carries no model hyperparams (they live
+    # inside its ONNX graphs); persist the full config alongside
+    with open(os.path.join(dirpath, "model_config.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f)
     idx = indexer if indexer is not None else build_default_indexer()
     with open(os.path.join(dirpath, "unicode_indexer.json"), "w") as f:
         json.dump(np.asarray(idx).tolist(), f)
@@ -179,8 +185,14 @@ def load_assets(dirpath: str | None = None, *, seed: int = 0) -> Assets:
     indexer = None
     style_dir = None
     if dirpath and os.path.isdir(dirpath):
+        full_cfg_path = os.path.join(dirpath, "model_config.json")
         cfg_path = os.path.join(dirpath, "tts.json")
-        if os.path.exists(cfg_path):
+        if os.path.exists(full_cfg_path):
+            with open(full_cfg_path) as f:
+                from ..config import _dataclass_from_dict
+
+                cfg = _dataclass_from_dict(TTSConfig, json.load(f))
+        elif os.path.exists(cfg_path):
             cfg = load_tts_json(cfg_path)
         params_path = os.path.join(dirpath, "params.npz")
         if os.path.exists(params_path):

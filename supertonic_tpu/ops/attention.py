@@ -39,8 +39,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
         preferred_element_type=jnp.float32,
     ) * scale                                         # [Tq, Tk]
     if mask_ref is not None:
-        bias = (1.0 - mask_ref[0].astype(jnp.float32)) * NEG_INF  # [Tk]
-        logits = logits + bias[None, :]
+        bias = (1.0 - mask_ref[0].astype(jnp.float32)) * NEG_INF  # [1, Tk]
+        logits = logits + bias
     logits = logits - jnp.max(logits, axis=-1, keepdims=True)
     probs = jnp.exp(logits)
     denom = jnp.sum(probs, axis=-1, keepdims=True)
@@ -62,11 +62,13 @@ def _fused_attention_call(q, k, v, key_mask, *, interpret: bool):
     in_specs = [qspec, kspec, kspec]
     args = [q, k, v]
     if key_mask is not None:
+        # [B, 1, Tk] so the trailing two block dims are (1, tk) — both equal
+        # to their array dims (Pallas TPU block-shape constraint)
         in_specs.append(
-            pl.BlockSpec((1, tk), lambda i, j: (i, 0),
+            pl.BlockSpec((1, 1, tk), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM)
         )
-        args.append(key_mask.astype(jnp.float32))
+        args.append(key_mask.astype(jnp.float32)[:, None, :])
     else:
         kernel = functools.partial(_attn_kernel_nomask, scale=scale)
 
