@@ -60,18 +60,24 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    tp = bench_batch_throughput(engine, style, MID_TEXT, batch=32,
-                                total_step=5, iters=iters)
-    report["batch32"] = tp
-    print(f"# batch32: {tp['audio_sec_per_sec_per_chip']:.1f} audio-sec/s/chip "
-          f"({tp['aggregate_realtime_x']:.0f}x realtime)", file=sys.stderr)
+    best = None
+    for b in ((64,) if quick else (32, 64)):
+        tp = bench_batch_throughput(engine, style, MID_TEXT, batch=b,
+                                    total_step=5, iters=iters)
+        report[f"batch{b}"] = tp
+        print(f"# batch{b}: {tp['audio_sec_per_sec_per_chip']:.1f} "
+              f"audio-sec/s/chip ({tp['aggregate_realtime_x']:.0f}x realtime, "
+              f"egress {tp['egress_s_per_batch']:.2f}s)", file=sys.stderr)
+        if best is None or tp["audio_sec_per_sec_per_chip"] > best["audio_sec_per_sec_per_chip"]:
+            best = tp
+    tp = best
 
     with open("bench_report.json", "w") as f:
         json.dump(report, f, indent=2)
 
     value = tp["audio_sec_per_sec_per_chip"]
     print(json.dumps({
-        "metric": "audio_sec_per_sec_per_chip_b32_5step",
+        "metric": f"audio_sec_per_sec_per_chip_b{tp['batch']}_5step",
         "value": round(value, 2),
         "unit": "audio-seconds/sec/chip",
         "vs_baseline": round(value / REFERENCE_BEST_AUDIO_SEC_PER_SEC, 3),

@@ -149,7 +149,7 @@ class RuntimeConfig:
     # Latent-length bucket ladder (frames).
     latent_buckets: tuple[int, ...] = (64, 128, 192, 256, 320, 448, 640)
     # Batch-size bucket ladder.
-    batch_buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32)
+    batch_buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128)
     # Mesh axis names for data/tensor parallelism.
     data_axis: str = "data"
     model_axis: str = "model"

@@ -19,6 +19,9 @@ def parse_args(argv=None):
                         "random-init fallback when absent")
     p.add_argument("--precision", type=str, default=None,
                    choices=["bf16", "f32"], help="Compute precision")
+    p.add_argument("--platform", type=str, default=None,
+                   choices=["cpu", "tpu"],
+                   help="Force a JAX platform (default: auto — TPU if present)")
     p.add_argument("--total-step", type=int, default=5,
                    help="Number of denoising steps")
     p.add_argument("--speed", type=float, default=1.05,
@@ -48,6 +51,10 @@ def main(argv=None):
 
     print("=== TTS Inference on TPU (supertonic_tpu) ===\n")
     args = parse_args(argv)
+    if args.platform == "cpu":
+        from ..utils.jaxenv import force_cpu
+
+        force_cpu()
 
     assert len(args.voice_style) == len(args.text), (
         f"Number of voice styles ({len(args.voice_style)}) must match "

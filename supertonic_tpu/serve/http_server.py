@@ -185,6 +185,11 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000) -> ThreadingHTTPSe
 def main():
     import os
 
+    if os.getenv("TTS_PLATFORM") == "cpu":
+        from ..utils.jaxenv import force_cpu
+
+        force_cpu()
+
     from .. import TTS
 
     tts = TTS(
