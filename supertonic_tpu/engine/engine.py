@@ -91,9 +91,13 @@ class SynthesisEngine:
         self._fused_fn = synthesis.jit_synthesize_fused(
             cfg, precision=self.precision, attn_fn=self.attn_fn
         )
-        # host-side latent-bucket heuristic: chars -> seconds at a
-        # conservative speaking rate; overflow triggers a re-run
-        self.est_chars_per_sec = 11.0
+        # host-side latent-bucket heuristic: the engine LEARNS the model's
+        # observed seconds-per-char (EMA over synthesized batches) so padded
+        # latent length tracks reality instead of a conservative constant —
+        # overpadding directly multiplies flow+vocoder compute. A safety
+        # margin absorbs variance; overflow triggers a re-run (rare).
+        self._spc_ema = 1.0 / 11.0  # conservative prior until first batch
+        self._spc_margin = 1.2
 
     # ------------------------------------------------------------------
     # internals
@@ -167,9 +171,9 @@ class SynthesisEngine:
             )
 
         # production path: one fused program, no mid-pipeline sync.
-        # t bucket from a conservative chars/sec heuristic; the returned
+        # t bucket from the learned sec/char estimate; the returned
         # (unclamped) duration exposes overflows, which re-run bigger.
-        est_secs = (l_true / self.est_chars_per_sec) / min(speed, 1.0)
+        est_secs = l_true * self._spc_ema * self._spc_margin / min(speed, 1.0)
         t_guess = buckets.latent_len_for_duration(est_secs, sr, chunk)
         t_bucket = buckets.pick_bucket(t_guess, rt.latent_buckets)
         for _attempt in range(4):
@@ -193,6 +197,12 @@ class SynthesisEngine:
             t_needed = int(
                 ((dur[:b_true] * sr).astype(np.int64).max() + chunk - 1) // chunk
             )
+            # update the learned sec/char from this batch's worst case
+            row_chars = np.maximum(
+                np.asarray(text_mask)[:b_true].sum(axis=1), 1.0
+            )
+            obs_spc = float((dur[:b_true] * speed / row_chars).max())
+            self._spc_ema = 0.9 * self._spc_ema + 0.1 * obs_spc
             if t_needed <= t_bucket:
                 break
             t_bucket = buckets.pick_bucket(t_needed, rt.latent_buckets)
