@@ -1,0 +1,48 @@
+"""bf16 fast path vs f32 parity-path consistency."""
+
+import numpy as np
+import pytest
+
+from supertonic_tpu.engine import SynthesisEngine, VoiceStyle
+from supertonic_tpu.frontend import UnicodeProcessor, build_default_indexer
+from supertonic_tpu.models import init_all
+
+
+def _style(cfg, seed=7):
+    rng = np.random.default_rng(seed)
+    return VoiceStyle(
+        rng.standard_normal(
+            (1, cfg.ttl.style.n_style, cfg.ttl.style.style_value_dim)
+        ).astype(np.float32),
+        rng.standard_normal(
+            (1, cfg.dp.style.n_style, cfg.dp.style.style_value_dim)
+        ).astype(np.float32),
+    )
+
+
+def test_bf16_tracks_f32(tiny_config):
+    """Same params/noise: the bf16 fast path must stay close to f32 —
+    durations within 2% and waveform correlation > 0.98 (bf16 has 8
+    mantissa bits; exact equality is not expected)."""
+    params = init_all(0, tiny_config)
+    proc = UnicodeProcessor(build_default_indexer())
+    style = _style(tiny_config)
+    text = ["A precision comparison sentence."]
+
+    outs = {}
+    for prec in ("f32", "bf16"):
+        eng = SynthesisEngine(params, tiny_config, proc, precision=prec,
+                              seed=0, egress_format="f32")
+        # injected noise so both paths share the latent sample
+        w0, d0 = eng.batch(text, ["en"], style, total_step=2)
+        t = w0.shape[1] // tiny_config.chunk_size
+        noise = np.random.default_rng(5).standard_normal(
+            (1, t, tiny_config.latent_channels)).astype(np.float32)
+        outs[prec] = eng.infer_batch(text, ["en"], style, 2, 1.05, noise=noise)
+
+    (wf, df), (wb, db) = outs["f32"], outs["bf16"]
+    assert abs(df[0] - db[0]) / df[0] < 0.02
+    n = min(wf.shape[1], wb.shape[1])
+    a, b = wf[0, :n], wb[0, :n]
+    corr = float(np.corrcoef(a, b)[0, 1])
+    assert corr > 0.98, f"bf16/f32 waveform correlation {corr}"
