@@ -92,11 +92,15 @@ class SynthesisEngine:
             cfg, precision=self.precision, attn_fn=self.attn_fn
         )
         # host-side latent-bucket heuristic: the engine LEARNS the model's
-        # observed seconds-per-char (EMA over synthesized batches) so padded
-        # latent length tracks reality instead of a conservative constant —
-        # overpadding directly multiplies flow+vocoder compute. A safety
-        # margin absorbs variance; overflow triggers a re-run (rare).
-        self._spc_ema = 1.0 / 11.0  # conservative prior until first batch
+        # observed seconds-per-char so padded latent length tracks reality
+        # instead of a conservative constant — overpadding directly
+        # multiplies flow+vocoder compute. Estimate = max over a recent
+        # window (converges after ONE batch, no slow drift flipping buckets)
+        # times a safety margin; overflow triggers a re-run (rare).
+        from collections import deque
+
+        self._spc_window = deque(maxlen=16)  # empty -> conservative prior
+        self._spc_prior = 1.0 / 11.0
         self._spc_margin = 1.2
 
     # ------------------------------------------------------------------
@@ -173,7 +177,8 @@ class SynthesisEngine:
         # production path: one fused program, no mid-pipeline sync.
         # t bucket from the learned sec/char estimate; the returned
         # (unclamped) duration exposes overflows, which re-run bigger.
-        est_secs = l_true * self._spc_ema * self._spc_margin / min(speed, 1.0)
+        spc_est = max(self._spc_window) if self._spc_window else self._spc_prior
+        est_secs = l_true * spc_est * self._spc_margin / min(speed, 1.0)
         t_guess = buckets.latent_len_for_duration(est_secs, sr, chunk)
         t_bucket = buckets.pick_bucket(t_guess, rt.latent_buckets)
         for _attempt in range(4):
@@ -202,7 +207,7 @@ class SynthesisEngine:
                 np.asarray(text_mask)[:b_true].sum(axis=1), 1.0
             )
             obs_spc = float((dur[:b_true] * speed / row_chars).max())
-            self._spc_ema = 0.9 * self._spc_ema + 0.1 * obs_spc
+            self._spc_window.append(obs_spc)
             if t_needed <= t_bucket:
                 break
             t_bucket = buckets.pick_bucket(t_needed, rt.latent_buckets)
