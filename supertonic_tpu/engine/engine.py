@@ -101,7 +101,7 @@ class SynthesisEngine:
 
         self._spc_window = deque(maxlen=16)  # empty -> conservative prior
         self._spc_prior = 1.0 / 11.0
-        self._spc_margin = 1.2
+        self._spc_margin = 1.1
 
     # ------------------------------------------------------------------
     # internals
