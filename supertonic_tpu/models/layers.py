@@ -115,11 +115,11 @@ def rope_angles(positions: jax.Array, head_dim: int, theta: float) -> tuple[jax.
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """x: [B, H, T, Dh]; cos/sin: [B, T, Dh//2] or [T, Dh//2]."""
+    """x: [B, T, H, Dh]; cos/sin: [B, T, Dh//2] (broadcast over heads)."""
     x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
-    if cos.ndim == 3:  # per-batch positions -> broadcast over heads
-        cos = cos[:, None]
-        sin = sin[:, None]
+    if cos.ndim == 3:  # [B, T, Dh//2] -> add head axis
+        cos = cos[:, :, None, :]
+        sin = sin[:, :, None, :]
     out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
     return out.astype(x.dtype)
 
@@ -151,30 +151,35 @@ def mha_init(rng, dim: int, *, kv_dim: int | None = None) -> Params:
 
 
 def _split_heads(x: jax.Array, n_heads: int) -> jax.Array:
+    """[B, T, D] -> [B, T, H, Dh] — NO transpose: the [B,T,H,Dh] layout lets
+    XLA fold head batching into the attention einsums instead of emitting
+    explicit copy ops (measured ~10% of the estimator step)."""
     b, t, d = x.shape
-    return x.reshape(b, t, n_heads, d // n_heads).transpose(0, 2, 1, 3)
+    return x.reshape(b, t, n_heads, d // n_heads)
 
 
 def _merge_heads(x: jax.Array) -> jax.Array:
-    b, h, t, dh = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+    b, t, h, dh = x.shape
+    return x.reshape(b, t, h * dh)
 
 
 def attention_core(q, k, v, key_mask) -> jax.Array:
-    """q,k,v: [B,H,T,Dh]; key_mask: [B, Tk] (1 = valid). Returns [B,H,Tq,Dh].
+    """q,k,v: [B,T,H,Dh]; key_mask: [B, Tk] (1 = valid). Returns [B,Tq,H,Dh].
 
     Plain XLA path; the Pallas fused kernel in ops/attention.py is a drop-in
     replacement selected by the engine.
     """
     dh = q.shape[-1]
     logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     ) / math.sqrt(dh)
     if key_mask is not None:
         bias = (1.0 - key_mask.astype(jnp.float32))[:, None, None, :] * NEG_INF
         logits = logits + bias
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32).astype(v.dtype)
+    return jnp.einsum(
+        "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
+    ).astype(v.dtype)
 
 
 def mha(

@@ -51,7 +51,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
 
 def _fused_attention_call(q, k, v, key_mask, *, interpret: bool):
     b, h, tq, d = q.shape
-    tk = k.shape[2]
+    tk = k.shape[2]  # [B,H,T,D] here (post-transpose)
     scale = 1.0 / math.sqrt(d)
     kernel = functools.partial(_attn_kernel, scale=scale)
 
@@ -97,16 +97,26 @@ def _attn_kernel_nomask(q_ref, k_ref, v_ref, o_ref, *, scale: float):
 _MAX_PANEL = 4096
 
 
+def _to_bhtd(x):
+    return x.transpose(0, 2, 1, 3)
+
+
 def fused_attention(q, k, v, key_mask=None):
-    """Same contract as models.layers.attention_core."""
-    tq, tk = q.shape[2], k.shape[2]
+    """Same contract as models.layers.attention_core ([B,T,H,Dh] layout)."""
+    tq, tk = q.shape[1], k.shape[1]
     backend = jax.default_backend()
     if tq > _MAX_PANEL or tk > _MAX_PANEL:
         return attention_core(q, k, v, key_mask)
     interpret = backend != "tpu"
-    return _fused_attention_call(q, k, v, key_mask, interpret=interpret)
+    out = _fused_attention_call(
+        _to_bhtd(q), _to_bhtd(k), _to_bhtd(v), key_mask, interpret=interpret
+    )
+    return _to_bhtd(out)
 
 
 def fused_attention_interpret(q, k, v, key_mask=None):
-    """Force interpreter mode (for CPU parity tests)."""
-    return _fused_attention_call(q, k, v, key_mask, interpret=True)
+    """Force interpreter mode (for CPU parity tests). [B,T,H,Dh] layout."""
+    out = _fused_attention_call(
+        _to_bhtd(q), _to_bhtd(k), _to_bhtd(v), key_mask, interpret=True
+    )
+    return _to_bhtd(out)

@@ -10,10 +10,11 @@ from supertonic_tpu.ops import fused_attention_interpret
 
 
 def _qkv(b=2, h=2, tq=16, tk=24, d=32, seed=0, dtype=jnp.float32):
+    # [B, T, H, Dh] layout (models/layers.py attention contract)
     rng = np.random.default_rng(seed)
-    q = jnp.asarray(rng.standard_normal((b, h, tq, d)), dtype)
-    k = jnp.asarray(rng.standard_normal((b, h, tk, d)), dtype)
-    v = jnp.asarray(rng.standard_normal((b, h, tk, d)), dtype)
+    q = jnp.asarray(rng.standard_normal((b, tq, h, d)), dtype)
+    k = jnp.asarray(rng.standard_normal((b, tk, h, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((b, tk, h, d)), dtype)
     mask = jnp.asarray(
         (np.arange(tk)[None, :] < rng.integers(4, tk + 1, (b, 1))).astype(np.float32)
     )
@@ -49,7 +50,7 @@ def test_fused_attention_bf16():
 def test_fused_attention_fully_masked_row_safe():
     # rows with zero valid keys must not produce NaN
     q, k, v, _ = _qkv(seed=3)
-    mask = jnp.zeros((q.shape[0], k.shape[2]), jnp.float32)
+    mask = jnp.zeros((q.shape[0], k.shape[1]), jnp.float32)
     out = np.asarray(fused_attention_interpret(q, k, v, mask))
     assert np.isfinite(out).all()
 
