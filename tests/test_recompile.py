@@ -36,6 +36,9 @@ def test_same_bucket_no_recompile(engine, style):
     texts = ["Warm up sentence one x.", "Another test phrase ab.",
              "Third try wording etc.."]
     assert len({len(t) for t in texts}) == 1
+    # two warm calls: the first runs on the conservative prior bucket, the
+    # second on the learned sec/char bucket — stable from then on
+    engine.batch([texts[0]], ["en"], style, total_step=2)
     engine.batch([texts[0]], ["en"], style, total_step=2)
     n0 = engine._fused_fn._cache_size()
     for text in texts[1:]:
@@ -59,6 +62,7 @@ def test_bucket_ladder_bounds_compiles(engine, style, tiny_config):
 
 def test_batch_bucket_padding(engine, style):
     """Batch sizes pad up the ladder: 3 requests share the B=4 program."""
+    engine.batch(["a.", "b.", "c."], ["en"] * 3, style.tile(3), total_step=2)
     engine.batch(["a.", "b.", "c."], ["en"] * 3, style.tile(3), total_step=2)
     n0 = engine._fused_fn._cache_size()
     engine.batch(["d.", "e.", "f.", "g."], ["en"] * 4, style.tile(4),
