@@ -74,10 +74,20 @@ class SynthesisEngine:
         if mesh is not None:
             from ..parallel.mesh import shard_params
 
+            # fused projections break clean TP shard boundaries — only fuse
+            # when the model axis is trivial
+            if mesh.shape.get(cfg.runtime.model_axis, 1) == 1:
+                from ..models import fuse_projections
+
+                params = fuse_projections(params)
             self.params = shard_params(params, mesh)
             self._data_size = mesh.shape[cfg.runtime.data_axis]
         else:
-            self.params = jax.tree_util.tree_map(jnp.asarray, params)
+            from ..models import fuse_projections
+
+            self.params = jax.tree_util.tree_map(
+                jnp.asarray, fuse_projections(params)
+            )
             self._data_size = 1
         self.profiler = StageProfiler()
         self.egress_format = egress_format

@@ -21,9 +21,56 @@ def init_all(seed: int, cfg):
     }
 
 
+def fuse_projections(params):
+    """Derive fused QKV (self-attn) and KV (cross-attn) projection weights —
+    fewer, larger matmuls per transformer block. Apply AFTER checkpoint
+    load; do NOT use with tensor-parallel sharding (splitting the fused
+    output crosses shard boundaries and forces GSPMD reshards)."""
+    import copy
+
+    def fuse_block(bp):
+        bp = dict(bp)
+        sa = bp["self"]
+        bp["self"] = {
+            "qkv": {
+                "w": np.concatenate(
+                    [np.asarray(sa[k]["w"]) for k in ("q", "k", "v")], axis=1
+                ),
+                "b": np.concatenate(
+                    [np.asarray(sa[k]["b"]) for k in ("q", "k", "v")]
+                ),
+            },
+            "o": sa["o"],
+        }
+        if "cross" in bp:
+            ca = bp["cross"]
+            bp["cross"] = {
+                "q": ca["q"],
+                "kv": {
+                    "w": np.concatenate(
+                        [np.asarray(ca[k]["w"]) for k in ("k", "v")], axis=1
+                    ),
+                    "b": np.concatenate(
+                        [np.asarray(ca[k]["b"]) for k in ("k", "v")]
+                    ),
+                },
+                "o": ca["o"],
+            }
+        return bp
+
+    out = {}
+    for model, tree in params.items():
+        tree = dict(tree)
+        if "blocks" in tree:
+            tree["blocks"] = [fuse_block(bp) for bp in tree["blocks"]]
+        out[model] = tree
+    return out
+
+
 __all__ = [
     "count_params",
     "duration_predictor",
+    "fuse_projections",
     "init_all",
     "text_encoder",
     "vector_estimator",

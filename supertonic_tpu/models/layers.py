@@ -193,11 +193,29 @@ def mha(
     k_rope: tuple[jax.Array, jax.Array] | None = None,
     attn_fn=attention_core,
 ) -> jax.Array:
-    """Multi-head attention; self-attn when memory is None."""
+    """Multi-head attention; self-attn when memory is None.
+
+    Supports fused projections (derived offline by models.fuse_projections):
+    "qkv" replaces q/k/v for self-attn, "kv" replaces k/v for cross-attn —
+    fewer, larger matmuls (better MXU occupancy, fewer kernel launches).
+    """
     mem = x if memory is None else memory
-    q = _split_heads(linear(p["q"], x), n_heads)
-    k = _split_heads(linear(p["k"], mem), n_heads)
-    v = _split_heads(linear(p["v"], mem), n_heads)
+    if memory is None and "qkv" in p:
+        qkv = linear(p["qkv"], x)
+        q_, k_, v_ = jnp.split(qkv, 3, axis=-1)
+        q = _split_heads(q_, n_heads)
+        k = _split_heads(k_, n_heads)
+        v = _split_heads(v_, n_heads)
+    elif "kv" in p:
+        q = _split_heads(linear(p["q"], x), n_heads)
+        kv = linear(p["kv"], mem)
+        k_, v_ = jnp.split(kv, 2, axis=-1)
+        k = _split_heads(k_, n_heads)
+        v = _split_heads(v_, n_heads)
+    else:
+        q = _split_heads(linear(p["q"], x), n_heads)
+        k = _split_heads(linear(p["k"], mem), n_heads)
+        v = _split_heads(linear(p["v"], mem), n_heads)
     if q_rope is not None:
         q = apply_rope(q, *q_rope)
     if k_rope is not None:

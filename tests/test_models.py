@@ -183,3 +183,31 @@ def test_param_count_default_config_near_66m():
     params = init_all(0, cfg)
     n = count_params(params)
     assert 40e6 < n < 90e6, f"param count {n/1e6:.1f}M out of range"
+
+
+def test_fused_projections_parity(tiny_config):
+    """fuse_projections must be a pure refactor: identical outputs."""
+    from supertonic_tpu.models import fuse_projections
+
+    params = init_all(0, tiny_config)
+    fused = fuse_projections(params)
+    rng = np.random.default_rng(0)
+    b, l = 2, 16
+    ids = jnp.asarray(rng.integers(1, 200, (b, l)))
+    mask = jnp.ones((b, l), jnp.float32)
+    style = jnp.asarray(rng.standard_normal(
+        (b, tiny_config.ttl.style.n_style, tiny_config.ttl.style.style_value_dim)
+    ), jnp.float32)
+
+    ref = jax.jit(lambda: text_encoder.apply(
+        params["text_encoder"], tiny_config, ids, style, mask))()
+    got = jax.jit(lambda: text_encoder.apply(
+        fused["text_encoder"], tiny_config, ids, style, mask))()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    dref = jax.jit(lambda: duration_predictor.apply(
+        params["duration_predictor"], tiny_config, ids, style, mask))()
+    dgot = jax.jit(lambda: duration_predictor.apply(
+        fused["duration_predictor"], tiny_config, ids, style, mask))()
+    np.testing.assert_allclose(np.asarray(dgot), np.asarray(dref), atol=1e-6)
