@@ -1,0 +1,97 @@
+// Native self-test driver for the C++ frontend — built with ASan/UBSan via
+// `make sanitize` (the reference has no sanitizer coverage at all; its C++
+// port even uses deliberately unsafe global tensor buffers,
+// cpp/helper.cpp:17-24). Exercises preprocessing across scripts, edge cases
+// and adversarial buffers; exit 0 = pass.
+
+#include <cassert>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+extern "C" {
+int stpu_preprocess(const char* utf8, const char* lang, char* out, int cap);
+long stpu_tokenize(const char* utf8, const long long* indexer, long table_len,
+                   long long* out_ids, long cap);
+int stpu_version();
+}
+
+static int check(const char* text, const char* lang, const char* expect) {
+  char buf[4096];
+  int n = stpu_preprocess(text, lang, buf, sizeof buf);
+  if (n < 0) {
+    std::printf("FAIL %s: rc=%d\n", text, n);
+    return 1;
+  }
+  if (expect && std::strcmp(buf, expect) != 0) {
+    std::printf("FAIL %s: got %s want %s\n", text, buf, expect);
+    return 1;
+  }
+  return 0;
+}
+
+int main() {
+  int fails = 0;
+  assert(stpu_version() == 1);
+
+  fails += check("Hello world", "en", "<en>Hello world.</en>");
+  fails += check("what ?", "en", "<en>what?</en>");
+  fails += check("a–b", "en", "<en>a-b.</en>");
+  fails += check("café", "fr", nullptr);        // NFKD decomposition
+  fails += check("안녕", "ko", nullptr);      // Hangul Jamo
+  fails += check("", "en", "<en>.</en>");
+
+  // invalid lang
+  char buf[64];
+  if (stpu_preprocess("hi", "de", buf, sizeof buf) != -1) {
+    std::printf("FAIL: invalid lang accepted\n");
+    ++fails;
+  }
+  // overflow guard
+  if (stpu_preprocess("hello", "en", buf, 3) != -2) {
+    std::printf("FAIL: overflow not detected\n");
+    ++fails;
+  }
+  // malformed UTF-8 must not crash (ASan-guarded)
+  const char bad[] = {char(0xC3), char(0x28), char(0xE2), char(0x82),
+                      char(0xFF), char(0xF0), 0};
+  fails += check(bad, "en", nullptr);
+  // truncated multibyte at end of string
+  const char trunc[] = {'a', char(0xE2), char(0x82), 0};
+  fails += check(trunc, "en", nullptr);
+
+  // tokenize path
+  long long table[128];
+  for (int i = 0; i < 128; ++i) table[i] = i + 1;
+  long long ids[64];
+  long n = stpu_tokenize("abc", table, 128, ids, 64);
+  if (n != 3 || ids[0] != 'a' + 1) {
+    std::printf("FAIL tokenize\n");
+    ++fails;
+  }
+  // out-of-table codepoint -> 0
+  n = stpu_tokenize("é", table, 128, ids, 64);
+  if (n != 1 || ids[0] != 0) {
+    std::printf("FAIL tokenize oob\n");
+    ++fails;
+  }
+  // cap too small
+  if (stpu_tokenize("abcdef", table, 128, ids, 2) != -2) {
+    std::printf("FAIL tokenize cap\n");
+    ++fails;
+  }
+
+  // stress: long mixed-script input
+  std::string big;
+  for (int i = 0; i < 2000; ++i) big += "café 안녕 x ";
+  std::vector<char> out(big.size() * 4 + 64);
+  if (stpu_preprocess(big.c_str(), "en", out.data(),
+                      static_cast<int>(out.size())) < 0) {
+    std::printf("FAIL stress\n");
+    ++fails;
+  }
+
+  if (fails == 0) std::printf("NATIVE FRONTEND TESTS PASSED\n");
+  return fails ? 1 : 0;
+}

@@ -97,3 +97,22 @@ def test_random_unicode_fuzz():
         py = preprocess_text(text, "en")
         cc = native_preprocess(text, "en")
         assert cc == py, f"fuzz mismatch for {text!r}"
+
+
+def test_sanitized_native_build(tmp_path):
+    """Run the C++ test driver under ASan/UBSan (make sanitize)."""
+    import os
+    import subprocess
+
+    native_dir = os.path.join(
+        os.path.dirname(__file__), "..", "supertonic_tpu", "native"
+    )
+    try:
+        proc = subprocess.run(
+            ["make", "-C", native_dir, "sanitize"],
+            capture_output=True, text=True, timeout=300,
+        )
+    except (FileNotFoundError, subprocess.TimeoutExpired):
+        pytest.skip("no native toolchain")
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "NATIVE FRONTEND TESTS PASSED" in proc.stdout
