@@ -71,23 +71,17 @@ class SynthesisEngine:
         self.precision = precision or cfg.runtime.precision
         self.attn_fn = attn_fn or L.attention_core
         self.mesh = mesh
+        # NOTE: models.fuse_projections (merged QKV/KV matmuls) was measured
+        # 2x SLOWER end-to-end on TPU — splitting the fused output
+        # materializes [B,T,3D] and defeats XLA's consumer fusion of the
+        # separate projections. The engine deliberately keeps params unfused.
         if mesh is not None:
             from ..parallel.mesh import shard_params
 
-            # fused projections break clean TP shard boundaries — only fuse
-            # when the model axis is trivial
-            if mesh.shape.get(cfg.runtime.model_axis, 1) == 1:
-                from ..models import fuse_projections
-
-                params = fuse_projections(params)
             self.params = shard_params(params, mesh)
             self._data_size = mesh.shape[cfg.runtime.data_axis]
         else:
-            from ..models import fuse_projections
-
-            self.params = jax.tree_util.tree_map(
-                jnp.asarray, fuse_projections(params)
-            )
+            self.params = jax.tree_util.tree_map(jnp.asarray, params)
             self._data_size = 1
         self.profiler = StageProfiler()
         self.egress_format = egress_format
