@@ -333,6 +333,14 @@ class SynthesisEngine:
             for w, d in zip(self.trim(wavs, durs), durs):
                 yield w, float(d)
 
+    def to_host(self, wav_dev) -> np.ndarray:
+        """Transfer a device waveform (device_output=True result) to a host
+        f32 array, undoing the int16 egress quantization."""
+        wav_np = np.asarray(wav_dev)
+        if wav_np.dtype == np.int16:
+            wav_np = wav_np.astype(np.float32) / 32767.0
+        return wav_np
+
     # convenience: reference example trims at save time (py/example_onnx.py:113)
     def trim(self, wav: np.ndarray, duration: np.ndarray) -> list[np.ndarray]:
         sr = self.cfg.sample_rate

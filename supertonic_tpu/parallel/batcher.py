@@ -9,13 +9,16 @@ This batcher coalesces concurrent requests into bucketed batches:
     program shape serves the whole group, no padding blowup from one long
     outlier);
   * every request carries its own voice style row — mixed-style batches are
-    native (style tensors are per-utterance batch rows, SURVEY.md §2.6).
+    native (style tensors are per-utterance batch rows, SURVEY.md §2.6);
+  * device->host egress is pipelined: each group's waveform transfer runs on
+    an egress thread while the NEXT group's compute dispatches (XLA dispatch
+    is async, so chip and PCIe/link stay busy simultaneously).
 """
 
 from __future__ import annotations
 
 import threading
-from concurrent.futures import Future
+from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -50,6 +53,8 @@ class ContinuousBatcher:
         self._wake = threading.Condition(self._lock)
         self._stop = False
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0}
+        self._egress = ThreadPoolExecutor(max_workers=2,
+                                          thread_name_prefix="tts-egress")
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -77,6 +82,7 @@ class ContinuousBatcher:
             self._stop = True
             self._wake.notify()
         self._thread.join(timeout=30)
+        self._egress.shutdown(wait=True)
 
     # ------------------------------------------------------------------
     def _run(self):
@@ -108,15 +114,28 @@ class ContinuousBatcher:
                     np.concatenate([r.style.ttl for r in reqs]),
                     np.concatenate([r.style.dp for r in reqs]),
                 )
-                wav, dur = self.engine.batch(
+                # compute stays on this thread (keeps dispatch order);
+                # the waveform stays on device and the transfer+trim run on
+                # the egress pool, overlapping the next group's compute
+                wav_dev, dur = self.engine.infer_batch(
                     [r.text for r in reqs], [r.lang for r in reqs],
-                    style, total_step, speed,
+                    style, total_step, speed, device_output=True,
                 )
-                trimmed = self.engine.trim(wav, dur)
                 self.stats["batches"] += 1
                 self.stats["batched_requests"] += len(reqs)
-                for r, w, d in zip(reqs, trimmed, dur):
-                    r.future.set_result((w, float(d)))
+
+                def egress(reqs=reqs, wav_dev=wav_dev, dur=dur):
+                    try:
+                        wav = self.engine.to_host(wav_dev)
+                        trimmed = self.engine.trim(wav, dur)
+                        for r, w, d in zip(reqs, trimmed, dur):
+                            r.future.set_result((w, float(d)))
+                    except Exception as e:  # pragma: no cover
+                        for r in reqs:
+                            if not r.future.done():
+                                r.future.set_exception(e)
+
+                self._egress.submit(egress)
             except Exception as e:  # pragma: no cover
                 for r in reqs:
                     if not r.future.done():
