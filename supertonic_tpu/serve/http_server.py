@@ -3,11 +3,14 @@
 Same wire contract as the reference FastAPI service (py/service.py) and as
 our optional FastAPI app (app.py — used when fastapi is installed):
 
-    GET  /health   -> 200 {"status": "ok"}
-    GET  /metrics  -> 200 JSON profiler counters
-    POST /tts      -> single: audio/wav stream; batch: application/zip
-                      400 on validation errors {"detail": ...}
-                      422 on schema/bounds errors (pydantic-compatible)
+    GET  /health      -> 200 {"status": "ok"}
+    GET  /metrics     -> 200 JSON profiler counters
+    POST /tts         -> single: audio/wav stream; batch: application/zip
+                         400 on validation errors {"detail": ...}
+                         422 on schema/bounds errors (pydantic-compatible)
+    POST /tts/stream  -> chunked-transfer WAV: audio begins flowing after the
+                         FIRST text chunk synthesizes (long-form
+                         time-to-first-audio; ours — no reference analog)
 
 Threaded server: requests serialize around the engine lock (XLA dispatch is
 already async; a single engine saturates one chip — run one process per
@@ -155,14 +158,64 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000) -> ThreadingHTTPSe
             else:
                 self._send_json(404, {"detail": "not found"})
 
+        def _write_chunk(self, data: bytes):
+            self.wfile.write(f"{len(data):X}\r\n".encode())
+            self.wfile.write(data)
+            self.wfile.write(b"\r\n")
+
+        def _stream_tts(self, req: dict):
+            """Chunked WAV: header with streaming sentinel sizes, then PCM16
+            per synthesized text chunk."""
+            import struct
+
+            texts = _ensure_list(req["text"])
+            langs = _ensure_list(req["lang"])
+            styles = _ensure_list(req["voice_style"])
+            if len(texts) != 1 or len(langs) != 1 or len(styles) != 1:
+                raise ValidationError(
+                    400, "Streaming requires single text, lang, and voice_style."
+                )
+            if langs[0] not in AVAILABLE_LANGS:
+                raise ValidationError(400, f"Invalid language(s): {langs[0]}")
+            style = service.get_style(styles[0])
+            sr = service.tts.sample_rate
+
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            # streaming WAV header: 0xFFFFFFFF sizes (unknown length)
+            header = (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+                      + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr,
+                                              sr * 2, 2, 16)
+                      + b"data" + struct.pack("<I", 0xFFFFFFFF))
+            self._write_chunk(header)
+            gap = np.zeros(int(req["silence_duration"] * sr), np.float32)
+            with service._lock:
+                first = True
+                for wav, _dur in service.tts.engine.stream(
+                    texts[0], langs[0], style, req["total_step"], req["speed"]
+                ):
+                    if not first and len(gap):
+                        self._write_chunk(
+                            (gap * 32767).astype("<i2").tobytes()
+                        )
+                    first = False
+                    pcm = (np.clip(wav, -1, 1) * 32767).astype("<i2")
+                    self._write_chunk(pcm.tobytes())
+            self.wfile.write(b"0\r\n\r\n")
+
         def do_POST(self):
-            if self.path != "/tts":
+            if self.path not in ("/tts", "/tts/stream"):
                 self._send_json(404, {"detail": "not found"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(length) or b"{}")
                 req = _parse_request(body)
+                if self.path == "/tts/stream":
+                    self._stream_tts(req)
+                    return
                 payload, ctype, fname = service.synthesize(req)
             except ValidationError as e:
                 self._send_json(e.status, {"detail": e.detail})

@@ -123,3 +123,36 @@ def test_concurrent_requests(base_url):
     for t in threads:
         t.join()
     assert results == [200] * 4
+
+
+def test_streaming_endpoint(base_url):
+    long_text = " ".join(
+        f"Streaming sentence number {i} with several more words attached."
+        for i in range(8)
+    )
+    pcm = bytearray()
+    with httpx.stream(
+        "POST", f"{base_url}/tts/stream",
+        json={"text": long_text, "total_step": 2}, timeout=300,
+    ) as r:
+        assert r.status_code == 200
+        assert r.headers["content-type"] == "audio/wav"
+        for chunk in r.iter_bytes():
+            pcm.extend(chunk)
+    # RIFF header + at least a second of 16 kHz PCM16
+    assert pcm[:4] == b"RIFF" and pcm[8:12] == b"WAVE"
+    assert len(pcm) > 44 + 16000 * 2
+    samples = np.frombuffer(bytes(pcm[44:]), dtype="<i2")
+    assert np.abs(samples).max() > 0
+
+
+def test_streaming_rejects_batch(base_url):
+    r = httpx.post(f"{base_url}/tts/stream",
+                   json={"text": ["a", "b"], "lang": ["en", "en"],
+                         "voice_style": ["M1", "M1"]})
+    assert r.status_code == 400
+
+
+def test_streaming_invalid_lang(base_url):
+    r = httpx.post(f"{base_url}/tts/stream", json={"text": "Hi.", "lang": "xx"})
+    assert r.status_code == 400
