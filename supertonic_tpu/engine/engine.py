@@ -141,6 +141,8 @@ class SynthesisEngine:
         assert len(text_list) == style.batch, (
             "Number of texts must match number of style vectors"
         )
+        if not text_list:
+            return (np.zeros((0, 0), np.float32), np.zeros((0,), np.float32))
         t_start = time.perf_counter()
         b_true = len(text_list)
         rt = self.cfg.runtime

@@ -274,9 +274,11 @@ def block(
     k_rope_cross=None,
     cond: jax.Array | None = None,
     attn_fn=attention_core,
+    fused_ffn: bool = False,
 ) -> jax.Array:
     """Pre-LN transformer block: self-attn [+ cross-attn] + FFN, optionally
-    AdaLN-Zero conditioned on ``cond`` [B, cond_dim]."""
+    AdaLN-Zero conditioned on ``cond`` [B, cond_dim]. ``fused_ffn`` routes
+    the AdaLN-FFN sublayer through the Pallas kernel (ops/ffn.py)."""
     has_cross = "cross" in p
     if cond is not None and "adaln" in p:
         mods = linear(p["adaln"], cond)[:, None, :]  # [B,1,3*n_sub*dim]
@@ -302,6 +304,20 @@ def block(
                            key_mask=memory_mask,
                            q_rope=q_rope_cross, k_rope=k_rope_cross, attn_fn=attn_fn)
         i_sub += 1
+    if fused_ffn and mods is not None:
+        from ..ops.ffn import fused_adaln_ffn
+
+        shift, scale, gate = (mods[3 * i_sub], mods[3 * i_sub + 1],
+                              mods[3 * i_sub + 2])
+        return fused_adaln_ffn(
+            x,
+            jnp.asarray(p["ln3"]["g"]), jnp.asarray(p["ln3"]["b"]),
+            jnp.asarray(p["ffn"]["in"]["w"], x.dtype),
+            jnp.asarray(p["ffn"]["in"]["b"], jnp.float32),
+            jnp.asarray(p["ffn"]["out"]["w"], x.dtype),
+            jnp.asarray(p["ffn"]["out"]["b"], jnp.float32),
+            shift, scale, gate,
+        )
     h, gate = mod(i_sub, layer_norm(p["ln3"], x))
     x = x + gate * ffn(p["ffn"], h)
     return x

@@ -63,6 +63,7 @@ def velocity(
     *,
     dtype=jnp.float32,
     attn_fn=L.attention_core,
+    fused_ffn: bool = False,
 ) -> jax.Array:
     hp = cfg.vector_estimator
     b, T, _ = latent.shape
@@ -101,7 +102,7 @@ def velocity(
             self_mask=latent_mask, self_rope=q_rope,
             memory=memory, memory_mask=mem_mask,
             q_rope_cross=q_rope, k_rope_cross=mem_rope,
-            cond=cond, attn_fn=attn_fn,
+            cond=cond, attn_fn=attn_fn, fused_ffn=fused_ffn,
         )
 
     h = L.layer_norm(params["ln_out"], x)
@@ -124,6 +125,7 @@ def step(
     *,
     dtype=jnp.float32,
     attn_fn=L.attention_core,
+    fused_ffn: bool = False,
 ) -> jax.Array:
     """One full flow step: x_{t+dt} = x_t + dt * v(x_t, t). Matches the
     reference vector_estimator.onnx call-site semantics exactly."""
@@ -132,6 +134,7 @@ def step(
     v = velocity(
         params, cfg, noisy_latent, text_emb, style_ttl,
         text_mask, latent_mask, t, dtype=dtype, attn_fn=attn_fn,
+        fused_ffn=fused_ffn,
     )
     x = noisy_latent.astype(jnp.float32) + dt * v
     return x * latent_mask[:, :, None]

@@ -83,3 +83,67 @@ def test_model_with_fused_attention_matches(tiny_config):
     out = jax.jit(lambda: step_with(fused_attention_interpret))()
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+class TestFusedFFN:
+    def test_matches_xla_path(self, tiny_config):
+        """Fused AdaLN-FFN kernel vs the unfused block math (f32)."""
+        from supertonic_tpu.models import init_all, vector_estimator, text_encoder
+
+        params = init_all(0, tiny_config)
+        # randomize AdaLN so modulation is exercised
+        rng = np.random.default_rng(9)
+        for bp in params["vector_estimator"]["blocks"]:
+            bp["adaln"]["w"] = (
+                rng.standard_normal(bp["adaln"]["w"].shape) * 0.05
+            ).astype(np.float32)
+        cfg = tiny_config
+        b, l, t = 2, 16, 12
+        ids = jnp.asarray(rng.integers(1, 200, (b, l)))
+        tmask = jnp.ones((b, l), jnp.float32)
+        style = jnp.asarray(rng.standard_normal(
+            (b, cfg.ttl.style.n_style, cfg.ttl.style.style_value_dim)),
+            jnp.float32)
+        lat = jnp.asarray(rng.standard_normal((b, t, cfg.latent_channels)),
+                          jnp.float32)
+        lmask = jnp.ones((b, t), jnp.float32)
+        emb = jax.jit(lambda: text_encoder.apply(
+            params["text_encoder"], cfg, ids, style, tmask))()
+
+        def step(fused):
+            return vector_estimator.step(
+                params["vector_estimator"], cfg, lat, emb, style, tmask,
+                lmask, jnp.zeros((b,)), jnp.full((b,), 4.0),
+                fused_ffn=fused,
+            )
+
+        ref = jax.jit(lambda: step(False))()
+        got = jax.jit(lambda: step(True))()
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_kernel_direct(self):
+        from supertonic_tpu.ops.ffn import fused_adaln_ffn
+
+        rng = np.random.default_rng(0)
+        b, t, d, f = 2, 8, 32, 64
+        x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+        g = jnp.ones((d,), jnp.float32)
+        bb = jnp.zeros((d,), jnp.float32)
+        w1 = jnp.asarray(rng.standard_normal((d, f)) * 0.1, jnp.float32)
+        b1 = jnp.zeros((f,), jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((f, d)) * 0.1, jnp.float32)
+        b2 = jnp.zeros((d,), jnp.float32)
+        shift = jnp.zeros((b, 1, d), jnp.float32)
+        scale = jnp.zeros((b, 1, d), jnp.float32)
+        gate = jnp.ones((b, 1, d), jnp.float32)
+        out = fused_adaln_ffn(x, g, bb, w1, b1, w2, b2, shift, scale, gate,
+                              interpret=True)
+        # manual reference
+        from supertonic_tpu.models.layers import layer_norm
+
+        h = layer_norm({"g": g, "b": bb}, x)
+        mid = jax.nn.silu(h @ w1 + b1)
+        want = x + mid @ w2 + b2
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
