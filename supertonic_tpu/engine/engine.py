@@ -61,6 +61,7 @@ class SynthesisEngine:
         seed: int = 0,
         egress_format: str = "int16",
         mesh=None,
+        fused_ffn: bool = False,
     ):
         """``mesh``: optional jax.sharding.Mesh (axes 'data'/'model', see
         parallel.make_mesh). Params are placed with TP shardings (replicated
@@ -90,10 +91,12 @@ class SynthesisEngine:
             cfg, precision=self.precision, attn_fn=self.attn_fn
         )
         self._acoustic_fn = synthesis.jit_acoustic_stage(
-            cfg, precision=self.precision, attn_fn=self.attn_fn
+            cfg, precision=self.precision, attn_fn=self.attn_fn,
+            fused_ffn=fused_ffn,
         )
         self._fused_fn = synthesis.jit_synthesize_fused(
-            cfg, precision=self.precision, attn_fn=self.attn_fn
+            cfg, precision=self.precision, attn_fn=self.attn_fn,
+            fused_ffn=fused_ffn,
         )
         # host-side latent-bucket heuristic: the engine LEARNS the model's
         # observed seconds-per-char so padded latent length tracks reality

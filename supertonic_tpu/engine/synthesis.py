@@ -73,6 +73,7 @@ def acoustic_stage(
     *,
     precision: str = "bf16",
     attn_fn=L.attention_core,
+    fused_ffn: bool = False,
 ) -> jax.Array:
     """Flow-matching Euler loop + vocoder. Returns wav [B, T*chunk] f32.
 
@@ -91,6 +92,7 @@ def acoustic_stage(
         return vector_estimator.step(
             params["vector_estimator"], cfg, x, text_emb, style_ttl,
             text_mask, latent_mask, cur, tot, dtype=dtype, attn_fn=attn_fn,
+            fused_ffn=fused_ffn,
         )
 
     xt = jax.lax.fori_loop(0, total_step, body, x0)
@@ -154,6 +156,7 @@ def synthesize_fused(
     egress: str = "int16",   # STATIC: "int16" halves egress bytes (the WAV
                              # target format anyway); "f32" for parity
     attn_fn=L.attention_core,
+    fused_ffn: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """The production path: ONE compiled program, ZERO mid-pipeline host
     syncs. The reference crosses the host boundary 3 + total_step times per
@@ -180,7 +183,7 @@ def synthesize_fused(
     noise = jax.random.normal(key, (b, t_pad, cfg.latent_channels), jnp.float32)
     wav = acoustic_stage(
         params, cfg, emb, style_ttl, text_mask, latent_mask, noise,
-        total_step, precision=precision, attn_fn=attn_fn,
+        total_step, precision=precision, attn_fn=attn_fn, fused_ffn=fused_ffn,
     )
     if egress == "int16":
         wav = jnp.clip(wav * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
@@ -188,10 +191,11 @@ def synthesize_fused(
 
 
 def jit_synthesize_fused(cfg: TTSConfig, *, precision="bf16", attn_fn=None,
+                         fused_ffn=False,
                          in_shardings=None, out_shardings=None) -> Callable:
     fn = functools.partial(
         synthesize_fused, precision=precision,
-        attn_fn=attn_fn or L.attention_core,
+        attn_fn=attn_fn or L.attention_core, fused_ffn=fused_ffn,
     )
 
     def closed(params, ids, mask, sdp, sttl, key, speed, total_step, t_pad,
@@ -230,10 +234,11 @@ def jit_text_stage(cfg: TTSConfig, *, precision="bf16", attn_fn=None,
 
 
 def jit_acoustic_stage(cfg: TTSConfig, *, precision="bf16",
-                       attn_fn=None, in_shardings=None, out_shardings=None) -> Callable:
+                       attn_fn=None, fused_ffn=False,
+                       in_shardings=None, out_shardings=None) -> Callable:
     fn = functools.partial(
         acoustic_stage, precision=precision,
-        attn_fn=attn_fn or L.attention_core,
+        attn_fn=attn_fn or L.attention_core, fused_ffn=fused_ffn,
     )
 
     def closed(params, emb, sttl, tmask, lmask, noise, total_step):
