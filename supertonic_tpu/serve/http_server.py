@@ -22,6 +22,7 @@ from __future__ import annotations
 import io
 import json
 import threading
+import time
 import zipfile
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -29,6 +30,7 @@ import numpy as np
 
 from ..config import AVAILABLE_LANGS
 from ..utils import sanitize_filename, wav_bytes
+from ..utils.logging import default_logger as log
 
 
 class ValidationError(Exception):
@@ -209,20 +211,29 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000) -> ThreadingHTTPSe
             if self.path not in ("/tts", "/tts/stream"):
                 self._send_json(404, {"detail": "not found"})
                 return
+            t0 = time.perf_counter()
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(length) or b"{}")
                 req = _parse_request(body)
                 if self.path == "/tts/stream":
                     self._stream_tts(req)
+                    log.info("tts_stream", latency_s=round(
+                        time.perf_counter() - t0, 4))
                     return
                 payload, ctype, fname = service.synthesize(req)
             except ValidationError as e:
+                log.warning("tts_rejected", status=e.status, detail=e.detail)
                 self._send_json(e.status, {"detail": e.detail})
                 return
             except json.JSONDecodeError:
                 self._send_json(422, {"detail": "invalid JSON body"})
                 return
+            log.info(
+                "tts", batch=bool(req["batch"]),
+                total_step=req["total_step"], bytes=len(payload),
+                latency_s=round(time.perf_counter() - t0, 4),
+            )
             self.send_response(200)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(payload)))

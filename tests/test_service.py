@@ -156,3 +156,16 @@ def test_streaming_rejects_batch(base_url):
 def test_streaming_invalid_lang(base_url):
     r = httpx.post(f"{base_url}/tts/stream", json={"text": "Hi.", "lang": "xx"})
     assert r.status_code == 400
+
+
+def test_structured_request_logging(base_url, capfd):
+    import io
+    from supertonic_tpu.utils.logging import JsonLogger
+
+    buf = io.StringIO()
+    lg = JsonLogger(stream=buf, name="t")
+    lg.info("hello", n=3)
+    import json as _json
+
+    rec = _json.loads(buf.getvalue())
+    assert rec["event"] == "hello" and rec["n"] == 3 and rec["level"] == "info"
