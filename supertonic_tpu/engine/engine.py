@@ -338,6 +338,75 @@ class SynthesisEngine:
             for w, d in zip(self.trim(wavs, durs), durs):
                 yield w, float(d)
 
+    def infer_with_progress(
+        self,
+        text: str,
+        lang: str,
+        style: VoiceStyle,
+        total_step: int = 5,
+        speed: float = 1.05,
+        progress_callback=None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Single-utterance synthesis with a per-denoise-step callback
+        (reference web port behavior, web/helper.js:215-218): the Euler loop
+        runs step-at-a-time through a jitted single-step program so
+        ``progress_callback(step, total_step)`` fires between steps. Slower
+        than the fused path (one dispatch per step) — use for interactive
+        UIs, not serving."""
+        assert style.batch == 1
+        if not hasattr(self, "_step_fn"):
+            from ..models import vector_estimator, vocoder as _vocoder
+
+            def _one_step(params, x, emb, sttl, tmask, lmask, cur, tot):
+                return vector_estimator.step(
+                    params["vector_estimator"], self.cfg, x, emb, sttl,
+                    tmask, lmask, cur, tot,
+                    dtype=jnp.bfloat16 if self.precision == "bf16" else jnp.float32,
+                    attn_fn=self.attn_fn,
+                )
+
+            def _voc(params, x):
+                return _vocoder.apply(
+                    params["vocoder"], self.cfg, x,
+                    dtype=jnp.bfloat16 if self.precision == "bf16" else jnp.float32,
+                )
+
+            self._step_fn = jax.jit(_one_step)
+            self._vocoder_fn = jax.jit(_voc)
+
+        rt = self.cfg.runtime
+        chunk = self.cfg.chunk_size
+        sr = self.cfg.sample_rate
+        ids, mask3 = self.processor([text], [lang])
+        l_bucket = buckets.pick_bucket(ids.shape[1], rt.text_buckets)
+        ids = np.pad(ids, ((0, 0), (0, l_bucket - ids.shape[1])))
+        mask = np.pad(mask3[:, 0, :], ((0, 0), (0, l_bucket - mask3.shape[2])))
+        dur_dev, emb = self._text_fn(
+            self.params, jnp.asarray(ids, jnp.int32),
+            jnp.asarray(mask, jnp.float32), jnp.asarray(style.dp, jnp.float32),
+            jnp.asarray(style.ttl, jnp.float32), jnp.float32(speed),
+        )
+        dur = np.asarray(dur_dev)
+        t_lat = buckets.latent_len_for_duration(float(dur[0]), sr, chunk)
+        t_bucket = buckets.pick_bucket(t_lat, rt.latent_buckets)
+        lmask = (np.arange(t_bucket)[None, :] < t_lat).astype(np.float32)
+        xt = jax.random.normal(
+            self._next_key(), (1, t_bucket, self.cfg.latent_channels)
+        ) * jnp.asarray(lmask)[:, :, None]
+        sttl = jnp.asarray(style.ttl, jnp.float32)
+        tmask = jnp.asarray(mask, jnp.float32)
+        lmask_dev = jnp.asarray(lmask)
+        tot = jnp.full((1,), float(total_step), jnp.float32)
+        for step in range(total_step):
+            xt = self._step_fn(
+                self.params, xt, emb, sttl, tmask, lmask_dev,
+                jnp.full((1,), float(step), jnp.float32), tot,
+            )
+            if progress_callback is not None:
+                progress_callback(step + 1, total_step)
+        wav = np.asarray(self._vocoder_fn(self.params, xt))
+        return wav, dur
+
     def to_host(self, wav_dev) -> np.ndarray:
         """Transfer a device waveform (device_output=True result) to a host
         f32 array, undoing the int16 egress quantization."""

@@ -141,3 +141,15 @@ class TestTopLevelAPI:
 
         w, sr = read_wav(str(out))
         assert sr == tiny_config.sample_rate
+
+
+def test_infer_with_progress(engine, style):
+    calls = []
+    wav, dur = engine.infer_with_progress(
+        "Progress callback check.", "en", style, total_step=3,
+        progress_callback=lambda s, t: calls.append((s, t)),
+    )
+    assert calls == [(1, 3), (2, 3), (3, 3)]
+    assert wav.shape[0] == 1
+    assert float(dur[0]) > 0
+    assert wav.shape[1] >= int(engine.cfg.sample_rate * float(dur[0]))
