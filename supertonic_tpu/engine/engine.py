@@ -403,6 +403,9 @@ class SynthesisEngine:
                 jnp.full((1,), float(step), jnp.float32), tot,
             )
             if progress_callback is not None:
+                # async dispatch would fire all callbacks instantly; progress
+                # means COMPLETED steps, so sync before reporting
+                jax.block_until_ready(xt)
                 progress_callback(step + 1, total_step)
         wav = np.asarray(self._vocoder_fn(self.params, xt))
         return wav, dur
