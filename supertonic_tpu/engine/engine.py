@@ -324,13 +324,16 @@ class SynthesisEngine:
     ):
         """Long-form streaming: yields (trimmed wav [T] f32, duration s) per
         chunk as soon as it is synthesized — playback can start after chunk
-        one (time-to-first-audio) while later groups synthesize. Chunks are
-        processed in small batched groups (group_size) to keep the MXU fed
-        without delaying the first yield behind the whole document."""
+        one (time-to-first-audio) while later groups synthesize. The FIRST
+        group is always a single chunk (minimum time-to-first-audio); later
+        chunks batch up to ``group_size`` to keep the MXU fed."""
         assert style.batch == 1
         chunks = chunk_text(text, max_len=max_len_for_lang(lang))
-        for i in range(0, len(chunks), group_size):
-            group = chunks[i : i + group_size]
+        i = 0
+        while i < len(chunks):
+            n = 1 if i == 0 else group_size
+            group = chunks[i : i + n]
+            i += len(group)
             wavs, durs = self.infer_batch(
                 group, [lang] * len(group), style.tile(len(group)),
                 total_step, speed,

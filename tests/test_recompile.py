@@ -68,3 +68,35 @@ def test_batch_bucket_padding(engine, style):
     engine.batch(["d.", "e.", "f.", "g."], ["en"] * 4, style.tile(4),
                  total_step=2)
     assert engine._fused_fn._cache_size() == n0  # same B=4 bucket
+
+
+def test_text_bucket_invariance(tiny_config, style):
+    """The same text padded into DIFFERENT text buckets must synthesize the
+    same waveform (identical injected noise): masking makes padding
+    semantically inert end-to-end."""
+    import dataclasses
+
+    from supertonic_tpu.frontend import UnicodeProcessor, build_default_indexer
+    from supertonic_tpu.models import init_all as _init
+
+    params = _init(0, tiny_config)
+    proc = UnicodeProcessor(build_default_indexer())
+    noise = np.random.default_rng(11).standard_normal(
+        (1, 64, tiny_config.latent_channels)).astype(np.float32)
+
+    wavs = []
+    for ladder in ((64, 128), (96, 192)):
+        cfg2 = dataclasses.replace(
+            tiny_config,
+            runtime=dataclasses.replace(
+                tiny_config.runtime, text_buckets=ladder),
+        )
+        eng = SynthesisEngine(params, cfg2, proc, precision="f32", seed=0)
+        w, d = eng.infer_batch(
+            ["Bucket invariance probe text."], ["en"], style, 2, 1.05,
+            noise=noise,
+        )
+        wavs.append((w, d))
+    (w1, d1), (w2, d2) = wavs
+    np.testing.assert_allclose(d1, d2, atol=1e-6)
+    np.testing.assert_allclose(w1, w2, atol=3e-5)
