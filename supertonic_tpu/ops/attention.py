@@ -101,6 +101,77 @@ def _to_bhtd(x):
     return x.transpose(0, 2, 1, 3)
 
 
+# ---------------------------------------------------------------------------
+# v2: one grid cell per BATCH ROW, heads unrolled inside the kernel.
+# The per-(batch, head) grid (v1 below) was launch-bound: B*H tiny programs
+# at ~10 us each. One cell per row amortizes the launch over all heads while
+# logits/softmax stay in VMEM — the XLA path's dominant cost is exactly the
+# ~5 HBM passes over the f32 [B,H,Tq,Tk] logits (measured via xplane trace).
+# ---------------------------------------------------------------------------
+
+def _attn_kernel_rows(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                      scale: float, n_heads: int):
+    if mask_ref is not None:
+        bias = (1.0 - mask_ref[0].astype(jnp.float32)) * NEG_INF  # [1, Tk]
+    for h in range(n_heads):  # static unroll
+        q = q_ref[0, :, h, :].astype(jnp.float32)     # [Tq, D]
+        k = k_ref[0, :, h, :].astype(jnp.float32)     # [Tk, D]
+        v = v_ref[0, :, h, :]                          # [Tk, D]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if mask_ref is not None:
+            logits = logits + bias
+        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+        probs = jnp.exp(logits)
+        probs = (probs / jnp.sum(probs, axis=-1, keepdims=True)).astype(v.dtype)
+        out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+        o_ref[0, :, h, :] = out.astype(o_ref.dtype)
+
+
+def _fused_attention_rows_call(q, k, v, key_mask, *, interpret: bool):
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    scale = 1.0 / math.sqrt(d)
+    kernel = functools.partial(_attn_kernel_rows, scale=scale, n_heads=h)
+
+    def spec(t):
+        return pl.BlockSpec((1, t, h, d), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [spec(tq), spec(tk), spec(tk)]
+    args = [q, k, v]
+    if key_mask is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1, tk), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(key_mask.astype(jnp.float32)[:, None, :])
+    else:
+        kernel = functools.partial(_attn_kernel_rows_nomask, scale=scale,
+                                   n_heads=h)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=spec(tq),
+        out_shape=jax.ShapeDtypeStruct((b, tq, h, d), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * tq * tk * d * 2,
+            bytes_accessed=2 * b * h * (tq + tk) * d * 2,
+            transcendentals=b * h * tq * tk,
+        ),
+    )(*args)
+
+
+def _attn_kernel_rows_nomask(q_ref, k_ref, v_ref, o_ref, *, scale, n_heads):
+    _attn_kernel_rows(q_ref, k_ref, v_ref, None, o_ref, scale=scale,
+                      n_heads=n_heads)
+
+
 def fused_attention(q, k, v, key_mask=None):
     """Same contract as models.layers.attention_core ([B,T,H,Dh] layout)."""
     tq, tk = q.shape[1], k.shape[1]
@@ -108,15 +179,9 @@ def fused_attention(q, k, v, key_mask=None):
     if tq > _MAX_PANEL or tk > _MAX_PANEL:
         return attention_core(q, k, v, key_mask)
     interpret = backend != "tpu"
-    out = _fused_attention_call(
-        _to_bhtd(q), _to_bhtd(k), _to_bhtd(v), key_mask, interpret=interpret
-    )
-    return _to_bhtd(out)
+    return _fused_attention_rows_call(q, k, v, key_mask, interpret=interpret)
 
 
 def fused_attention_interpret(q, k, v, key_mask=None):
     """Force interpreter mode (for CPU parity tests). [B,T,H,Dh] layout."""
-    out = _fused_attention_call(
-        _to_bhtd(q), _to_bhtd(k), _to_bhtd(v), key_mask, interpret=True
-    )
-    return _to_bhtd(out)
+    return _fused_attention_rows_call(q, k, v, key_mask, interpret=True)
