@@ -111,12 +111,14 @@ def _to_bhtd(x):
 
 def _attn_kernel_rows(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
                       scale: float, n_heads: int):
+    # blocks are [1, H, T, D]: head indexing is a LEADING-dim slice (Mosaic
+    # cannot lay out middle-dim slices of [1,T,H,D] blocks)
     if mask_ref is not None:
         bias = (1.0 - mask_ref[0].astype(jnp.float32)) * NEG_INF  # [1, Tk]
     for h in range(n_heads):  # static unroll
-        q = q_ref[0, :, h, :].astype(jnp.float32)     # [Tq, D]
-        k = k_ref[0, :, h, :].astype(jnp.float32)     # [Tk, D]
-        v = v_ref[0, :, h, :]                          # [Tk, D]
+        q = q_ref[0, h].astype(jnp.float32)           # [Tq, D]
+        k = k_ref[0, h].astype(jnp.float32)           # [Tk, D]
+        v = v_ref[0, h]                                # [Tk, D]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -127,21 +129,23 @@ def _attn_kernel_rows(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
         probs = jnp.exp(logits)
         probs = (probs / jnp.sum(probs, axis=-1, keepdims=True)).astype(v.dtype)
         out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
-        o_ref[0, :, h, :] = out.astype(o_ref.dtype)
+        o_ref[0, h] = out.astype(o_ref.dtype)
 
 
 def _fused_attention_rows_call(q, k, v, key_mask, *, interpret: bool):
-    b, tq, h, d = q.shape
-    tk = k.shape[1]
+    """q,k,v arrive [B,T,H,D]; kernel runs on [B,H,T,D] blocks."""
+    qt, kt, vt = _to_bhtd(q), _to_bhtd(k), _to_bhtd(v)
+    b, h, tq, d = qt.shape
+    tk = kt.shape[2]
     scale = 1.0 / math.sqrt(d)
     kernel = functools.partial(_attn_kernel_rows, scale=scale, n_heads=h)
 
     def spec(t):
-        return pl.BlockSpec((1, t, h, d), lambda i: (i, 0, 0, 0),
+        return pl.BlockSpec((1, h, t, d), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     in_specs = [spec(tq), spec(tk), spec(tk)]
-    args = [q, k, v]
+    args = [qt, kt, vt]
     if key_mask is not None:
         in_specs.append(
             pl.BlockSpec((1, 1, tk), lambda i: (i, 0, 0),
@@ -152,12 +156,12 @@ def _fused_attention_rows_call(q, k, v, key_mask, *, interpret: bool):
         kernel = functools.partial(_attn_kernel_rows_nomask, scale=scale,
                                    n_heads=h)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=in_specs,
         out_specs=spec(tq),
-        out_shape=jax.ShapeDtypeStruct((b, tq, h, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, tq, d), q.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * tq * tk * d * 2,
@@ -165,6 +169,7 @@ def _fused_attention_rows_call(q, k, v, key_mask, *, interpret: bool):
             transcendentals=b * h * tq * tk,
         ),
     )(*args)
+    return _to_bhtd(out)
 
 
 def _attn_kernel_rows_nomask(q_ref, k_ref, v_ref, o_ref, *, scale, n_heads):
