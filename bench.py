@@ -61,14 +61,20 @@ def main() -> None:
             )
 
     best = None
-    for b in ((64,) if quick else (32, 64)):
+    batch_cases = ((64, 5),) if quick else ((32, 5), (64, 5), (64, 2))
+    for b, steps in batch_cases:
         tp = bench_batch_throughput(engine, style, MID_TEXT, batch=b,
-                                    total_step=5, iters=iters)
-        report[f"batch{b}"] = tp
-        print(f"# batch{b}: {tp['audio_sec_per_sec_per_chip']:.1f} "
+                                    total_step=steps, iters=iters)
+        report[f"batch{b}_{steps}step"] = tp
+        print(f"# batch{b} {steps}-step: "
+              f"{tp['audio_sec_per_sec_per_chip']:.1f} "
               f"audio-sec/s/chip ({tp['aggregate_realtime_x']:.0f}x realtime, "
               f"egress {tp['egress_s_per_batch']:.2f}s)", file=sys.stderr)
-        if best is None or tp["audio_sec_per_sec_per_chip"] > best["audio_sec_per_sec_per_chip"]:
+        # primary metric stays the default operating point (5 steps)
+        if steps == 5 and (
+            best is None
+            or tp["audio_sec_per_sec_per_chip"] > best["audio_sec_per_sec_per_chip"]
+        ):
             best = tp
     tp = best
 

@@ -222,9 +222,7 @@ class SynthesisEngine:
             t_bucket = buckets.pick_bucket(t_needed, rt.latent_buckets)
         if device_output:
             return wav_dev[:b_true], dur[:b_true]
-        wav_np = wav_host[:b_true]
-        if self.egress_format == "int16":
-            wav_np = wav_np.astype(np.float32) / 32767.0
+        wav_np = self._decode_egress(wav_host[:b_true])
         self.profiler.record_result(
             float(np.sum(dur[:b_true])),
             sum(len(t) for t in text_list),
@@ -413,13 +411,19 @@ class SynthesisEngine:
         wav = np.asarray(self._vocoder_fn(self.params, xt))
         return wav, dur
 
+    def _decode_egress(self, wav_np: np.ndarray) -> np.ndarray:
+        if wav_np.dtype == np.int16:
+            return wav_np.astype(np.float32) / 32767.0
+        if wav_np.dtype == np.uint8:
+            from ..utils.mulaw import decode
+
+            return decode(wav_np)
+        return wav_np
+
     def to_host(self, wav_dev) -> np.ndarray:
         """Transfer a device waveform (device_output=True result) to a host
-        f32 array, undoing the int16 egress quantization."""
-        wav_np = np.asarray(wav_dev)
-        if wav_np.dtype == np.int16:
-            wav_np = wav_np.astype(np.float32) / 32767.0
-        return wav_np
+        f32 array, undoing the egress quantization (int16 or mu-law)."""
+        return self._decode_egress(np.asarray(wav_dev))
 
     # convenience: reference example trims at save time (py/example_onnx.py:113)
     def trim(self, wav: np.ndarray, duration: np.ndarray) -> list[np.ndarray]:

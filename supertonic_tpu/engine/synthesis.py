@@ -187,7 +187,24 @@ def synthesize_fused(
     )
     if egress == "int16":
         wav = jnp.clip(wav * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
+    elif egress == "mulaw":
+        wav = _mulaw_encode(wav)
     return wav, dur
+
+
+def _mulaw_encode(x: jax.Array) -> jax.Array:
+    """On-device G.711 mu-law companding: 8-bit egress (quarter of f32,
+    half of int16) at ~13-bit speech quality. Host decode:
+    utils.mulaw.decode."""
+    pcm = jnp.clip(x * 32767.0, -32635.0, 32635.0)
+    sign = jnp.where(pcm < 0, 0x80, 0).astype(jnp.int32)
+    mag = jnp.abs(pcm).astype(jnp.int32) + 0x84
+    exp = jnp.clip(
+        jnp.floor(jnp.log2(mag.astype(jnp.float32))).astype(jnp.int32) - 7,
+        0, 7,
+    )
+    mant = jax.lax.shift_right_logical(mag, exp + 3) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(jnp.uint8)
 
 
 def jit_synthesize_fused(cfg: TTSConfig, *, precision="bf16", attn_fn=None,

@@ -46,3 +46,38 @@ def test_bf16_tracks_f32(tiny_config):
     a, b = wf[0, :n], wb[0, :n]
     corr = float(np.corrcoef(a, b)[0, 1])
     assert corr > 0.98, f"bf16/f32 waveform correlation {corr}"
+
+
+def test_mulaw_roundtrip():
+    from supertonic_tpu.utils.mulaw import decode, encode
+
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(10000) * 0.2).clip(-1, 1).astype(np.float32)
+    y = decode(encode(x))
+    # companded 8-bit: small signals keep ~1% accuracy
+    err = np.abs(y - x)
+    assert err.max() < 0.02
+    snr = 10 * np.log10((x**2).mean() / ((y - x) ** 2).mean())
+    assert snr > 30, f"mu-law SNR {snr:.1f} dB"
+
+
+def test_mulaw_engine_egress(tiny_config):
+    from supertonic_tpu.engine import SynthesisEngine
+    from supertonic_tpu.frontend import UnicodeProcessor, build_default_indexer
+    from supertonic_tpu.models import init_all
+
+    params = init_all(0, tiny_config)
+    proc = UnicodeProcessor(build_default_indexer())
+    style = _style(tiny_config)
+    f32 = SynthesisEngine(params, tiny_config, proc, precision="f32",
+                          seed=0, egress_format="f32")
+    mul = SynthesisEngine(params, tiny_config, proc, precision="f32",
+                          seed=0, egress_format="mulaw")
+    text = ["Mu law egress check."]
+    w1, d1 = f32.batch(text, ["en"], style, total_step=2)
+    w2, d2 = mul.batch(text, ["en"], style, total_step=2)
+    np.testing.assert_allclose(d1, d2, atol=1e-6)
+    assert w2.dtype == np.float32  # decoded on host
+    n = min(w1.shape[1], w2.shape[1])
+    corr = float(np.corrcoef(w1[0, :n], w2[0, :n])[0, 1])
+    assert corr > 0.99, corr
