@@ -84,3 +84,30 @@ def test_shutdown_rejects_new_work(engine, tiny_config):
     batcher.shutdown()
     with pytest.raises(RuntimeError):
         batcher.submit("Late.", "en", _style(tiny_config))
+
+
+def test_soak_concurrent_mixed_requests(engine, tiny_config):
+    """Race-safety soak (SURVEY.md §5 sanitizer row): many concurrent
+    submitters with mixed langs/styles/steps; every future must resolve."""
+    import concurrent.futures
+
+    batcher = ContinuousBatcher(engine, max_batch=8, max_wait_ms=20.0)
+    langs = ["en", "ko", "es", "pt", "fr"]
+    try:
+        def submit(i):
+            style = _style(tiny_config, seed=i % 5)
+            return batcher.submit(
+                f"Soak request {i} with some words.", langs[i % 5], style,
+                total_step=2 + (i % 2),
+            )
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+            futures = list(pool.map(submit, range(40)))
+        results = [f.result(timeout=600) for f in futures]
+        assert len(results) == 40
+        for wav, dur in results:
+            assert dur > 0 and len(wav) > 0
+        assert batcher.stats["batched_requests"] == 40
+        assert batcher.stats["batches"] < 40  # real coalescing happened
+    finally:
+        batcher.shutdown()
