@@ -106,9 +106,45 @@ class SynthesisEngine:
         # times a safety margin; overflow triggers a re-run (rare).
         from collections import deque
 
-        self._spc_window = deque(maxlen=16)  # empty -> conservative prior
-        self._spc_prior = 1.0 / 11.0
+        self._spc_window = deque(maxlen=16)  # empty -> prior (possibly cached)
+        self._spc_prior = self._load_rate_cache() or (1.0 / 11.0)
         self._spc_margin = 1.1
+
+    # persisted learned speaking rate: a fresh process otherwise spends its
+    # first request on the conservative-prior latent bucket (one extra
+    # compiled program that is never used again)
+    def _rate_cache_path(self) -> str:
+        import hashlib
+        import os
+
+        cfg_key = hashlib.md5(
+            f"{self.cfg.chunk_size}:{self.cfg.sample_rate}:"
+            f"{self.cfg.duration_predictor.dim}".encode()
+        ).hexdigest()[:10]
+        base = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.cache/jax_comp_cache"),
+        )
+        return os.path.join(base, f"stpu_rate_{cfg_key}.txt")
+
+    def _load_rate_cache(self) -> float | None:
+        try:
+            with open(self._rate_cache_path()) as f:
+                v = float(f.read().strip())
+            return v if 0.001 < v < 1.0 else None
+        except (OSError, ValueError):
+            return None
+
+    def _save_rate_cache(self, value: float) -> None:
+        import os
+
+        try:
+            path = self._rate_cache_path()
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as f:
+                f.write(f"{value:.6f}")
+        except OSError:
+            pass
 
     # ------------------------------------------------------------------
     # internals
@@ -216,6 +252,8 @@ class SynthesisEngine:
                 np.asarray(text_mask)[:b_true].sum(axis=1), 1.0
             )
             obs_spc = float((dur[:b_true] * speed / row_chars).max())
+            if not self._spc_window:
+                self._save_rate_cache(obs_spc)  # warm-start future processes
             self._spc_window.append(obs_spc)
             if t_needed <= t_bucket:
                 break
