@@ -1,3 +1,5 @@
+from .onnx_exec import OnnxExecutor, OnnxSession, load_session
+from .onnx_pipeline import OnnxPipeline, load_onnx_pipeline
 from .store import (
     Assets,
     flatten_tree,
@@ -13,6 +15,11 @@ from .store import (
 
 __all__ = [
     "Assets",
+    "OnnxExecutor",
+    "OnnxPipeline",
+    "OnnxSession",
+    "load_onnx_pipeline",
+    "load_session",
     "flatten_tree",
     "load_assets",
     "load_params",

@@ -1,0 +1,990 @@
+"""Generic ONNX-graph executor on JAX.
+
+The four reference networks ship as ONNX graphs (SURVEY.md §2.2;
+reference py/helper.py:289-306) whose internals are unknown until the real
+assets are mountable. Rather than guessing the architecture, this module
+interprets *any* ONNX graph op-by-op on top of the dependency-free
+``onnx_reader`` and jit-compiles the whole thing with XLA — so the moment
+real weights drop in, bit-level parity against the reference pipeline is a
+data problem, not an architecture gamble. The hand-tuned native models in
+``models/`` remain the fast path, validated against this executor.
+
+Design notes (TPU/XLA-first):
+
+* **Static shape math.** ONNX graphs compute shapes dynamically
+  (Shape -> Gather -> Concat -> Reshape). Under ``jax.jit`` every shape is
+  static, so the executor partially evaluates: integer initializers,
+  ``Shape``/``Constant`` outputs, and any op in the static-eval set whose
+  inputs are all host values are computed eagerly with numpy at trace time.
+  Ops like ``Reshape``/``Slice``/``Expand`` then see concrete shapes and
+  lower to static XLA ops. A genuinely data-dependent shape raises a clear
+  error instead of silently miscompiling.
+* **Weights as jit arguments.** Float initializers are passed into the
+  jitted program as arguments (never closed over — see CLAUDE.md), so the
+  compiled executable is reused across weight updates and donation works.
+  Integer initializers are treated as trace-time constants (they are shape
+  tables / index maps, not learnable weights).
+* **Precision.** Defaults to float32 matmul precision so parity versus
+  onnxruntime's strict-f32 CPU semantics holds on TPU (SURVEY.md §7.3
+  hard-part #2); pass ``matmul_precision='default'`` for the fast bf16 path.
+
+int64 caveat: jax runs with 32-bit ints by default; traced int64 tensors
+become int32. Shape arithmetic stays in numpy int64 (static), so this only
+affects data-plane integer tensors, which for these graphs are token ids and
+indices far below 2**31.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .onnx_reader import DTYPE_MAP, OnnxGraph, OnnxNode, load_onnx
+
+__all__ = ["OnnxExecutor", "OnnxSession", "load_session", "UnsupportedOp"]
+
+
+class UnsupportedOp(NotImplementedError):
+    pass
+
+
+def _is_static(v) -> bool:
+    return isinstance(v, (np.ndarray, np.generic))
+
+
+def _spec(nd: int) -> tuple[str, str, str]:
+    sp = "DHW"[-nd:] if nd <= 3 else "".join(chr(ord("a") + i) for i in range(nd))
+    return ("NC" + sp, "OI" + sp, "NC" + sp)
+
+
+@dataclasses.dataclass
+class Ctx:
+    xp: Any  # np (static eval) or jnp (traced)
+    attrs: dict[str, Any]
+    node: OnnxNode
+
+    def attr(self, name: str, default=None):
+        return self.attrs.get(name, default)
+
+    def static(self, v, what: str) -> np.ndarray:
+        """Require a trace-time-known value (shape/axes/pads operand)."""
+        if v is None:
+            raise ValueError(f"{self.node.op_type} '{self.node.name}': "
+                             f"missing required static input ({what})")
+        if not _is_static(v):
+            raise UnsupportedOp(
+                f"{self.node.op_type} '{self.node.name}': {what} is a traced "
+                f"tensor; data-dependent shapes cannot compile under jit"
+            )
+        return np.asarray(v)
+
+
+_REGISTRY: dict[str, Callable] = {}
+
+
+def op(name: str, *, static_ok: bool = False):
+    def deco(fn):
+        fn.static_ok = static_ok
+        _REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# elementwise / unary
+# ---------------------------------------------------------------------------
+
+def _simple(name: str, fn, *, static_ok: bool = False):
+    @op(name, static_ok=static_ok)
+    def h(ctx: Ctx, *ins):
+        return fn(ctx, *ins)
+    h.__name__ = f"op_{name.lower()}"
+    return h
+
+
+_simple("Identity", lambda c, x: x, static_ok=True)
+_simple("Relu", lambda c, x: c.xp.maximum(x, 0))
+_simple("Sigmoid", lambda c, x: jax.nn.sigmoid(x))
+_simple("Tanh", lambda c, x: c.xp.tanh(x))
+_simple("Exp", lambda c, x: c.xp.exp(x))
+_simple("Log", lambda c, x: c.xp.log(x))
+_simple("Sqrt", lambda c, x: c.xp.sqrt(x))
+_simple("Reciprocal", lambda c, x: 1.0 / x)
+_simple("Neg", lambda c, x: -x, static_ok=True)
+_simple("Abs", lambda c, x: c.xp.abs(x), static_ok=True)
+_simple("Floor", lambda c, x: c.xp.floor(x), static_ok=True)
+_simple("Ceil", lambda c, x: c.xp.ceil(x), static_ok=True)
+_simple("Round", lambda c, x: c.xp.round(x))
+_simple("Sin", lambda c, x: c.xp.sin(x))
+_simple("Cos", lambda c, x: c.xp.cos(x))
+_simple("Tan", lambda c, x: c.xp.tan(x))
+_simple("Erf", lambda c, x: jax.scipy.special.erf(x))
+_simple("Sign", lambda c, x: c.xp.sign(x))
+_simple("Softplus", lambda c, x: jax.nn.softplus(x))
+_simple("Softsign", lambda c, x: x / (1 + c.xp.abs(x)))
+_simple("Not", lambda c, x: c.xp.logical_not(x), static_ok=True)
+_simple("IsNaN", lambda c, x: c.xp.isnan(x))
+
+
+@op("Gelu")
+def op_gelu(ctx: Ctx, x):
+    approx = ctx.attr("approximate", "none")
+    return jax.nn.gelu(x, approximate=(approx == "tanh"))
+
+
+@op("LeakyRelu")
+def op_leakyrelu(ctx: Ctx, x):
+    alpha = ctx.attr("alpha", 0.01)
+    return jnp.where(x >= 0, x, alpha * x)
+
+
+@op("Elu")
+def op_elu(ctx: Ctx, x):
+    alpha = ctx.attr("alpha", 1.0)
+    return jnp.where(x >= 0, x, alpha * (jnp.exp(x) - 1))
+
+
+@op("HardSigmoid")
+def op_hardsigmoid(ctx: Ctx, x):
+    a, b = ctx.attr("alpha", 0.2), ctx.attr("beta", 0.5)
+    return jnp.clip(a * x + b, 0, 1)
+
+
+@op("PRelu")
+def op_prelu(ctx: Ctx, x, slope):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+@op("Clip")
+def op_clip(ctx: Ctx, x, lo=None, hi=None):
+    if lo is None and "min" in ctx.attrs:
+        lo = ctx.attr("min")
+    if hi is None and "max" in ctx.attrs:
+        hi = ctx.attr("max")
+    if lo is not None:
+        x = jnp.maximum(x, lo)
+    if hi is not None:
+        x = jnp.minimum(x, hi)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# binary / variadic
+# ---------------------------------------------------------------------------
+
+_simple("Add", lambda c, a, b: a + b, static_ok=True)
+_simple("Sub", lambda c, a, b: a - b, static_ok=True)
+_simple("Mul", lambda c, a, b: a * b, static_ok=True)
+_simple("Pow", lambda c, a, b: c.xp.power(a, b))
+_simple("Equal", lambda c, a, b: c.xp.equal(a, b), static_ok=True)
+_simple("Greater", lambda c, a, b: c.xp.greater(a, b), static_ok=True)
+_simple("GreaterOrEqual", lambda c, a, b: c.xp.greater_equal(a, b), static_ok=True)
+_simple("Less", lambda c, a, b: c.xp.less(a, b), static_ok=True)
+_simple("LessOrEqual", lambda c, a, b: c.xp.less_equal(a, b), static_ok=True)
+_simple("And", lambda c, a, b: c.xp.logical_and(a, b), static_ok=True)
+_simple("Or", lambda c, a, b: c.xp.logical_or(a, b), static_ok=True)
+_simple("Xor", lambda c, a, b: c.xp.logical_xor(a, b), static_ok=True)
+_simple("Where", lambda c, cond, a, b: c.xp.where(cond, a, b), static_ok=True)
+
+
+@op("Div", static_ok=True)
+def op_div(ctx: Ctx, a, b):
+    # ONNX integer Div truncates toward zero (not floor)
+    a_int = np.issubdtype(np.asarray(a).dtype if _is_static(a) else a.dtype,
+                          np.integer)
+    b_int = np.issubdtype(np.asarray(b).dtype if _is_static(b) else b.dtype,
+                          np.integer)
+    if a_int and b_int:
+        if ctx.xp is np:
+            return (np.abs(a) // np.abs(b)) * np.sign(a) * np.sign(b)
+        return lax.div(jnp.asarray(a), jnp.asarray(b))
+    return a / b
+
+
+@op("Mod", static_ok=True)
+def op_mod(ctx: Ctx, a, b):
+    if ctx.attr("fmod", 0):
+        return ctx.xp.fmod(a, b)
+    return ctx.xp.mod(a, b)
+
+
+@op("Min", static_ok=True)
+def op_min(ctx: Ctx, *ins):
+    out = ins[0]
+    for v in ins[1:]:
+        out = ctx.xp.minimum(out, v)
+    return out
+
+
+@op("Max", static_ok=True)
+def op_max(ctx: Ctx, *ins):
+    out = ins[0]
+    for v in ins[1:]:
+        out = ctx.xp.maximum(out, v)
+    return out
+
+
+@op("Sum", static_ok=True)
+def op_sum(ctx: Ctx, *ins):
+    out = ins[0]
+    for v in ins[1:]:
+        out = out + v
+    return out
+
+
+@op("Mean")
+def op_mean(ctx: Ctx, *ins):
+    out = ins[0]
+    for v in ins[1:]:
+        out = out + v
+    return out / len(ins)
+
+
+# ---------------------------------------------------------------------------
+# reductions
+# ---------------------------------------------------------------------------
+
+def _reduce(fn_name: str):
+    @op(fn_name, static_ok=True)
+    def h(ctx: Ctx, x, axes_in=None):
+        axes = ctx.attr("axes")
+        if axes_in is not None:
+            axes = [int(a) for a in ctx.static(axes_in, "axes").ravel()]
+        keep = bool(ctx.attr("keepdims", 1))
+        if axes is None:
+            if ctx.attr("noop_with_empty_axes", 0):
+                return x
+            axes_t = None
+        else:
+            axes_t = tuple(int(a) for a in (axes if isinstance(axes, list)
+                                            else [axes]))
+        red = {
+            "ReduceMean": ctx.xp.mean, "ReduceSum": ctx.xp.sum,
+            "ReduceMax": ctx.xp.max, "ReduceMin": ctx.xp.min,
+            "ReduceProd": ctx.xp.prod,
+        }
+        if fn_name == "ReduceL2":
+            return ctx.xp.sqrt(ctx.xp.sum(ctx.xp.square(x), axis=axes_t,
+                                          keepdims=keep))
+        return red[fn_name](x, axis=axes_t, keepdims=keep)
+    h.__name__ = f"op_{fn_name.lower()}"
+    return h
+
+
+for _r in ("ReduceMean", "ReduceSum", "ReduceMax", "ReduceMin",
+           "ReduceProd", "ReduceL2"):
+    _reduce(_r)
+
+
+@op("ArgMax")
+def op_argmax(ctx: Ctx, x):
+    axis = ctx.attr("axis", 0)
+    keep = bool(ctx.attr("keepdims", 1))
+    out = jnp.argmax(x, axis=axis)
+    return jnp.expand_dims(out, axis) if keep else out
+
+
+@op("ArgMin")
+def op_argmin(ctx: Ctx, x):
+    axis = ctx.attr("axis", 0)
+    keep = bool(ctx.attr("keepdims", 1))
+    out = jnp.argmin(x, axis=axis)
+    return jnp.expand_dims(out, axis) if keep else out
+
+
+@op("CumSum")
+def op_cumsum(ctx: Ctx, x, axis):
+    ax = int(ctx.static(axis, "axis"))
+    if ctx.attr("exclusive", 0) or ctx.attr("reverse", 0):
+        raise UnsupportedOp("CumSum exclusive/reverse not supported")
+    return jnp.cumsum(x, axis=ax)
+
+
+# ---------------------------------------------------------------------------
+# shape / layout
+# ---------------------------------------------------------------------------
+
+@op("Shape", static_ok=True)
+def op_shape(ctx: Ctx, x):
+    shape = np.asarray(x.shape, np.int64)
+    start = ctx.attr("start", 0)
+    end = ctx.attr("end")
+    return shape[start:end] if end is not None else shape[start:]
+
+
+@op("Size", static_ok=True)
+def op_size(ctx: Ctx, x):
+    return np.asarray(math.prod(x.shape), np.int64)
+
+
+@op("Reshape", static_ok=True)
+def op_reshape(ctx: Ctx, x, shape):
+    tgt = [int(v) for v in ctx.static(shape, "shape").ravel()]
+    allowzero = ctx.attr("allowzero", 0)
+    out = []
+    for i, d in enumerate(tgt):
+        if d == 0 and not allowzero:
+            out.append(x.shape[i])
+        else:
+            out.append(d)
+    return ctx.xp.reshape(x, tuple(out))
+
+
+@op("Flatten", static_ok=True)
+def op_flatten(ctx: Ctx, x):
+    axis = ctx.attr("axis", 1)
+    if axis < 0:
+        axis += x.ndim
+    lead = math.prod(x.shape[:axis]) if axis else 1
+    return ctx.xp.reshape(x, (lead, -1))
+
+
+@op("Transpose", static_ok=True)
+def op_transpose(ctx: Ctx, x):
+    perm = ctx.attr("perm")
+    return ctx.xp.transpose(x, perm if perm is None else tuple(perm))
+
+
+@op("Squeeze", static_ok=True)
+def op_squeeze(ctx: Ctx, x, axes_in=None):
+    axes = ctx.attr("axes")
+    if axes_in is not None:
+        axes = [int(a) for a in ctx.static(axes_in, "axes").ravel()]
+    if axes is None:
+        return ctx.xp.squeeze(x)
+    if isinstance(axes, int):
+        axes = [axes]
+    return ctx.xp.squeeze(x, axis=tuple(int(a) for a in axes))
+
+
+@op("Unsqueeze", static_ok=True)
+def op_unsqueeze(ctx: Ctx, x, axes_in=None):
+    axes = ctx.attr("axes")
+    if axes_in is not None:
+        axes = [int(a) for a in ctx.static(axes_in, "axes").ravel()]
+    if isinstance(axes, int):
+        axes = [axes]
+    out_nd = x.ndim + len(axes)
+    axes = sorted(a + out_nd if a < 0 else a for a in axes)
+    out = x
+    for a in axes:
+        out = ctx.xp.expand_dims(out, a)
+    return out
+
+
+@op("Concat", static_ok=True)
+def op_concat(ctx: Ctx, *ins):
+    return ctx.xp.concatenate(ins, axis=ctx.attr("axis", 0))
+
+
+@op("Split", static_ok=True)
+def op_split(ctx: Ctx, x, split_in=None):
+    axis = ctx.attr("axis", 0)
+    split = ctx.attr("split")
+    if split_in is not None:
+        split = [int(s) for s in ctx.static(split_in, "split").ravel()]
+    n_out = len(ctx.node.outputs)
+    dim = x.shape[axis]
+    if split is None:
+        base = -(-dim // n_out)
+        split = [base] * (n_out - 1) + [dim - base * (n_out - 1)]
+    idx = np.cumsum(split)[:-1]
+    return tuple(ctx.xp.split(x, idx, axis=axis))
+
+
+@op("Slice", static_ok=True)
+def op_slice(ctx: Ctx, x, starts=None, ends=None, axes=None, steps=None):
+    if starts is None:  # opset-1 attribute form
+        starts = np.asarray(ctx.attr("starts"), np.int64)
+        ends = np.asarray(ctx.attr("ends"), np.int64)
+        axes = (np.asarray(ctx.attr("axes"), np.int64)
+                if ctx.attr("axes") is not None else None)
+        steps = None
+    else:
+        starts = ctx.static(starts, "starts")
+        ends = ctx.static(ends, "ends")
+        axes = None if axes is None else ctx.static(axes, "axes")
+        steps = None if steps is None else ctx.static(steps, "steps")
+    starts = np.atleast_1d(starts).astype(np.int64)
+    ends = np.atleast_1d(ends).astype(np.int64)
+    n = len(starts)
+    axes = (np.arange(n, dtype=np.int64) if axes is None
+            else np.atleast_1d(axes).astype(np.int64))
+    steps = (np.ones(n, np.int64) if steps is None
+             else np.atleast_1d(steps).astype(np.int64))
+    sl = [slice(None)] * x.ndim
+    for st, en, ax, sp in zip(starts, ends, axes, steps):
+        ax = int(ax) + (x.ndim if ax < 0 else 0)
+        dim = x.shape[ax]
+        st, en, sp = int(st), int(en), int(sp)
+        # ONNX clamps out-of-range starts/ends (INT_MAX conventions)
+        if sp > 0:
+            st = min(max(st + dim if st < 0 else st, 0), dim)
+            en = min(max(en + dim if en < 0 else en, 0), dim)
+            sl[ax] = slice(st, en, sp)
+        else:
+            st = min(max(st + dim if st < 0 else st, 0), dim - 1)
+            en = min(en + dim if en < 0 else en, dim - 1)
+            # per spec ends clamp to [-1, dim-1]; anything below 0 after
+            # wrapping means "run through index 0" (python stop=None)
+            sl[ax] = slice(st, en if en >= 0 else None, sp)
+    return x[tuple(sl)]
+
+
+@op("Gather", static_ok=True)
+def op_gather(ctx: Ctx, x, indices):
+    axis = ctx.attr("axis", 0)
+    if _is_static(indices):
+        indices = np.asarray(indices)
+    if ctx.xp is np:
+        return np.take(x, indices, axis=axis)
+    dim = x.shape[axis]
+    idx = jnp.asarray(indices)
+    idx = jnp.where(idx < 0, idx + dim, idx)
+    return jnp.take(jnp.asarray(x), idx, axis=axis)
+
+
+@op("GatherElements")
+def op_gatherelements(ctx: Ctx, x, indices):
+    axis = ctx.attr("axis", 0)
+    idx = jnp.asarray(indices)
+    idx = jnp.where(idx < 0, idx + x.shape[axis], idx)
+    return jnp.take_along_axis(jnp.asarray(x), idx, axis=axis)
+
+
+@op("Expand", static_ok=True)
+def op_expand(ctx: Ctx, x, shape):
+    tgt = tuple(int(v) for v in ctx.static(shape, "shape").ravel())
+    out_shape = np.broadcast_shapes(x.shape, tgt)
+    return ctx.xp.broadcast_to(x, out_shape)
+
+
+@op("Tile", static_ok=True)
+def op_tile(ctx: Ctx, x, repeats):
+    reps = tuple(int(v) for v in ctx.static(repeats, "repeats").ravel())
+    return ctx.xp.tile(x, reps)
+
+
+@op("Pad", static_ok=True)
+def op_pad(ctx: Ctx, x, pads=None, cval=None, axes=None):
+    mode = ctx.attr("mode", "constant")
+    if pads is None:
+        pads = np.asarray(ctx.attr("pads"), np.int64)
+    else:
+        pads = ctx.static(pads, "pads").astype(np.int64)
+    if axes is not None:
+        ax = [int(a) % x.ndim for a in ctx.static(axes, "axes").ravel()]
+    else:
+        ax = list(range(x.ndim))
+    n = len(ax)
+    width = [(0, 0)] * x.ndim
+    for i, a in enumerate(ax):
+        width[a] = (int(pads[i]), int(pads[i + n]))
+    if mode == "constant":
+        c = 0 if cval is None else np.asarray(cval).item() if _is_static(cval) else cval
+        return ctx.xp.pad(x, width, mode="constant", constant_values=c)
+    return ctx.xp.pad(x, width, mode={"reflect": "reflect", "edge": "edge",
+                                      "wrap": "wrap"}[mode])
+
+
+@op("Trilu")
+def op_trilu(ctx: Ctx, x, k=None):
+    kk = 0 if k is None else int(ctx.static(k, "k"))
+    return jnp.triu(x, kk) if ctx.attr("upper", 1) else jnp.tril(x, kk)
+
+
+@op("DepthToSpace")
+def op_depthtospace(ctx: Ctx, x):
+    b = ctx.attr("blocksize")
+    mode = ctx.attr("mode", "DCR")
+    n, c, h, w = x.shape
+    if mode == "DCR":
+        y = jnp.reshape(x, (n, b, b, c // (b * b), h, w))
+        y = jnp.transpose(y, (0, 3, 4, 1, 5, 2))
+    else:  # CRD
+        y = jnp.reshape(x, (n, c // (b * b), b, b, h, w))
+        y = jnp.transpose(y, (0, 1, 4, 2, 5, 3))
+    return jnp.reshape(y, (n, c // (b * b), h * b, w * b))
+
+
+# ---------------------------------------------------------------------------
+# constants / generators / casts
+# ---------------------------------------------------------------------------
+
+@op("Constant", static_ok=True)
+def op_constant(ctx: Ctx):
+    a = ctx.attrs
+    if "value" in a:
+        return np.asarray(a["value"].data)
+    if "value_float" in a:
+        return np.asarray(a["value_float"], np.float32)
+    if "value_int" in a:
+        return np.asarray(a["value_int"], np.int64)
+    if "value_floats" in a:
+        return np.asarray(a["value_floats"], np.float32)
+    if "value_ints" in a:
+        return np.asarray(a["value_ints"], np.int64)
+    raise UnsupportedOp("Constant: unsupported value attribute")
+
+
+@op("ConstantOfShape", static_ok=True)
+def op_constantofshape(ctx: Ctx, shape):
+    tgt = tuple(int(v) for v in ctx.static(shape, "shape").ravel())
+    val = ctx.attr("value")
+    if val is None:
+        return np.zeros(tgt, np.float32)
+    arr = np.asarray(val.data)
+    return np.full(tgt, arr.ravel()[0], arr.dtype)
+
+
+@op("Range", static_ok=True)
+def op_range(ctx: Ctx, start, limit, delta):
+    s = ctx.static(start, "start").item()
+    l = ctx.static(limit, "limit").item()
+    d = ctx.static(delta, "delta").item()
+    return np.arange(s, l, d)
+
+
+@op("Cast", static_ok=True)
+def op_cast(ctx: Ctx, x):
+    to = DTYPE_MAP[ctx.attr("to")]
+    return x.astype(to) if ctx.xp is np else jnp.asarray(x).astype(to)
+
+
+@op("CastLike", static_ok=True)
+def op_castlike(ctx: Ctx, x, like):
+    dt = np.asarray(like).dtype if _is_static(like) else like.dtype
+    return x.astype(dt) if ctx.xp is np else jnp.asarray(x).astype(dt)
+
+
+@op("OneHot")
+def op_onehot(ctx: Ctx, indices, depth, values):
+    d = int(ctx.static(depth, "depth"))
+    vals = ctx.static(values, "values")  # [off, on]
+    axis = ctx.attr("axis", -1)
+    oh = jax.nn.one_hot(jnp.asarray(indices), d, axis=axis)
+    return oh * (vals[1] - vals[0]) + vals[0]
+
+
+@op("EyeLike", static_ok=True)
+def op_eyelike(ctx: Ctx, x):
+    dt = DTYPE_MAP.get(ctx.attr("dtype"), np.asarray(x).dtype
+                       if _is_static(x) else x.dtype)
+    return np.eye(x.shape[0], x.shape[1], k=ctx.attr("k", 0), dtype=dt)
+
+
+# ---------------------------------------------------------------------------
+# linear algebra / NN
+# ---------------------------------------------------------------------------
+
+@op("MatMul")
+def op_matmul(ctx: Ctx, a, b):
+    return jnp.matmul(jnp.asarray(a), jnp.asarray(b))
+
+
+@op("Gemm")
+def op_gemm(ctx: Ctx, a, b, c=None):
+    alpha = ctx.attr("alpha", 1.0)
+    beta = ctx.attr("beta", 1.0)
+    a = jnp.asarray(a).T if ctx.attr("transA", 0) else jnp.asarray(a)
+    b = jnp.asarray(b).T if ctx.attr("transB", 0) else jnp.asarray(b)
+    y = alpha * (a @ b)
+    if c is not None:
+        y = y + beta * jnp.asarray(c)
+    return y
+
+
+@op("Einsum")
+def op_einsum(ctx: Ctx, *ins):
+    return jnp.einsum(ctx.attr("equation"), *[jnp.asarray(i) for i in ins])
+
+
+@op("Softmax")
+def op_softmax(ctx: Ctx, x):
+    return jax.nn.softmax(jnp.asarray(x), axis=ctx.attr("axis", -1))
+
+
+@op("LogSoftmax")
+def op_logsoftmax(ctx: Ctx, x):
+    return jax.nn.log_softmax(jnp.asarray(x), axis=ctx.attr("axis", -1))
+
+
+@op("LayerNormalization")
+def op_layernorm(ctx: Ctx, x, scale, bias=None):
+    axis = ctx.attr("axis", -1)
+    eps = ctx.attr("epsilon", 1e-5)
+    if axis < 0:
+        axis += x.ndim
+    axes = tuple(range(axis, x.ndim))
+    x = jnp.asarray(x)
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
+    inv = 1.0 / jnp.sqrt(var + eps)
+    y = (x - mean) * inv * scale
+    if bias is not None:
+        y = y + bias
+    outs = ctx.node.outputs
+    if len(outs) == 1:
+        return y
+    return (y, mean, inv)[: len(outs)]
+
+
+@op("InstanceNormalization")
+def op_instancenorm(ctx: Ctx, x, scale, bias):
+    eps = ctx.attr("epsilon", 1e-5)
+    x = jnp.asarray(x)
+    axes = tuple(range(2, x.ndim))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    return ((x - mean) / jnp.sqrt(var + eps)) * scale.reshape(shape) \
+        + bias.reshape(shape)
+
+
+@op("GroupNormalization")
+def op_groupnorm(ctx: Ctx, x, scale, bias):
+    eps = ctx.attr("epsilon", 1e-5)
+    g = ctx.attr("num_groups")
+    x = jnp.asarray(x)
+    n, c = x.shape[:2]
+    sp = x.shape[2:]
+    y = jnp.reshape(x, (n, g, c // g) + sp)
+    axes = tuple(range(2, y.ndim))
+    mean = jnp.mean(y, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=axes, keepdims=True)
+    y = (y - mean) / jnp.sqrt(var + eps)
+    y = jnp.reshape(y, x.shape)
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    # opset-18 semantics: scale/bias are per-channel [C]
+    return y * jnp.reshape(scale, shape) + jnp.reshape(bias, shape)
+
+
+@op("BatchNormalization")
+def op_batchnorm(ctx: Ctx, x, scale, bias, mean, var):
+    eps = ctx.attr("epsilon", 1e-5)
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    return ((jnp.asarray(x) - mean.reshape(shape))
+            / jnp.sqrt(var.reshape(shape) + eps)) * scale.reshape(shape) \
+        + bias.reshape(shape)
+
+
+@op("Dropout")
+def op_dropout(ctx: Ctx, x, ratio=None, training=None):
+    outs = ctx.node.outputs
+    if len(outs) == 1:
+        return x
+    return x, jnp.ones(x.shape, bool)
+
+
+def _conv_pads(ctx: Ctx, x, w, strides, dils) -> list[tuple[int, int]]:
+    nd = x.ndim - 2
+    auto = ctx.attr("auto_pad", "NOTSET")
+    k = w.shape[2:]
+    if auto in ("SAME_UPPER", "SAME_LOWER"):
+        out = []
+        for i in range(nd):
+            o = -(-x.shape[2 + i] // strides[i])
+            total = max(0, (o - 1) * strides[i]
+                        + (k[i] - 1) * dils[i] + 1 - x.shape[2 + i])
+            lo = total // 2
+            hi = total - lo
+            out.append((hi, lo) if auto == "SAME_LOWER" else (lo, hi))
+        return out
+    if auto == "VALID":
+        return [(0, 0)] * nd
+    pads = ctx.attr("pads", [0] * (2 * nd))
+    if isinstance(pads, int):
+        pads = [pads] * (2 * nd)
+    return [(pads[i], pads[i + nd]) for i in range(nd)]
+
+
+@op("Conv")
+def op_conv(ctx: Ctx, x, w, b=None):
+    nd = x.ndim - 2
+    strides = tuple(ctx.attr("strides", [1] * nd))
+    dils = tuple(ctx.attr("dilations", [1] * nd))
+    group = ctx.attr("group", 1)
+    padding = _conv_pads(ctx, x, w, strides, dils)
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, _spec(nd))
+    out = lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), strides, padding,
+        rhs_dilation=dils, dimension_numbers=dn, feature_group_count=group,
+    )
+    if b is not None:
+        out = out + jnp.reshape(b, (1, -1) + (1,) * nd)
+    return out
+
+
+@op("ConvTranspose")
+def op_convtranspose(ctx: Ctx, x, w, b=None):
+    # w: [C, M/group, *k]  (ONNX layout). Implemented as the gradient-of-conv
+    # formulation: lhs-dilate by stride, flip kernel, swap I/O.
+    nd = x.ndim - 2
+    strides = tuple(ctx.attr("strides", [1] * nd))
+    dils = tuple(ctx.attr("dilations", [1] * nd))
+    group = ctx.attr("group", 1)
+    k = w.shape[2:]
+    c_in = x.shape[1]
+    m_per_g = w.shape[1]
+    m = m_per_g * group
+    out_padding = tuple(ctx.attr("output_padding", [0] * nd))
+    output_shape = ctx.attr("output_shape")
+    auto = ctx.attr("auto_pad", "NOTSET")
+    if output_shape is not None:
+        pads = []
+        for i in range(nd):
+            total = (strides[i] * (x.shape[2 + i] - 1) + out_padding[i]
+                     + (k[i] - 1) * dils[i] + 1 - output_shape[i])
+            lo = total - total // 2 if auto == "SAME_LOWER" else total // 2
+            pads.append((lo, total - lo))
+    elif auto in ("SAME_UPPER", "SAME_LOWER"):
+        pads = []
+        for i in range(nd):
+            total = max(0, (k[i] - 1) * dils[i] + 1 - strides[i])
+            lo = total - total // 2 if auto == "SAME_LOWER" else total // 2
+            pads.append((lo, total - lo))
+    else:
+        p = ctx.attr("pads", [0] * (2 * nd))
+        pads = [(p[i], p[i + nd]) for i in range(nd)]
+
+    w = jnp.asarray(w)
+    w2 = jnp.reshape(w, (group, c_in // group, m_per_g) + k)
+    perm = (0, 2, 1) + tuple(range(3, 3 + nd))
+    w2 = jnp.transpose(w2, perm)                # [g, M/g, C/g, *k]
+    w2 = jnp.reshape(w2, (m, c_in // group) + k)
+    w2 = jnp.flip(w2, axis=tuple(range(2, 2 + nd)))
+    conv_pads = [
+        (dils[i] * (k[i] - 1) - pads[i][0],
+         dils[i] * (k[i] - 1) - pads[i][1] + out_padding[i])
+        for i in range(nd)
+    ]
+    dn = lax.conv_dimension_numbers(x.shape, w2.shape, _spec(nd))
+    out = lax.conv_general_dilated(
+        jnp.asarray(x), w2, (1,) * nd, conv_pads,
+        lhs_dilation=strides, rhs_dilation=dils, dimension_numbers=dn,
+        feature_group_count=group,
+    )
+    if b is not None:
+        out = out + jnp.reshape(b, (1, -1) + (1,) * nd)
+    return out
+
+
+def _pool(ctx: Ctx, x, reducer, init, is_avg: bool):
+    nd = x.ndim - 2
+    k = tuple(ctx.attr("kernel_shape"))
+    strides = tuple(ctx.attr("strides", [1] * nd))
+    if ctx.attr("ceil_mode", 0):
+        raise UnsupportedOp("Pool ceil_mode=1 not supported")
+    dils = tuple(ctx.attr("dilations", [1] * nd))
+    pads = _conv_pads_pool(ctx, nd)
+    window = (1, 1) + k
+    ws = (1, 1) + strides
+    wd = (1, 1) + dils
+    pad_full = [(0, 0), (0, 0)] + pads
+    x = jnp.asarray(x)
+    out = lax.reduce_window(x, init, reducer, window, ws, pad_full,
+                            window_dilation=wd)
+    if is_avg:
+        if ctx.attr("count_include_pad", 0):
+            out = out / math.prod(k)
+        else:
+            ones = jnp.ones(x.shape, x.dtype)
+            counts = lax.reduce_window(ones, 0.0, lax.add, window, ws,
+                                       pad_full, window_dilation=wd)
+            out = out / counts
+    return out
+
+
+def _conv_pads_pool(ctx: Ctx, nd: int) -> list[tuple[int, int]]:
+    pads = ctx.attr("pads", [0] * (2 * nd))
+    return [(pads[i], pads[i + nd]) for i in range(nd)]
+
+
+@op("MaxPool")
+def op_maxpool(ctx: Ctx, x):
+    return _pool(ctx, x, lax.max, -jnp.inf, False)
+
+
+@op("AveragePool")
+def op_averagepool(ctx: Ctx, x):
+    return _pool(ctx, x, lax.add, 0.0, True)
+
+
+@op("GlobalAveragePool")
+def op_globalavgpool(ctx: Ctx, x):
+    return jnp.mean(jnp.asarray(x), axis=tuple(range(2, x.ndim)),
+                    keepdims=True)
+
+
+@op("GlobalMaxPool")
+def op_globalmaxpool(ctx: Ctx, x):
+    return jnp.max(jnp.asarray(x), axis=tuple(range(2, x.ndim)),
+                   keepdims=True)
+
+
+@op("Resize")
+def op_resize(ctx: Ctx, x, roi=None, scales=None, sizes=None):
+    mode = ctx.attr("mode", "nearest")
+    coord = ctx.attr("coordinate_transformation_mode", "half_pixel")
+    nearest_mode = ctx.attr("nearest_mode", "round_prefer_floor")
+    if sizes is not None:
+        out_shape = tuple(int(v) for v in ctx.static(sizes, "sizes").ravel())
+        scale_vals = [out_shape[i] / x.shape[i] for i in range(x.ndim)]
+    else:
+        scale_vals = [float(s) for s in ctx.static(scales, "scales").ravel()]
+        out_shape = tuple(int(math.floor(x.shape[i] * scale_vals[i]))
+                          for i in range(x.ndim))
+    x = jnp.asarray(x)
+    int_scales = all(abs(s - round(s)) < 1e-9 and s >= 1 for s in scale_vals)
+    if mode == "nearest" and int_scales and coord in (
+            "asymmetric", "half_pixel") and nearest_mode in (
+            "floor", "round_prefer_floor"):
+        # integer upsample (torch nn.Upsample(nearest) export): exact repeat
+        out = x
+        for ax, s in enumerate(scale_vals):
+            r = round(s)
+            if r > 1:
+                out = jnp.repeat(out, r, axis=ax)
+        return out
+    method = {"nearest": "nearest", "linear": "linear", "cubic": "cubic"}[mode]
+    # jax.image.resize implements half_pixel coordinates, matching ONNX
+    # half_pixel; other coordinate modes are approximated.
+    return jax.image.resize(x, out_shape, method=method)
+
+
+# ---------------------------------------------------------------------------
+# executor
+# ---------------------------------------------------------------------------
+
+def _toposort(graph: OnnxGraph, available: set[str]) -> list[OnnxNode]:
+    """ONNX requires topological order, but be tolerant of producers that
+    violate it. Kahn's algorithm over value names."""
+    nodes = list(graph.nodes)
+    produced = dict(  # name -> producing node index
+        (o, i) for i, n in enumerate(nodes) for o in n.outputs if o
+    )
+    ordered: list[OnnxNode] = []
+    ready = set(available)
+    pending = list(range(len(nodes)))
+    while pending:
+        progressed = False
+        rest = []
+        for i in pending:
+            n = nodes[i]
+            if all((not inp) or inp in ready for inp in n.inputs):
+                ordered.append(n)
+                ready.update(o for o in n.outputs if o)
+                progressed = True
+            else:
+                rest.append(i)
+        if not progressed:
+            missing = {
+                inp for i in rest for inp in nodes[i].inputs
+                if inp and inp not in ready and inp not in produced
+            }
+            raise ValueError(f"graph has undefined inputs: {sorted(missing)}")
+        pending = rest
+    return ordered
+
+
+class OnnxExecutor:
+    """Executes one ONNX graph as a jitted JAX program.
+
+    ``feeds`` are numpy arrays keyed by graph input name; returns numpy
+    outputs in graph-output order. Float initializers travel as jit
+    arguments; integer initializers are trace-time constants (shape math).
+    """
+
+    def __init__(self, graph: OnnxGraph, *,
+                 matmul_precision: str = "float32"):
+        self.graph = graph
+        self._static_inits: dict[str, np.ndarray] = {}
+        self._weights: dict[str, jax.Array] = {}
+        for name, t in graph.initializers.items():
+            arr = np.asarray(t.data)
+            # integers and tiny float tensors are trace-time constants (shape
+            # tables, Resize scales, eps scalars); big float arrays are the
+            # learnable weights and travel as jit arguments
+            if (np.issubdtype(arr.dtype, np.integer) or arr.dtype == np.bool_
+                    or arr.size <= 32):
+                self._static_inits[name] = arr
+            else:
+                self._weights[name] = jnp.asarray(arr)
+        init_names = set(graph.initializers)
+        self.input_names = [vi.name for vi in graph.inputs
+                            if vi.name not in init_names]
+        self.output_names = [vi.name for vi in graph.outputs]
+        if not self.output_names:
+            raise ValueError("graph has no declared outputs")
+        avail = (set(self.input_names) | init_names)
+        self._nodes = _toposort(graph, avail)
+        self._matmul_precision = matmul_precision
+        self._jfn = jax.jit(self._run_traced)
+
+    # -- trace-time evaluation -------------------------------------------
+    def _run_traced(self, weights: dict, inputs: tuple):
+        env: dict[str, Any] = dict(self._static_inits)
+        env.update(weights)
+        for name, arr in zip(self.input_names, inputs):
+            env[name] = arr
+        with jax.default_matmul_precision(self._matmul_precision):
+            for node in self._nodes:
+                ins = [env[i] if i else None for i in node.inputs]
+                handler = _REGISTRY.get(node.op_type)
+                if handler is None:
+                    raise UnsupportedOp(
+                        f"op '{node.op_type}' (node '{node.name}') is not "
+                        f"implemented by the JAX ONNX executor"
+                    )
+                static = getattr(handler, "static_ok", False) and all(
+                    v is None or _is_static(v) for v in ins
+                )
+                ctx = Ctx(np if static else jnp, node.attrs, node)
+                out = handler(ctx, *ins)
+                if not isinstance(out, tuple):
+                    out = (out,)
+                for name, val in zip(node.outputs, out):
+                    if name:
+                        env[name] = val
+        outs = []
+        for name in self.output_names:
+            v = env[name]
+            outs.append(jnp.asarray(v) if _is_static(v) else v)
+        return tuple(outs)
+
+    # -- public API --------------------------------------------------------
+    def __call__(self, feeds: dict[str, np.ndarray]) -> list[np.ndarray]:
+        missing = [n for n in self.input_names if n not in feeds]
+        if missing:
+            raise ValueError(f"missing feeds: {missing}")
+        inputs = tuple(jnp.asarray(feeds[n]) for n in self.input_names)
+        outs = self._jfn(self._weights, inputs)
+        return [np.asarray(o) for o in outs]
+
+    def run(self, output_names=None,
+            feeds: dict[str, np.ndarray] | None = None) -> list[np.ndarray]:
+        """onnxruntime.InferenceSession.run-compatible signature
+        (reference py/helper.py:190-214 calls ``run(None, {...})``)."""
+        outs = self(feeds or {})
+        if output_names:
+            by_name = dict(zip(self.output_names, outs))
+            return [by_name[n] for n in output_names]
+        return outs
+
+
+class OnnxSession(OnnxExecutor):
+    """Alias that reads straight from an .onnx file — a drop-in stand-in for
+    ``ort.InferenceSession(path)`` within this codebase."""
+
+    def __init__(self, path: str, **kw):
+        super().__init__(load_onnx(path), **kw)
+
+
+def load_session(path: str, **kw) -> OnnxSession:
+    return OnnxSession(path, **kw)

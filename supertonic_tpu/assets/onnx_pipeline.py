@@ -1,0 +1,165 @@
+"""Reference-graph inference pipeline on the generic JAX ONNX executor.
+
+This is the alternate model backend behind the SURVEY.md §2.2 call-site
+contract: point it at a directory holding the four real ONNX graphs
+(duration_predictor / text_encoder / vector_estimator / vocoder.onnx,
+reference py/helper.py:289-306) plus ``tts.json`` and
+``unicode_indexer.json``, and it reproduces the reference ``TextToSpeech``
+orchestration (py/helper.py:140-254) bit-for-bit on TPU/CPU via XLA — no
+architecture knowledge, no weight mapping table. Real-weight parity becomes
+a data drop: mount the Hugging Face assets, run this, diff waveforms.
+
+Noise is an explicit input (``noise=`` or a seeded ``np.random``), matching
+the reference's noise-as-input design (py/helper.py:161-175) so the same
+noise can be fed to onnxruntime and to this executor for bit-faithful
+comparison.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from ..frontend import UnicodeProcessor, chunk_text, get_latent_mask
+from .onnx_exec import OnnxExecutor
+from .onnx_reader import load_onnx
+
+MODEL_FILES = ("duration_predictor", "text_encoder",
+               "vector_estimator", "vocoder")
+
+
+class OnnxPipeline:
+    """Mirror of the reference TextToSpeech (py/helper.py:140-254) with the
+    four ORT sessions replaced by jitted JAX graph executors."""
+
+    def __init__(self, cfgs: dict, processor: UnicodeProcessor,
+                 dp: OnnxExecutor, text_enc: OnnxExecutor,
+                 vector_est: OnnxExecutor, vocoder: OnnxExecutor,
+                 *, seed: int = 0):
+        self.cfgs = cfgs
+        self.processor = processor
+        self.dp = dp
+        self.text_enc = text_enc
+        self.vector_est = vector_est
+        self.vocoder = vocoder
+        self.sample_rate = cfgs["ae"]["sample_rate"]
+        self.base_chunk_size = cfgs["ae"]["base_chunk_size"]
+        self.chunk_compress_factor = cfgs["ttl"]["chunk_compress_factor"]
+        self.ldim = cfgs["ttl"]["latent_dim"]
+        self._rng = np.random.default_rng(seed)
+
+    # reference py/helper.py:161-175
+    def sample_noisy_latent(
+        self, duration: np.ndarray, noise: np.ndarray | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        bsz = len(duration)
+        wav_len_max = duration.max() * self.sample_rate
+        wav_lengths = (duration * self.sample_rate).astype(np.int64)
+        chunk_size = self.base_chunk_size * self.chunk_compress_factor
+        latent_len = int((wav_len_max + chunk_size - 1) // chunk_size)
+        latent_dim = self.ldim * self.chunk_compress_factor
+        if noise is None:
+            noise = self._rng.standard_normal(
+                (bsz, latent_dim, latent_len)).astype(np.float32)
+        else:
+            noise = np.asarray(noise, np.float32)[:, :, :latent_len]
+            if noise.shape != (bsz, latent_dim, latent_len):
+                raise ValueError(
+                    f"injected noise must cover [{bsz},{latent_dim},"
+                    f"{latent_len}], got {noise.shape}")
+        latent_mask = get_latent_mask(
+            wav_lengths, self.base_chunk_size, self.chunk_compress_factor
+        ).astype(np.float32)
+        return noise * latent_mask, latent_mask
+
+    # reference py/helper.py:177-215 — the §2.2 I/O contract, verbatim
+    def _infer(
+        self,
+        text_list: list[str],
+        lang_list: list[str],
+        style,
+        total_step: int,
+        speed: float = 1.05,
+        noise: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        assert len(text_list) == style.ttl.shape[0], (
+            "Number of texts must match number of style vectors"
+        )
+        bsz = len(text_list)
+        text_ids, text_mask = self.processor(text_list, lang_list)
+        text_ids = text_ids.astype(np.int64)
+        text_mask = text_mask.astype(np.float32)
+        (duration,) = self.dp.run(None, {
+            "text_ids": text_ids, "style_dp": style.dp,
+            "text_mask": text_mask,
+        })
+        duration = np.asarray(duration, np.float32) / speed
+        (text_emb,) = self.text_enc.run(None, {
+            "text_ids": text_ids, "style_ttl": style.ttl,
+            "text_mask": text_mask,
+        })
+        xt, latent_mask = self.sample_noisy_latent(duration, noise)
+        total_step_np = np.full((bsz,), total_step, np.float32)
+        for step in range(total_step):
+            (xt,) = self.vector_est.run(None, {
+                "noisy_latent": xt,
+                "text_emb": text_emb,
+                "style_ttl": style.ttl,
+                "text_mask": text_mask,
+                "latent_mask": latent_mask,
+                "current_step": np.full((bsz,), step, np.float32),
+                "total_step": total_step_np,
+            })
+        (wav,) = self.vocoder.run(None, {"latent": xt})
+        return np.asarray(wav), duration
+
+    # reference py/helper.py:217-244
+    def __call__(
+        self,
+        text: str,
+        lang: str,
+        style,
+        total_step: int = 5,
+        speed: float = 1.05,
+        silence_duration: float = 0.3,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        assert style.ttl.shape[0] == 1, (
+            "Single speaker text to speech only supports single style"
+        )
+        max_len = 120 if lang == "ko" else 300
+        wav_cat = dur_cat = None
+        for piece in chunk_text(text, max_len=max_len):
+            wav, dur = self._infer([piece], [lang], style, total_step, speed)
+            if wav_cat is None:
+                wav_cat, dur_cat = wav, dur
+            else:
+                silence = np.zeros(
+                    (1, int(silence_duration * self.sample_rate)), np.float32)
+                wav_cat = np.concatenate([wav_cat, silence, wav], axis=1)
+                dur_cat = dur_cat + dur + silence_duration
+        return wav_cat, dur_cat
+
+    def batch(self, text_list, lang_list, style, total_step=5, speed=1.05):
+        return self._infer(text_list, lang_list, style, total_step, speed)
+
+
+def load_onnx_pipeline(onnx_dir: str, *, seed: int = 0,
+                       matmul_precision: str = "float32") -> OnnxPipeline:
+    """Load the four graphs + tts.json + unicode_indexer.json from a
+    directory laid out like the reference assets/onnx (py/helper.py:289-319)."""
+    execs = {}
+    for name in MODEL_FILES:
+        path = os.path.join(onnx_dir, f"{name}.onnx")
+        execs[name] = OnnxExecutor(load_onnx(path),
+                                   matmul_precision=matmul_precision)
+    with open(os.path.join(onnx_dir, "tts.json")) as f:
+        cfgs = json.load(f)
+    with open(os.path.join(onnx_dir, "unicode_indexer.json")) as f:
+        indexer = np.asarray(json.load(f), np.int64)
+    processor = UnicodeProcessor(indexer)
+    return OnnxPipeline(cfgs, processor,
+                        execs["duration_predictor"], execs["text_encoder"],
+                        execs["vector_estimator"], execs["vocoder"],
+                        seed=seed)

@@ -338,7 +338,8 @@ def _ld(field: int, payload: bytes) -> bytes:
 
 
 def encode_tensor(name: str, arr: np.ndarray) -> bytes:
-    arr = np.ascontiguousarray(arr)
+    # NB: np.ascontiguousarray would promote 0-d scalars to 1-d
+    arr = np.asarray(arr, order="C")
     out = b""
     for d in arr.shape:
         out += _tag(1, 0) + _varint(d)
@@ -361,24 +362,56 @@ def encode_node(op_type: str, inputs: list[str], outputs: list[str],
         a = _ld(1, k.encode())
         if isinstance(v, float):
             a += _tag(2, 5) + struct.pack("<f", v)
+        elif isinstance(v, bool):
+            a += _tag(3, 0) + _varint(int(v))
         elif isinstance(v, int):
             a += _tag(3, 0) + _varint(v)
         elif isinstance(v, str):
             a += _ld(4, v.encode())
+        elif isinstance(v, np.ndarray):
+            a += _ld(5, encode_tensor("", v))
         elif isinstance(v, (list, tuple)) and all(isinstance(x, int) for x in v):
             for x in v:
                 a += _tag(8, 0) + _varint(x)
+        elif isinstance(v, (list, tuple)) and all(
+                isinstance(x, float) for x in v):
+            for x in v:
+                a += _tag(7, 5) + struct.pack("<f", x)
+        else:
+            raise TypeError(f"unsupported attribute value for '{k}': {v!r}")
         out += _ld(5, a)
     return out
 
 
+def encode_value_info(name: str, dtype, shape: tuple) -> bytes:
+    """ValueInfoProto for graph inputs/outputs. ``shape`` entries may be ints
+    or strings (symbolic dim_params)."""
+    dims = b""
+    for d in shape:
+        if isinstance(d, str):
+            dim = _ld(2, d.encode())
+        else:
+            dim = _tag(1, 0) + _varint(int(d))
+        dims += _ld(1, dim)
+    tensor_type = _tag(1, 0) + _varint(DTYPE_REV[np.dtype(dtype)])
+    tensor_type += _ld(2, dims)
+    type_proto = _ld(1, tensor_type)
+    return _ld(1, name.encode()) + _ld(2, type_proto)
+
+
 def encode_model(graph_name: str, nodes: list[bytes],
-                 initializers: list[bytes]) -> bytes:
+                 initializers: list[bytes],
+                 inputs: list[bytes] | None = None,
+                 outputs: list[bytes] | None = None) -> bytes:
     g = _ld(2, graph_name.encode())
     for n in nodes:
         g += _ld(1, n)
     for t in initializers:
         g += _ld(5, t)
+    for vi in inputs or []:
+        g += _ld(11, vi)
+    for vi in outputs or []:
+        g += _ld(12, vi)
     model = _tag(1, 0) + _varint(8)  # ir_version
     model += _ld(7, g)
     return model

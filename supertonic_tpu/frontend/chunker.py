@@ -36,9 +36,12 @@ def _ends_with_abbreviation(prefix: str) -> bool:
     for abbr in _ABBREVIATIONS:
         if prefix.endswith(abbr):
             return True
-    # single capital-letter initial: preceded by start or non-word char
-    if len(prefix) >= 2 and prefix[-2].isupper():
-        if len(prefix) == 2 or not (prefix[-3].isalnum() or prefix[-3] == "."):
+    # single capital initial with a word boundary before it, matching the
+    # reference's (?<!\b[A-Z]\.) lookbehind exactly: A-Z only (not any
+    # uppercase), and a preceding '.' IS a boundary ('U.S. Government' must
+    # not split mid-acronym)
+    if len(prefix) >= 2 and "A" <= prefix[-2] <= "Z":
+        if len(prefix) == 2 or not (prefix[-3].isalnum() or prefix[-3] == "_"):
             return True
     return False
 

@@ -1,0 +1,587 @@
+"""Generic ONNX-graph executor tests.
+
+Synthetic multi-op graphs are written with the round-trip writer
+(onnx_reader.encode_*), executed by the JAX interpreter, and checked against
+numpy/torch ground truth — torch being the same framework that exported the
+reference graphs (SURVEY.md §0), so its Conv/ConvTranspose/Resize semantics
+ARE the oracle for those ops.
+"""
+
+import numpy as np
+import pytest
+
+from supertonic_tpu.assets import onnx_reader as R
+from supertonic_tpu.assets.onnx_exec import OnnxExecutor, UnsupportedOp
+
+F32, I64 = np.float32, np.int64
+
+
+def build(nodes, inits=None, inputs=(), outputs=()):
+    """nodes: (op, ins, outs[, attrs]); inputs/outputs: (name, dtype, shape);
+    inits: {name: array}. Returns an executor."""
+    node_bufs = []
+    for i, spec in enumerate(nodes):
+        op, ins, outs = spec[0], spec[1], spec[2]
+        attrs = spec[3] if len(spec) > 3 else None
+        node_bufs.append(R.encode_node(op, list(ins), list(outs),
+                                       name=f"n{i}", attrs=attrs))
+    init_bufs = [R.encode_tensor(k, np.asarray(v))
+                 for k, v in (inits or {}).items()]
+    in_vis = [R.encode_value_info(n, dt, sh) for n, dt, sh in inputs]
+    out_vis = [R.encode_value_info(n, dt, sh) for n, dt, sh in outputs]
+    data = R.encode_model("g", node_bufs, init_bufs, in_vis, out_vis)
+    return OnnxExecutor(R.parse_model(data))
+
+
+def run1(ex, **feeds):
+    return ex.run(None, feeds)[0]
+
+
+# ---------------------------------------------------------------------------
+# elementwise / composition
+# ---------------------------------------------------------------------------
+
+def test_elementwise_chain(rng):
+    x = rng.standard_normal((2, 5)).astype(F32)
+    w = rng.standard_normal((2, 5)).astype(F32)
+    ex = build(
+        [("Add", ["x", "w"], ["a"]),
+         ("Mul", ["a", "a"], ["b"]),
+         ("Sigmoid", ["b"], ["c"]),
+         ("Sub", ["c", "x"], ["y"])],
+        inits={"w": w},
+        inputs=[("x", F32, (2, 5))],
+        outputs=[("y", F32, (2, 5))],
+    )
+    got = run1(ex, x=x)
+    s = 1 / (1 + np.exp(-((x + w) ** 2)))
+    np.testing.assert_allclose(got, s - x, rtol=1e-6, atol=1e-6)
+
+
+def test_unary_ops(rng):
+    x = rng.standard_normal((3, 4)).astype(F32)
+    for op_name, ref in [
+        ("Relu", lambda v: np.maximum(v, 0)),
+        ("Tanh", np.tanh),
+        ("Exp", np.exp),
+        ("Abs", np.abs),
+        ("Neg", lambda v: -v),
+        ("Floor", np.floor),
+        ("Ceil", np.ceil),
+        ("Sqrt", lambda v: np.sqrt(np.abs(v))),
+    ]:
+        xin = np.abs(x) if op_name == "Sqrt" else x
+        ex = build([(op_name, ["x"], ["y"])],
+                   inputs=[("x", F32, (3, 4))], outputs=[("y", F32, (3, 4))])
+        np.testing.assert_allclose(run1(ex, x=xin), ref(xin),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_erf_gelu(rng):
+    import math
+
+    x = rng.standard_normal((4, 8)).astype(F32)
+    ex = build([("Erf", ["x"], ["y"])],
+               inputs=[("x", F32, (4, 8))], outputs=[("y", F32, (4, 8))])
+    ref = np.vectorize(math.erf)(x.astype(np.float64))
+    np.testing.assert_allclose(run1(ex, x=x), ref, rtol=1e-5, atol=1e-6)
+
+    ex = build([("Gelu", ["x"], ["y"])],
+               inputs=[("x", F32, (4, 8))], outputs=[("y", F32, (4, 8))])
+    ref = x * 0.5 * (1 + np.vectorize(math.erf)(x / np.sqrt(2)))
+    np.testing.assert_allclose(run1(ex, x=x), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_clip_leakyrelu_prelu(rng):
+    x = rng.standard_normal((3, 5)).astype(F32)
+    ex = build([("Clip", ["x", "lo", "hi"], ["y"])],
+               inits={"lo": np.float32(-0.5), "hi": np.float32(0.5)},
+               inputs=[("x", F32, (3, 5))], outputs=[("y", F32, (3, 5))])
+    np.testing.assert_allclose(run1(ex, x=x), np.clip(x, -0.5, 0.5))
+
+    ex = build([("LeakyRelu", ["x"], ["y"], {"alpha": 0.1})],
+               inputs=[("x", F32, (3, 5))], outputs=[("y", F32, (3, 5))])
+    np.testing.assert_allclose(run1(ex, x=x), np.where(x >= 0, x, 0.1 * x),
+                               rtol=1e-6)
+
+    slope = rng.standard_normal((5,)).astype(F32)
+    ex = build([("PRelu", ["x", "s"], ["y"])], inits={"s": slope},
+               inputs=[("x", F32, (3, 5))], outputs=[("y", F32, (3, 5))])
+    np.testing.assert_allclose(run1(ex, x=x), np.where(x >= 0, x, slope * x),
+                               rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# matmul / gemm / einsum / softmax
+# ---------------------------------------------------------------------------
+
+def test_matmul_gemm(rng):
+    a = rng.standard_normal((4, 6)).astype(F32)
+    b = rng.standard_normal((6, 3)).astype(F32)
+    c = rng.standard_normal((3,)).astype(F32)
+    ex = build([("MatMul", ["a", "b"], ["y"])], inits={"b": b},
+               inputs=[("a", F32, (4, 6))], outputs=[("y", F32, (4, 3))])
+    np.testing.assert_allclose(run1(ex, a=a), a @ b, rtol=1e-5, atol=1e-5)
+
+    ex = build(
+        [("Gemm", ["a", "bt", "c"], ["y"],
+          {"alpha": 2.0, "beta": 0.5, "transB": 1})],
+        inits={"bt": np.ascontiguousarray(b.T), "c": c},
+        inputs=[("a", F32, (4, 6))], outputs=[("y", F32, (4, 3))],
+    )
+    np.testing.assert_allclose(run1(ex, a=a), 2.0 * (a @ b) + 0.5 * c,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_einsum_softmax(rng):
+    q = rng.standard_normal((2, 3, 4)).astype(F32)
+    k = rng.standard_normal((2, 5, 4)).astype(F32)
+    ex = build(
+        [("Einsum", ["q", "k"], ["s"], {"equation": "bld,bmd->blm"}),
+         ("Softmax", ["s"], ["p"], {"axis": -1})],
+        inputs=[("q", F32, (2, 3, 4)), ("k", F32, (2, 5, 4))],
+        outputs=[("p", F32, (2, 3, 5))],
+    )
+    s = np.einsum("bld,bmd->blm", q, k)
+    e = np.exp(s - s.max(-1, keepdims=True))
+    np.testing.assert_allclose(run1(ex, q=q, k=k), e / e.sum(-1, keepdims=True),
+                               rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# normalization
+# ---------------------------------------------------------------------------
+
+def test_layernorm_op_and_decomposition(rng):
+    x = rng.standard_normal((2, 7, 16)).astype(F32)
+    g = rng.standard_normal((16,)).astype(F32)
+    b = rng.standard_normal((16,)).astype(F32)
+
+    def ref_ln(v):
+        mu = v.mean(-1, keepdims=True)
+        var = ((v - mu) ** 2).mean(-1, keepdims=True)
+        return (v - mu) / np.sqrt(var + 1e-5) * g + b
+
+    ex = build([("LayerNormalization", ["x", "g", "b"], ["y"],
+                 {"axis": -1, "epsilon": 1e-5})],
+               inits={"g": g, "b": b},
+               inputs=[("x", F32, (2, 7, 16))],
+               outputs=[("y", F32, (2, 7, 16))])
+    np.testing.assert_allclose(run1(ex, x=x), ref_ln(x), rtol=1e-4, atol=1e-5)
+
+    # the decomposed export form: ReduceMean/Sub/Pow/ReduceMean/Add/Sqrt/Div
+    ex = build(
+        [("ReduceMean", ["x"], ["mu"], {"axes": [-1], "keepdims": 1}),
+         ("Sub", ["x", "mu"], ["xm"]),
+         ("Pow", ["xm", "two"], ["sq"]),
+         ("ReduceMean", ["sq"], ["var"], {"axes": [-1], "keepdims": 1}),
+         ("Add", ["var", "eps"], ["ve"]),
+         ("Sqrt", ["ve"], ["sd"]),
+         ("Div", ["xm", "sd"], ["xn"]),
+         ("Mul", ["xn", "g"], ["xg"]),
+         ("Add", ["xg", "b"], ["y"])],
+        inits={"two": np.float32(2.0), "eps": np.float32(1e-5),
+               "g": g, "b": b},
+        inputs=[("x", F32, (2, 7, 16))], outputs=[("y", F32, (2, 7, 16))],
+    )
+    np.testing.assert_allclose(run1(ex, x=x), ref_ln(x), rtol=1e-4, atol=1e-5)
+
+
+def test_instance_batch_group_norm(rng):
+    import torch
+    import torch.nn.functional as tF
+
+    x = rng.standard_normal((2, 6, 9)).astype(F32)
+    g = rng.standard_normal((6,)).astype(F32)
+    b = rng.standard_normal((6,)).astype(F32)
+    xt, gt, bt = map(torch.from_numpy, (x, g, b))
+
+    ex = build([("InstanceNormalization", ["x", "g", "b"], ["y"],
+                 {"epsilon": 1e-5})],
+               inits={"g": g, "b": b},
+               inputs=[("x", F32, (2, 6, 9))], outputs=[("y", F32, (2, 6, 9))])
+    ref = tF.instance_norm(xt, weight=gt, bias=bt, eps=1e-5).numpy()
+    np.testing.assert_allclose(run1(ex, x=x), ref, rtol=1e-4, atol=1e-5)
+
+    mean = rng.standard_normal((6,)).astype(F32)
+    var = rng.random((6,)).astype(F32) + 0.5
+    ex = build([("BatchNormalization", ["x", "g", "b", "m", "v"], ["y"],
+                 {"epsilon": 1e-5})],
+               inits={"g": g, "b": b, "m": mean, "v": var},
+               inputs=[("x", F32, (2, 6, 9))], outputs=[("y", F32, (2, 6, 9))])
+    ref = tF.batch_norm(xt, torch.from_numpy(mean), torch.from_numpy(var),
+                        gt, bt, training=False, eps=1e-5).numpy()
+    np.testing.assert_allclose(run1(ex, x=x), ref, rtol=1e-4, atol=1e-5)
+
+    ex = build([("GroupNormalization", ["x", "g", "b"], ["y"],
+                 {"epsilon": 1e-5, "num_groups": 3})],
+               inits={"g": g, "b": b},
+               inputs=[("x", F32, (2, 6, 9))], outputs=[("y", F32, (2, 6, 9))])
+    ref = tF.group_norm(xt, 3, weight=gt, bias=bt, eps=1e-5).numpy()
+    np.testing.assert_allclose(run1(ex, x=x), ref, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# static shape-math pipelines (the load-bearing capability)
+# ---------------------------------------------------------------------------
+
+def test_shape_gather_concat_reshape(rng):
+    # flatten last two dims via runtime-computed shape, as torch exports do
+    x = rng.standard_normal((3, 4, 5)).astype(F32)
+    ex = build(
+        [("Shape", ["x"], ["sh"]),
+         ("Gather", ["sh", "zero"], ["b"], {"axis": 0}),
+         ("Concat", ["b1", "minus1"], ["tgt"], {"axis": 0}),
+         ("Unsqueeze", ["b", "ax0"], ["b1"]),
+         ("Reshape", ["x", "tgt"], ["y"])],
+        inits={"zero": np.asarray(0, I64), "minus1": np.asarray([-1], I64),
+               "ax0": np.asarray([0], I64)},
+        inputs=[("x", F32, (3, 4, 5))], outputs=[("y", F32, (3, 20))],
+    )
+    np.testing.assert_allclose(run1(ex, x=x), x.reshape(3, 20))
+
+
+def test_expand_range_constantofshape(rng):
+    x = rng.standard_normal((2, 1, 4)).astype(F32)
+    ex = build(
+        [("Shape", ["x"], ["sh"]),
+         ("ConstantOfShape", ["tgt"], ["z"],
+          {"value": np.asarray([1.5], F32)}),
+         ("Expand", ["x", "tgt"], ["xe"]),
+         ("Add", ["xe", "z"], ["y"])],
+        inits={"tgt": np.asarray([2, 3, 4], I64)},
+        inputs=[("x", F32, (2, 1, 4))], outputs=[("y", F32, (2, 3, 4))],
+    )
+    np.testing.assert_allclose(run1(ex, x=x),
+                               np.broadcast_to(x, (2, 3, 4)) + 1.5)
+
+    ex = build([("Range", ["s", "l", "d"], ["y"])],
+               inits={"s": np.asarray(2, I64), "l": np.asarray(11, I64),
+                      "d": np.asarray(3, I64)},
+               outputs=[("y", I64, (3,))])
+    np.testing.assert_allclose(ex.run(None, {})[0], np.arange(2, 11, 3))
+
+
+def test_slice_variants(rng):
+    x = rng.standard_normal((4, 6, 8)).astype(F32)
+    ex = build(
+        [("Slice", ["x", "st", "en", "ax", "sp"], ["y"])],
+        inits={"st": np.asarray([1, 0], I64), "en": np.asarray([3, 6], I64),
+               "ax": np.asarray([0, 2], I64), "sp": np.asarray([1, 2], I64)},
+        inputs=[("x", F32, (4, 6, 8))], outputs=[("y", F32, (2, 6, 3))],
+    )
+    np.testing.assert_allclose(run1(ex, x=x), x[1:3, :, 0:6:2])
+
+    # reverse: starts=-1, ends=INT_MIN, steps=-1
+    ex = build(
+        [("Slice", ["x", "st", "en", "ax", "sp"], ["y"])],
+        inits={"st": np.asarray([-1], I64),
+               "en": np.asarray([np.iinfo(np.int64).min], I64),
+               "ax": np.asarray([1], I64), "sp": np.asarray([-1], I64)},
+        inputs=[("x", F32, (4, 6, 8))], outputs=[("y", F32, (4, 6, 8))],
+    )
+    np.testing.assert_allclose(run1(ex, x=x), x[:, ::-1])
+
+    # huge end clamps to dim (torch uses INT_MAX for "to the end")
+    ex = build(
+        [("Slice", ["x", "st", "en", "ax", "sp"], ["y"])],
+        inits={"st": np.asarray([2], I64),
+               "en": np.asarray([np.iinfo(np.int64).max], I64),
+               "ax": np.asarray([2], I64), "sp": np.asarray([1], I64)},
+        inputs=[("x", F32, (4, 6, 8))], outputs=[("y", F32, (4, 6, 6))],
+    )
+    np.testing.assert_allclose(run1(ex, x=x), x[:, :, 2:])
+
+
+def test_split_pad_tile_where(rng):
+    x = rng.standard_normal((2, 10)).astype(F32)
+    ex = build([("Split", ["x"], ["a", "b", "c"], {"axis": 1})],
+               inputs=[("x", F32, (2, 10))],
+               outputs=[("a", F32, (2, 4)), ("b", F32, (2, 4)),
+                        ("c", F32, (2, 2))])
+    a, b, c = ex.run(None, {"x": x})
+    np.testing.assert_allclose(a, x[:, :4])
+    np.testing.assert_allclose(b, x[:, 4:8])
+    np.testing.assert_allclose(c, x[:, 8:])
+
+    ex = build([("Pad", ["x", "p"], ["y"], {"mode": "constant"})],
+               inits={"p": np.asarray([0, 2, 1, 3], I64)},
+               inputs=[("x", F32, (2, 10))], outputs=[("y", F32, (3, 15))])
+    np.testing.assert_allclose(run1(ex, x=x),
+                               np.pad(x, [(0, 1), (2, 3)]))
+
+    ex = build([("Pad", ["x", "p"], ["y"], {"mode": "reflect"})],
+               inits={"p": np.asarray([0, 2, 0, 2], I64)},
+               inputs=[("x", F32, (2, 10))], outputs=[("y", F32, (2, 14))])
+    np.testing.assert_allclose(run1(ex, x=x),
+                               np.pad(x, [(0, 0), (2, 2)], mode="reflect"))
+
+    ex = build([("Tile", ["x", "r"], ["y"])],
+               inits={"r": np.asarray([2, 1], I64)},
+               inputs=[("x", F32, (2, 10))], outputs=[("y", F32, (4, 10))])
+    np.testing.assert_allclose(run1(ex, x=x), np.tile(x, (2, 1)))
+
+    ex = build(
+        [("Greater", ["x", "zero"], ["m"]),
+         ("Where", ["m", "x", "zero"], ["y"])],
+        inits={"zero": np.float32(0)},
+        inputs=[("x", F32, (2, 10))], outputs=[("y", F32, (2, 10))],
+    )
+    np.testing.assert_allclose(run1(ex, x=x), np.maximum(x, 0))
+
+
+def test_gather_dynamic_and_elements(rng):
+    table = rng.standard_normal((50, 8)).astype(F32)
+    ids = np.asarray([[3, 0, 49], [7, 7, 1]], I64)
+    ex = build([("Gather", ["t", "ids"], ["y"], {"axis": 0})],
+               inits={"t": table},
+               inputs=[("ids", I64, (2, 3))], outputs=[("y", F32, (2, 3, 8))])
+    np.testing.assert_allclose(run1(ex, ids=ids), table[ids])
+
+    x = rng.standard_normal((3, 5)).astype(F32)
+    idx = np.asarray([[0, 1, 2, 1, 0]] * 3, I64)
+    ex = build([("GatherElements", ["x", "i"], ["y"], {"axis": 0})],
+               inits={"i": idx},
+               inputs=[("x", F32, (3, 5))], outputs=[("y", F32, (3, 5))])
+    np.testing.assert_allclose(run1(ex, x=x),
+                               np.take_along_axis(x, idx, axis=0))
+
+
+def test_reduce_axes_as_input(rng):
+    x = rng.standard_normal((2, 3, 4)).astype(F32)
+    ex = build([("ReduceSum", ["x", "ax"], ["y"], {"keepdims": 0})],
+               inits={"ax": np.asarray([1], I64)},
+               inputs=[("x", F32, (2, 3, 4))], outputs=[("y", F32, (2, 4))])
+    np.testing.assert_allclose(run1(ex, x=x), x.sum(1), rtol=1e-5, atol=1e-6)
+
+    ex = build([("ReduceMax", ["x"], ["y"], {"axes": [0, 2], "keepdims": 1})],
+               inputs=[("x", F32, (2, 3, 4))], outputs=[("y", F32, (1, 3, 1))])
+    np.testing.assert_allclose(run1(ex, x=x), x.max((0, 2), keepdims=True))
+
+
+def test_cast_argmax_cumsum_trilu(rng):
+    x = rng.standard_normal((3, 6)).astype(F32)
+    ex = build([("Cast", ["x"], ["y"], {"to": 6})],  # int32
+               inputs=[("x", F32, (3, 6))], outputs=[("y", np.int32, (3, 6))])
+    np.testing.assert_array_equal(run1(ex, x=x), x.astype(np.int32))
+
+    ex = build([("ArgMax", ["x"], ["y"], {"axis": 1, "keepdims": 0})],
+               inputs=[("x", F32, (3, 6))], outputs=[("y", I64, (3,))])
+    np.testing.assert_array_equal(run1(ex, x=x), x.argmax(1))
+
+    ex = build([("CumSum", ["x", "ax"], ["y"])],
+               inits={"ax": np.asarray(1, I64)},
+               inputs=[("x", F32, (3, 6))], outputs=[("y", F32, (3, 6))])
+    np.testing.assert_allclose(run1(ex, x=x), np.cumsum(x, 1), rtol=1e-5)
+
+    sq = rng.standard_normal((4, 4)).astype(F32)
+    ex = build([("Trilu", ["x"], ["y"], {"upper": 0})],
+               inputs=[("x", F32, (4, 4))], outputs=[("y", F32, (4, 4))])
+    np.testing.assert_allclose(run1(ex, x=sq), np.tril(sq))
+
+
+# ---------------------------------------------------------------------------
+# conv / convtranspose / resize / pooling vs torch ground truth
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "stride,pad,dil,group",
+    [(1, 0, 1, 1), (2, 3, 1, 1), (1, 2, 2, 1), (1, 1, 1, 2)],
+)
+def test_conv1d_vs_torch(rng, stride, pad, dil, group):
+    import torch
+    import torch.nn.functional as tF
+
+    x = rng.standard_normal((2, 4, 20)).astype(F32)
+    w = rng.standard_normal((6, 4 // group, 5)).astype(F32)
+    b = rng.standard_normal((6,)).astype(F32)
+    ref = tF.conv1d(torch.from_numpy(x), torch.from_numpy(w),
+                    torch.from_numpy(b), stride=stride, padding=pad,
+                    dilation=dil, groups=group).numpy()
+    ex = build(
+        [("Conv", ["x", "w", "b"], ["y"],
+          {"strides": [stride], "pads": [pad, pad], "dilations": [dil],
+           "group": group, "kernel_shape": [5]})],
+        inits={"w": w, "b": b},
+        inputs=[("x", F32, (2, 4, 20))], outputs=[("y", F32, ref.shape)],
+    )
+    np.testing.assert_allclose(run1(ex, x=x), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_conv2d_vs_torch(rng):
+    import torch
+    import torch.nn.functional as tF
+
+    x = rng.standard_normal((1, 3, 12, 10)).astype(F32)
+    w = rng.standard_normal((5, 3, 3, 3)).astype(F32)
+    ref = tF.conv2d(torch.from_numpy(x), torch.from_numpy(w),
+                    stride=(2, 1), padding=(1, 2)).numpy()
+    ex = build(
+        [("Conv", ["x", "w"], ["y"],
+          {"strides": [2, 1], "pads": [1, 2, 1, 2]})],
+        inits={"w": w},
+        inputs=[("x", F32, (1, 3, 12, 10))], outputs=[("y", F32, ref.shape)],
+    )
+    np.testing.assert_allclose(run1(ex, x=x), ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "stride,pad,outpad,group",
+    [(1, 0, 0, 1), (4, 2, 0, 1), (2, 1, 1, 1), (2, 0, 0, 2)],
+)
+def test_convtranspose1d_vs_torch(rng, stride, pad, outpad, group):
+    import torch
+    import torch.nn.functional as tF
+
+    x = rng.standard_normal((2, 4, 11)).astype(F32)
+    w = rng.standard_normal((4, 6 // group, 8)).astype(F32)
+    b = rng.standard_normal((6,)).astype(F32)
+    ref = tF.conv_transpose1d(
+        torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+        stride=stride, padding=pad, output_padding=outpad, groups=group,
+    ).numpy()
+    ex = build(
+        [("ConvTranspose", ["x", "w", "b"], ["y"],
+          {"strides": [stride], "pads": [pad, pad],
+           "output_padding": [outpad], "group": group})],
+        inits={"w": w, "b": b},
+        inputs=[("x", F32, (2, 4, 11))], outputs=[("y", F32, ref.shape)],
+    )
+    np.testing.assert_allclose(run1(ex, x=x), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_convtranspose2d_vs_torch(rng):
+    import torch
+    import torch.nn.functional as tF
+
+    x = rng.standard_normal((1, 3, 7, 5)).astype(F32)
+    w = rng.standard_normal((3, 4, 4, 4)).astype(F32)
+    ref = tF.conv_transpose2d(torch.from_numpy(x), torch.from_numpy(w),
+                              stride=(2, 2), padding=(1, 1)).numpy()
+    ex = build(
+        [("ConvTranspose", ["x", "w"], ["y"],
+          {"strides": [2, 2], "pads": [1, 1, 1, 1]})],
+        inits={"w": w},
+        inputs=[("x", F32, (1, 3, 7, 5))], outputs=[("y", F32, ref.shape)],
+    )
+    np.testing.assert_allclose(run1(ex, x=x), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_resize_nearest_and_linear(rng):
+    import torch
+    import torch.nn.functional as tF
+
+    x = rng.standard_normal((2, 3, 6)).astype(F32)
+    # integer nearest upsample (torch Upsample export: asymmetric+floor)
+    ex = build(
+        [("Resize", ["x", "", "sc"], ["y"],
+          {"mode": "nearest", "coordinate_transformation_mode": "asymmetric",
+           "nearest_mode": "floor"})],
+        inits={"sc": np.asarray([1.0, 1.0, 3.0], F32)},
+        inputs=[("x", F32, (2, 3, 6))], outputs=[("y", F32, (2, 3, 18))],
+    )
+    ref = tF.interpolate(torch.from_numpy(x), scale_factor=3,
+                         mode="nearest").numpy()
+    np.testing.assert_allclose(run1(ex, x=x), ref)
+
+    # linear half_pixel == torch align_corners=False
+    ex = build(
+        [("Resize", ["x", "", "sc"], ["y"],
+          {"mode": "linear",
+           "coordinate_transformation_mode": "half_pixel"})],
+        inits={"sc": np.asarray([1.0, 1.0, 2.0], F32)},
+        inputs=[("x", F32, (2, 3, 6))], outputs=[("y", F32, (2, 3, 12))],
+    )
+    ref = tF.interpolate(torch.from_numpy(x), scale_factor=2, mode="linear",
+                         align_corners=False).numpy()
+    np.testing.assert_allclose(run1(ex, x=x), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pooling_vs_torch(rng):
+    import torch
+    import torch.nn.functional as tF
+
+    x = rng.standard_normal((2, 3, 16)).astype(F32)
+    xt = torch.from_numpy(x)
+
+    ex = build([("MaxPool", ["x"], ["y"],
+                 {"kernel_shape": [4], "strides": [2], "pads": [0, 0]})],
+               inputs=[("x", F32, (2, 3, 16))], outputs=[("y", F32, (2, 3, 7))])
+    ref = tF.max_pool1d(xt, 4, 2).numpy()
+    np.testing.assert_allclose(run1(ex, x=x), ref, rtol=1e-5)
+
+    ex = build([("AveragePool", ["x"], ["y"],
+                 {"kernel_shape": [4], "strides": [2], "pads": [1, 1]})],
+               inputs=[("x", F32, (2, 3, 16))], outputs=[("y", F32, (2, 3, 8))])
+    ref = tF.avg_pool1d(xt, 4, 2, padding=1, count_include_pad=False).numpy()
+    np.testing.assert_allclose(run1(ex, x=x), ref, rtol=1e-5, atol=1e-6)
+
+    ex = build([("GlobalAveragePool", ["x"], ["y"])],
+               inputs=[("x", F32, (2, 3, 16))], outputs=[("y", F32, (2, 3, 1))])
+    np.testing.assert_allclose(run1(ex, x=x), x.mean(-1, keepdims=True),
+                               rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# executor mechanics
+# ---------------------------------------------------------------------------
+
+def test_attention_block_composite(rng):
+    """A full scaled-dot-product attention subgraph, the shape the vector
+    estimator's cross-attention will take (SURVEY.md §2.2)."""
+    B, L, M, D = 2, 5, 7, 8
+    q = rng.standard_normal((B, L, D)).astype(F32)
+    k = rng.standard_normal((B, M, D)).astype(F32)
+    v = rng.standard_normal((B, M, D)).astype(F32)
+    mask = np.ones((B, 1, M), F32)
+    mask[0, 0, 5:] = 0
+    ex = build(
+        [("Transpose", ["k"], ["kt"], {"perm": [0, 2, 1]}),
+         ("MatMul", ["q", "kt"], ["qk"]),
+         ("Div", ["qk", "scale"], ["qks"]),
+         ("Sub", ["one", "mask"], ["inv"]),
+         ("Mul", ["inv", "neg"], ["bias"]),
+         ("Add", ["qks", "bias"], ["logits"]),
+         ("Softmax", ["logits"], ["p"], {"axis": -1}),
+         ("MatMul", ["p", "v"], ["y"])],
+        inits={"scale": np.float32(np.sqrt(D)), "one": np.float32(1),
+               "neg": np.float32(-1e9)},
+        inputs=[("q", F32, (B, L, D)), ("k", F32, (B, M, D)),
+                ("v", F32, (B, M, D)), ("mask", F32, (B, 1, M))],
+        outputs=[("y", F32, (B, L, D))],
+    )
+    got = run1(ex, q=q, k=k, v=v, mask=mask)
+    logits = q @ k.transpose(0, 2, 1) / np.sqrt(D) - (1 - mask) * 1e9
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    p = e / e.sum(-1, keepdims=True)
+    np.testing.assert_allclose(got, p @ v, rtol=1e-4, atol=1e-5)
+
+
+def test_unsupported_op_raises(rng):
+    ex = build([("NonMaxSuppression", ["x"], ["y"])],
+               inputs=[("x", F32, (2, 2))], outputs=[("y", F32, (2, 2))])
+    with pytest.raises(UnsupportedOp):
+        ex.run(None, {"x": np.zeros((2, 2), F32)})
+
+
+def test_out_of_order_nodes_toposorted(rng):
+    x = rng.standard_normal((2, 3)).astype(F32)
+    ex = build(
+        [("Mul", ["a", "a"], ["y"]),     # uses 'a' before it is produced
+         ("Add", ["x", "x"], ["a"])],
+        inputs=[("x", F32, (2, 3))], outputs=[("y", F32, (2, 3))],
+    )
+    np.testing.assert_allclose(run1(ex, x=x), (2 * x) ** 2, rtol=1e-6)
+
+
+def test_run_output_name_selection(rng):
+    x = rng.standard_normal((2, 3)).astype(F32)
+    ex = build(
+        [("Add", ["x", "x"], ["a"]), ("Mul", ["x", "x"], ["b"])],
+        inputs=[("x", F32, (2, 3))],
+        outputs=[("a", F32, (2, 3)), ("b", F32, (2, 3))],
+    )
+    only_b = ex.run(["b"], {"x": x})
+    np.testing.assert_allclose(only_b[0], x * x, rtol=1e-6)
+    a_then_b = ex.run(None, {"x": x})
+    np.testing.assert_allclose(a_then_b[0], 2 * x, rtol=1e-6)

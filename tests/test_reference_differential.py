@@ -1,0 +1,274 @@
+"""Differential tests against the reference's OWN Python code.
+
+The reference frontend and chunker are pure Python with no asset dependency
+(/root/reference/py/helper.py:21-105, 388-429) — only the module-level
+``import onnxruntime`` blocks importing it here, so we stub that module and
+run the real reference functions side-by-side with ours over a seeded fuzz
+corpus (all 5 languages, emoji, quotes, initials, abbreviations). This is
+the one parity axis fully testable without the HF assets (VERDICT round-1
+item 2).
+
+Documented intentional deviations (asserted, not papered over):
+  * tokenizer: reference casts codepoints to uint16 and WRAPS astral-plane
+    chars (py/helper.py:113); we clamp to pad. Differential runs on BMP-safe
+    corpora; the wrap case has its own test.
+  * chunker: sentences longer than max_len are kept whole by the reference
+    and split comma/word-wise by us (the Rust port's fallback,
+    rust/src/helper.rs:330-450). Differential corpora keep sentences under
+    max_len; the fallback has its own test in test_chunker.py.
+"""
+
+import importlib.util
+import random
+import string
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF_HELPER = "/root/reference/py/helper.py"
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference helper with onnxruntime stubbed out."""
+    if "onnxruntime" not in sys.modules:
+        stub = types.ModuleType("onnxruntime")
+        stub.InferenceSession = object
+        stub.SessionOptions = object
+        sys.modules["onnxruntime"] = stub
+    spec = importlib.util.spec_from_file_location("ref_helper", REF_HELPER)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+# ---------------------------------------------------------------------------
+# fuzz corpus
+# ---------------------------------------------------------------------------
+
+_WORD_POOLS = {
+    "en": ["hello", "world", "quick", "brown", "fox", "Dr.", "Mr.", "Smith",
+           "U.S.", "F.", "A.B.", "Inc.", "vs.", "e.g.,", "i.e.,", "etc.",
+           "the", "company", "said", "today", "3.5", "10,000", "@home"],
+    "ko": ["안녕하세요", "세계", "빠른", "텍스트", "합성", "모델", "사용"],
+    "es": ["rápido", "señor", "año", "música", "después", "corazón"],
+    "pt": ["ação", "você", "não", "coração", "português", "São"],
+    "fr": ["été", "français", "où", "cœur", "noël", "ça", "à"],
+}
+_PUNCT = [".", "!", "?", ",", ";", ":", "…", "。", '"', "'", "(", ")",
+          "[", "]", "|", "/", "#", "–", "—", "‑", "_", "´", "`",
+          "“", "”", "‘", "’", "→", "←", "♥", "☆",
+          "♡", "©", "\\", "»", "›", "』", "」", "】", "〉", "《", "》"]
+_EMOJI = ["😀", "🙂", "🚀", "🌍", "🎉", "🤖", "☀", "✈", "🇺🇸", "🪐"]
+_SPACES = [" ", "  ", "\t", "\n", " \n ", " "]
+
+
+def _fuzz_text(rng: random.Random, lang: str) -> str:
+    parts = []
+    words = _WORD_POOLS[lang] + _WORD_POOLS["en"]
+    for _ in range(rng.randint(1, 30)):
+        r = rng.random()
+        if r < 0.55:
+            parts.append(rng.choice(words))
+        elif r < 0.75:
+            parts.append(rng.choice(_PUNCT))
+        elif r < 0.85:
+            parts.append(rng.choice(_EMOJI))
+        elif r < 0.95:
+            parts.append(rng.choice(_SPACES))
+        else:
+            parts.append("".join(rng.choice(string.printable[:94])
+                                 for _ in range(rng.randint(1, 6))))
+    sep = rng.choice([" ", "", " "])
+    return sep.join(parts)
+
+
+LANGS = ["en", "ko", "es", "pt", "fr"]
+N_FUZZ = 2500  # x5 langs = 12.5k differential cases
+
+
+def test_preprocess_text_differential(ref):
+    from supertonic_tpu.frontend import preprocess_text
+
+    ref_proc = ref.UnicodeProcessor.__new__(ref.UnicodeProcessor)
+    rng = random.Random(0xC0FFEE)
+    checked = 0
+    for lang in LANGS:
+        for i in range(N_FUZZ):
+            text = _fuzz_text(rng, lang)
+            try:
+                expected = ref_proc._preprocess_text(text, lang)
+            except ValueError:
+                continue
+            got = preprocess_text(text, lang)
+            assert got == expected, (
+                f"lang={lang} input={text!r}\nref={expected!r}\nours={got!r}"
+            )
+            checked += 1
+    assert checked > 0.9 * N_FUZZ * len(LANGS)
+
+
+def test_preprocess_handpicked_cases(ref):
+    from supertonic_tpu.frontend import preprocess_text
+
+    ref_proc = ref.UnicodeProcessor.__new__(ref.UnicodeProcessor)
+    cases = [
+        ("Hello — world… e.g., 😀 @noon [ok]/maybe #1", "en"),
+        ('she said ""double"" and \'\'single\'\' and ``ticks``', "en"),
+        ("Ends with bracket )", "en"),
+        ("Ends with nothing", "en"),
+        ("   spaced   out\t\ttabs \n newline  ", "en"),
+        ("ですます。」", "en"),
+        ("안녕하세요 세계", "ko"),
+        ("mañana será más fácil", "es"),
+        ("ação não coração", "pt"),
+        ("l'été où ça cœur", "fr"),
+        ("i.e., that is, e.g., for example, @ at", "en"),
+        ("♥☆♡©\\ gone", "en"),
+        ("A.B. next", "en"),
+        ("", "en"),
+        ("🇺🇸🚀", "en"),
+    ]
+    for text, lang in cases:
+        assert preprocess_text(text, lang) == \
+            ref_proc._preprocess_text(text, lang), repr(text)
+
+
+def test_tokenizer_differential_bmp(ref, tmp_path):
+    """Full __call__ parity (ids + mask) on BMP-only inputs with a shared
+    indexer table; the astral-plane uint16-wrap divergence is intentional
+    and pinned by test_astral_wrap_deviation."""
+    import json
+
+    from supertonic_tpu.frontend import UnicodeProcessor
+
+    table = [(i * 7 + 3) % 1024 for i in range(65536)]
+    p = tmp_path / "unicode_indexer.json"
+    p.write_text(json.dumps(table))
+    ref_proc = ref.UnicodeProcessor(str(p))
+    ours = UnicodeProcessor(np.asarray(table, np.int64))
+
+    rng = random.Random(42)
+    for _ in range(300):
+        lang = rng.choice(LANGS)
+        texts = [_fuzz_text(rng, lang) or "x" for _ in range(rng.randint(1, 3))]
+        langs = [lang] * len(texts)
+        ref_ids, ref_mask = ref_proc(texts, langs)
+        got_ids, got_mask = ours(texts, langs)
+        np.testing.assert_array_equal(got_ids, ref_ids, err_msg=repr(texts))
+        np.testing.assert_array_equal(got_mask, ref_mask, err_msg=repr(texts))
+
+
+def test_astral_wrap_deviation(ref, tmp_path):
+    """The reference casts codepoints to uint16 (py/helper.py:111-115):
+    under numpy>=2 that CRASHES with OverflowError on astral-plane chars
+    (older numpy silently wrapped). We clamp to pad instead — pin both
+    behaviors so the intentional deviation stays documented."""
+    import json
+
+    from supertonic_tpu.frontend import UnicodeProcessor
+
+    table = list(range(65536))
+    p = tmp_path / "idx.json"
+    p.write_text(json.dumps(table))
+    ref_proc = ref.UnicodeProcessor(str(p))
+    ours = UnicodeProcessor(np.asarray(table, np.int64))
+
+    # DESERET CAPITAL LETTER LONG I: astral, NFKD-stable, not an emoji
+    text = "x\U00010400y"
+    with pytest.raises(OverflowError):
+        ref_proc([text], ["en"])
+    got_ids, _ = ours([text], ["en"])
+    pos = 5  # '<en>' tag (4 chars) + 'x'
+    assert got_ids[0, pos] == 0  # clamped to pad, no crash
+    assert got_ids.shape[1] == len("<en>x\U00010400y.</en>")
+
+
+# ---------------------------------------------------------------------------
+# chunker differential
+# ---------------------------------------------------------------------------
+
+def _fuzz_document(rng: random.Random) -> str:
+    """Multi-paragraph English-ish prose with abbreviation/initial traps,
+    sentences kept < 300 chars so the intentional oversize deviation never
+    triggers."""
+    enders = [".", "!", "?", ".", "."]
+    traps = ["Mr. Smith", "Dr. Who", "Mrs. Jones", "Prof. X", "Ph.D. level",
+             "etc. and", "e.g. apples", "i.e. this", "vs. them", "Inc. was",
+             "Ltd. had", "Co. says", "Corp. filed", "St. Mary", "Ave. B",
+             "Blvd. east", "F. Scott", "U.S. Government", "A.B. Next",
+             "J. R. R. Tolkien", "x. lower", "No. 5"]
+    words = ["alpha", "beta", "gamma", "delta", "words", "synthesis",
+             "latency", "through", "model", "speech"]
+    paras = []
+    for _ in range(rng.randint(1, 4)):
+        sents = []
+        for _ in range(rng.randint(1, 8)):
+            n = rng.randint(1, 12)
+            toks = [rng.choice(traps) if rng.random() < 0.3 else
+                    rng.choice(words) for _ in range(n)]
+            sents.append(" ".join(toks) + rng.choice(enders))
+        paras.append(" ".join(sents))
+    return ("\n\n" if rng.random() < 0.7 else "\n \n\n").join(paras)
+
+
+@pytest.mark.parametrize("max_len", [120, 300])
+def test_chunk_text_differential(ref, max_len):
+    from supertonic_tpu.frontend import chunk_text
+
+    rng = random.Random(1234)
+    for i in range(2000):
+        doc = _fuzz_document(rng)
+        expected = ref.chunk_text(doc, max_len=max_len)
+        # skip docs where the reference emits an oversized chunk (our
+        # fallback intentionally splits those further)
+        if any(len(c) > max_len for c in expected):
+            continue
+        got = chunk_text(doc, max_len=max_len)
+        assert got == expected, f"doc={doc!r}"
+
+
+def test_chunk_text_handpicked(ref):
+    from supertonic_tpu.frontend import chunk_text
+
+    docs = [
+        "U.S. Government filed. Then Mr. Smith replied. The end.",
+        "A.B. Next item. Also J. R. R. Tolkien wrote. Done.",
+        "One. Two!  Three? Four.",
+        "para one line. still para one.\n\npara two starts. it ends.",
+        "Ph.D. candidates vs. others, e.g. some, i.e. all etc. and more.",
+        "Trailing abbreviation etc.",
+        "lower x. boundary test. 3. numbered point.",
+        "Multi  spaces. After!   Punct?  Yes.",
+    ]
+    for doc in docs:
+        for max_len in (300, 40):
+            expected = ref.chunk_text(doc, max_len)
+            if any(len(c) > max_len for c in expected):
+                continue  # oversize fallback is an intentional deviation
+            assert chunk_text(doc, max_len=max_len) == expected, (doc, max_len)
+
+
+def test_sanitize_filename_differential(ref):
+    from supertonic_tpu.utils import sanitize_filename
+
+    rng = random.Random(7)
+    for _ in range(500):
+        t = _fuzz_text(rng, rng.choice(LANGS))
+        assert sanitize_filename(t, 40) == ref.sanitize_filename(t, 40), repr(t)
+
+
+def test_length_to_mask_and_latent_mask_differential(ref):
+    from supertonic_tpu.frontend import get_latent_mask, length_to_mask
+
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        lengths = rng.integers(1, 40, size=rng.integers(1, 5))
+        np.testing.assert_array_equal(
+            length_to_mask(lengths), ref.length_to_mask(lengths))
+        wav_lengths = rng.integers(1, 100000, size=len(lengths))
+        np.testing.assert_array_equal(
+            get_latent_mask(wav_lengths, 64, 6),
+            ref.get_latent_mask(wav_lengths, 64, 6))
