@@ -199,10 +199,12 @@ def _mulaw_encode(x: jax.Array) -> jax.Array:
     pcm = jnp.clip(x * 32767.0, -32635.0, 32635.0)
     sign = jnp.where(pcm < 0, 0x80, 0).astype(jnp.int32)
     mag = jnp.abs(pcm).astype(jnp.int32) + 0x84
-    exp = jnp.clip(
-        jnp.floor(jnp.log2(mag.astype(jnp.float32))).astype(jnp.int32) - 7,
-        0, 7,
-    )
+    # segment exponent via integer threshold comparisons: TPU transcendental
+    # log2 can land just below an exact integer at power-of-two magnitudes,
+    # dropping the exponent and halving the decoded sample (ADVICE r1)
+    exp = jnp.zeros_like(mag)
+    for th in (256, 512, 1024, 2048, 4096, 8192, 16384):
+        exp = exp + (mag >= th).astype(jnp.int32)
     mant = jax.lax.shift_right_logical(mag, exp + 3) & 0x0F
     return (~(sign | (exp << 4) | mant) & 0xFF).astype(jnp.uint8)
 

@@ -123,10 +123,46 @@ void AppendNfkd(uint32_t cp, u32string* out) {
   out->push_back(cp);
 }
 
+uint8_t Ccc(uint32_t cp) {
+  int lo = 0, hi = kCccTableSize - 1;
+  while (lo <= hi) {
+    int mid = (lo + hi) / 2;
+    if (kCccTable[mid].cp == cp) return kCccTable[mid].ccc;
+    if (kCccTable[mid].cp < cp)
+      lo = mid + 1;
+    else
+      hi = mid - 1;
+  }
+  return 0;
+}
+
+// Canonical ordering (UAX #15): stable-sort adjacent nonzero-ccc marks by
+// combining class. Python's unicodedata.normalize does this after
+// decomposition; without it, stacked diacritics (possible in es/pt/fr
+// input) tokenize differently here than in the Python frontend.
+void CanonicalOrder(u32string* s) {
+  size_t i = 1;
+  while (i < s->size()) {
+    uint8_t c = Ccc((*s)[i]);
+    if (c != 0) {
+      uint8_t prev = Ccc((*s)[i - 1]);
+      if (prev > c) {
+        std::swap((*s)[i - 1], (*s)[i]);
+        if (i > 1) {
+          --i;
+          continue;
+        }
+      }
+    }
+    ++i;
+  }
+}
+
 u32string Nfkd(const u32string& in) {
   u32string out;
   out.reserve(in.size() + 8);
   for (uint32_t cp : in) AppendNfkd(cp, &out);
+  CanonicalOrder(&out);
   return out;
 }
 

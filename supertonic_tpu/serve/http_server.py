@@ -4,7 +4,7 @@ Same wire contract as the reference FastAPI service (py/service.py) and as
 our optional FastAPI app (app.py — used when fastapi is installed):
 
     GET  /health      -> 200 {"status": "ok"}
-    GET  /metrics     -> 200 JSON profiler counters
+    GET  /metrics     -> 200 JSON profiler counters + batcher stats
     POST /tts         -> single: audio/wav stream; batch: application/zip
                          400 on validation errors {"detail": ...}
                          422 on schema/bounds errors (pydantic-compatible)
@@ -12,9 +12,11 @@ our optional FastAPI app (app.py — used when fastapi is installed):
                          FIRST text chunk synthesizes (long-form
                          time-to-first-audio; ours — no reference analog)
 
-Threaded server: requests serialize around the engine lock (XLA dispatch is
-already async; a single engine saturates one chip — run one process per
-chip, shard requests at the load balancer for pod-slice serving).
+Unlike the reference (one request at a time, py/service.py:97-109), requests
+are dispatched through the ContinuousBatcher: concurrent requests coalesce
+into bucketed device batches, long-form texts are chunked and their chunks
+interleave with other traffic, and no lock is ever held while writing to a
+client socket (a slow reader cannot stall synthesis for everyone else).
 """
 
 from __future__ import annotations
@@ -44,6 +46,8 @@ def _ensure_list(v):
 
 
 def _parse_request(body: dict) -> dict:
+    if not isinstance(body, dict):
+        raise ValidationError(422, "request body must be a JSON object")
     if "text" not in body:
         raise ValidationError(422, "field 'text' is required")
     req = {
@@ -56,24 +60,46 @@ def _parse_request(body: dict) -> dict:
         "silence_duration": body.get("silence_duration", 0.3),
         "crossfade_duration": body.get("crossfade_duration", 0.0),
     }
+    for key in ("text", "lang", "voice_style"):
+        vals = _ensure_list(req[key])
+        if not vals or not all(isinstance(v, str) for v in vals):
+            raise ValidationError(
+                422, f"{key} must be a string or a list of strings")
     ts = req["total_step"]
-    if not isinstance(ts, int) or not (1 <= ts <= 50):
+    if not isinstance(ts, int) or isinstance(ts, bool) or not (1 <= ts <= 50):
         raise ValidationError(422, "total_step must be an int in [1, 50]")
-    if not (isinstance(req["speed"], (int, float)) and req["speed"] > 0):
+    if not (isinstance(req["speed"], (int, float))
+            and not isinstance(req["speed"], bool) and req["speed"] > 0):
         raise ValidationError(422, "speed must be > 0")
-    if req["silence_duration"] < 0 or req["crossfade_duration"] < 0:
-        raise ValidationError(422, "durations must be >= 0")
+    for key in ("silence_duration", "crossfade_duration"):
+        v = req[key]
+        if not isinstance(v, (int, float)) or isinstance(v, bool) or v < 0:
+            raise ValidationError(422, f"{key} must be a number >= 0")
     return req
 
 
 class TTSService:
     """Transport-independent request handling (shared by the stdlib server
-    and the FastAPI app)."""
+    and the FastAPI app). All synthesis goes through the ContinuousBatcher;
+    ``use_batcher=False`` falls back to the engine behind one lock (the
+    reference's serialization model, py/service.py:97-109)."""
 
-    def __init__(self, tts):
+    def __init__(self, tts, *, use_batcher: bool = True,
+                 max_batch: int = 32, max_wait_ms: float = 10.0):
         self.tts = tts
         self._style_cache: dict[str, object] = {}
         self._lock = threading.Lock()
+        self.batcher = None
+        if use_batcher:
+            from ..parallel.batcher import ContinuousBatcher
+
+            self.batcher = ContinuousBatcher(
+                tts.engine, max_batch=max_batch, max_wait_ms=max_wait_ms)
+
+    def close(self):
+        if self.batcher is not None:
+            self.batcher.shutdown()
+            self.batcher = None
 
     def get_style(self, name: str):
         if name not in self._style_cache:
@@ -83,12 +109,11 @@ class TTSService:
                 raise ValidationError(400, str(e))
         return self._style_cache[name]
 
-    def synthesize(self, req: dict) -> tuple[bytes, str, str]:
-        """Returns (payload, content_type, filename)."""
+    # ------------------------------------------------------------------
+    def _validate(self, req: dict) -> tuple[list, list, list]:
         texts = _ensure_list(req["text"])
         langs = _ensure_list(req["lang"])
         styles = _ensure_list(req["voice_style"])
-
         if req["batch"]:
             if not (len(texts) == len(langs) == len(styles)):
                 raise ValidationError(
@@ -98,32 +123,80 @@ class TTSService:
             raise ValidationError(
                 400, "Non-batch mode requires single text, lang, and voice_style."
             )
-
         invalid = sorted({l for l in langs if l not in AVAILABLE_LANGS})
         if invalid:
             raise ValidationError(400, f"Invalid language(s): {', '.join(invalid)}")
+        return texts, langs, styles
 
+    def _stitch(self, results: list[tuple[np.ndarray, float]],
+                silence: float, crossfade: float) -> tuple[np.ndarray, float]:
+        from ..engine.stitch import stitch
+
+        return stitch(
+            [w for w, _ in results], [d for _, d in results],
+            self.tts.sample_rate,
+            silence_duration=silence, crossfade_duration=crossfade,
+        )
+
+    def _synth_rows_batched(self, texts, langs, styles, total_step, speed):
+        """One batcher submission per utterance row; returns trimmed
+        (wav, duration) per row, preserving order."""
+        futures = [
+            self.batcher.submit(t, lng, self.get_style(s), total_step, speed)
+            for t, lng, s in zip(texts, langs, styles)
+        ]
+        return [f.result() for f in futures]
+
+    def _synth_longform_batched(self, text, lang, style_name, req):
+        from ..frontend import chunk_text, max_len_for_lang
+
+        chunks = chunk_text(text, max_len=max_len_for_lang(lang))
+        if not chunks:
+            return np.zeros(0, np.float32), 0.0
+        style = self.get_style(style_name)
+        futures = [
+            self.batcher.submit(c, lang, style, req["total_step"], req["speed"])
+            for c in chunks
+        ]
+        results = [f.result() for f in futures]
+        return self._stitch(results, req["silence_duration"],
+                            req["crossfade_duration"])
+
+    def synthesize(self, req: dict) -> tuple[bytes, str, str]:
+        """Returns (payload, content_type, filename)."""
+        texts, langs, styles = self._validate(req)
         engine = self.tts.engine
         sr = self.tts.sample_rate
-        with self._lock:
-            if req["batch"]:
-                from ..engine.engine import VoiceStyle
 
-                sts = [self.get_style(s) for s in styles]
-                style = VoiceStyle(
-                    np.concatenate([s.ttl for s in sts]),
-                    np.concatenate([s.dp for s in sts]),
-                )
-                wav, dur = engine.batch(
-                    texts, langs, style, req["total_step"], req["speed"]
-                )
+        if self.batcher is not None:
+            if req["batch"]:
+                rows = self._synth_rows_batched(
+                    texts, langs, styles, req["total_step"], req["speed"])
+                chunks = [w for w, _ in rows]
             else:
-                wav, dur = engine(
-                    texts[0], langs[0], self.get_style(styles[0]),
-                    req["total_step"], req["speed"], req["silence_duration"],
-                    req["crossfade_duration"],
-                )
-        chunks = engine.trim(wav, dur)
+                wav, _dur = self._synth_longform_batched(
+                    texts[0], langs[0], styles[0], req)
+                chunks = [wav]
+        else:
+            with self._lock:
+                if req["batch"]:
+                    from ..engine.engine import VoiceStyle
+
+                    sts = [self.get_style(s) for s in styles]
+                    style = VoiceStyle(
+                        np.concatenate([s.ttl for s in sts]),
+                        np.concatenate([s.dp for s in sts]),
+                    )
+                    wav, dur = engine.batch(
+                        texts, langs, style, req["total_step"], req["speed"]
+                    )
+                else:
+                    wav, dur = engine(
+                        texts[0], langs[0], self.get_style(styles[0]),
+                        req["total_step"], req["speed"], req["silence_duration"],
+                        req["crossfade_duration"],
+                    )
+            chunks = engine.trim(wav, dur)
 
         if len(chunks) == 1:
             fname = sanitize_filename(texts[0], 40) or "tts"
@@ -136,11 +209,51 @@ class TTSService:
                 zf.writestr(f"{fname}.wav", wav_bytes(chunk, sr))
         return zbuf.getvalue(), "application/zip", "tts_outputs.zip"
 
+    def stream_chunks(self, req: dict):
+        """Yields (trimmed wav [T] f32, duration s) per text chunk as soon as
+        it is synthesized. First chunk is dispatched alone for minimum
+        time-to-first-audio; the remainder submit together and coalesce with
+        any concurrent traffic. No lock is held between yields."""
+        texts, langs, styles = self._validate(req)
+        text, lang = texts[0], langs[0]
+        style = self.get_style(styles[0])
 
-def make_server(tts, host: str = "0.0.0.0", port: int = 8000) -> ThreadingHTTPServer:
-    service = TTSService(tts)
+        if self.batcher is None:
+            with self._lock:
+                yield from self.tts.engine.stream(
+                    text, lang, style, req["total_step"], req["speed"])
+            return
+
+        from ..frontend import chunk_text, max_len_for_lang
+
+        chunks = chunk_text(text, max_len=max_len_for_lang(lang))
+        if not chunks:
+            return
+        first = self.batcher.submit(
+            chunks[0], lang, style, req["total_step"], req["speed"])
+        yield first.result()
+        rest = [
+            self.batcher.submit(c, lang, style, req["total_step"], req["speed"])
+            for c in chunks[1:]
+        ]
+        for f in rest:
+            yield f.result()
+
+    def metrics(self) -> dict:
+        out = self.tts.engine.profiler.summary()
+        if self.batcher is not None:
+            out["batcher"] = dict(self.batcher.stats)
+        return out
+
+
+def make_server(tts, host: str = "0.0.0.0", port: int = 8000,
+                *, use_batcher: bool = True) -> ThreadingHTTPServer:
+    service = TTSService(tts, use_batcher=use_batcher)
 
     class Handler(BaseHTTPRequestHandler):
+        # dead/stalled clients must not pin a handler thread forever
+        timeout = 60
+
         def _send_json(self, status: int, obj: dict):
             payload = json.dumps(obj).encode()
             self.send_response(status)
@@ -156,7 +269,7 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000) -> ThreadingHTTPSe
             if self.path == "/health":
                 self._send_json(200, {"status": "ok"})
             elif self.path == "/metrics":
-                self._send_json(200, service.tts.engine.profiler.summary())
+                self._send_json(200, service.metrics())
             else:
                 self._send_json(404, {"detail": "not found"})
 
@@ -167,20 +280,20 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000) -> ThreadingHTTPSe
 
         def _stream_tts(self, req: dict):
             """Chunked WAV: header with streaming sentinel sizes, then PCM16
-            per synthesized text chunk."""
+            per synthesized text chunk. Synthesis runs via the batcher; the
+            socket writes happen on this handler thread only, so a slow
+            client throttles nobody but itself."""
             import struct
 
-            texts = _ensure_list(req["text"])
-            langs = _ensure_list(req["lang"])
-            styles = _ensure_list(req["voice_style"])
-            if len(texts) != 1 or len(langs) != 1 or len(styles) != 1:
-                raise ValidationError(
-                    400, "Streaming requires single text, lang, and voice_style."
-                )
-            if langs[0] not in AVAILABLE_LANGS:
-                raise ValidationError(400, f"Invalid language(s): {langs[0]}")
-            style = service.get_style(styles[0])
             sr = service.tts.sample_rate
+            t0 = time.perf_counter()
+            gen = service.stream_chunks(req)
+            # pull the first chunk BEFORE sending headers so validation
+            # errors can still produce a clean JSON error response
+            try:
+                first = next(gen)
+            except StopIteration:
+                first = None
 
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
@@ -193,18 +306,20 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000) -> ThreadingHTTPSe
                       + b"data" + struct.pack("<I", 0xFFFFFFFF))
             self._write_chunk(header)
             gap = np.zeros(int(req["silence_duration"] * sr), np.float32)
-            with service._lock:
-                first = True
-                for wav, _dur in service.tts.engine.stream(
-                    texts[0], langs[0], style, req["total_step"], req["speed"]
-                ):
-                    if not first and len(gap):
-                        self._write_chunk(
-                            (gap * 32767).astype("<i2").tobytes()
-                        )
-                    first = False
-                    pcm = (np.clip(wav, -1, 1) * 32767).astype("<i2")
-                    self._write_chunk(pcm.tobytes())
+            wrote_any = False
+            if first is not None:
+                wav, _dur = first
+                self._write_chunk((np.clip(wav, -1, 1) * 32767)
+                                  .astype("<i2").tobytes())
+                service.tts.engine.profiler.record_ttfa(
+                    time.perf_counter() - t0)
+                wrote_any = True
+            for wav, _dur in gen:
+                if wrote_any and len(gap):
+                    self._write_chunk((gap * 32767).astype("<i2").tobytes())
+                self._write_chunk((np.clip(wav, -1, 1) * 32767)
+                                  .astype("<i2").tobytes())
+                wrote_any = True
             self.wfile.write(b"0\r\n\r\n")
 
         def do_POST(self):
@@ -229,6 +344,15 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000) -> ThreadingHTTPSe
             except json.JSONDecodeError:
                 self._send_json(422, {"detail": "invalid JSON body"})
                 return
+            except (BrokenPipeError, ConnectionResetError):
+                return  # client went away mid-stream; nothing to send
+            except Exception as e:  # noqa: BLE001 — wire contract: JSON 500
+                log.error("tts_error", error=f"{type(e).__name__}: {e}")
+                try:
+                    self._send_json(500, {"detail": "internal error"})
+                except OSError:
+                    pass
+                return
             log.info(
                 "tts", batch=bool(req["batch"]),
                 total_step=req["total_step"], bytes=len(payload),
@@ -243,7 +367,15 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000) -> ThreadingHTTPSe
             self.end_headers()
             self.wfile.write(payload)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        # stdlib default backlog is 5: concurrent client bursts get their
+        # connections refused before a handler thread ever spawns
+        request_queue_size = 128
+        daemon_threads = True
+
+    server = Server((host, port), Handler)
+    server.service = service  # expose for tests / graceful shutdown
+    return server
 
 
 def main():
@@ -262,8 +394,10 @@ def main():
     )
     host = os.getenv("TTS_HOST", "0.0.0.0")
     port = int(os.getenv("TTS_PORT", "8000"))
-    server = make_server(tts, host, port)
-    print(f"Serving Supertonic-TPU TTS on {host}:{port}")
+    use_batcher = os.getenv("TTS_BATCHER", "1") != "0"
+    server = make_server(tts, host, port, use_batcher=use_batcher)
+    print(f"Serving Supertonic-TPU TTS on {host}:{port} "
+          f"(batcher={'on' if use_batcher else 'off'})")
     server.serve_forever()
 
 

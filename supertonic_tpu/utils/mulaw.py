@@ -18,8 +18,11 @@ def encode(x: np.ndarray) -> np.ndarray:
     pcm = np.clip(np.asarray(x, np.float32) * 32767.0, -_CLIP, _CLIP)
     sign = np.where(pcm < 0, 0x80, 0).astype(np.int32)
     mag = np.abs(pcm).astype(np.int32) + _BIAS
-    exp = np.clip(np.floor(np.log2(mag.astype(np.float64))).astype(np.int32) - 7,
-                  0, 7)
+    # integer threshold comparisons, bit-identical to the device encoder
+    # (engine/synthesis.py) — float log2 disagrees at power-of-two magnitudes
+    exp = np.zeros_like(mag)
+    for th in (256, 512, 1024, 2048, 4096, 8192, 16384):
+        exp = exp + (mag >= th).astype(np.int32)
     mant = (mag >> (exp + 3)) & 0x0F
     return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
 

@@ -27,14 +27,27 @@ def timer(name: str, verbose: bool = True):
 class StageProfiler:
     """Accumulates wall time per pipeline stage (frontend / dp / text_enc /
     flow / vocoder / egress) plus synthesis totals and per-request latency
-    percentiles (p50 time-to-audio is a BASELINE metric)."""
+    percentiles (p50 time-to-audio is a BASELINE metric).
+
+    Thread-safe: the engine compute thread, the batcher egress pool, and
+    HTTP handler threads all record concurrently. Latency semantics:
+    ``latencies_s`` holds per-REQUEST end-to-end seconds (submit→audio on
+    host); ``ttfa_s`` holds time-to-FIRST-audio for streaming responses
+    (first chunk flushed, not whole synthesis)."""
 
     stages: dict = field(default_factory=lambda: defaultdict(float))
     counts: dict = field(default_factory=lambda: defaultdict(int))
+    counters: dict = field(default_factory=lambda: defaultdict(int))
     latencies_s: list = field(default_factory=list)
+    ttfa_s: list = field(default_factory=list)
     audio_seconds: float = 0.0
     chars: int = 0
     synth_seconds: float = 0.0
+
+    def __post_init__(self):
+        import threading
+
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -43,21 +56,50 @@ class StageProfiler:
             yield
         finally:
             dt = time.perf_counter() - start
-            self.stages[name] += dt
-            self.counts[name] += 1
+            with self._lock:
+                self.stages[name] += dt
+                self.counts[name] += 1
+
+    def bump(self, counter: str, n: int = 1):
+        """Increment a named event counter (bucket_overflows, …)."""
+        with self._lock:
+            self.counters[counter] += n
+
+    def record_throughput(self, audio_seconds: float, chars: int,
+                          synth_seconds: float):
+        """Batch-level throughput accounting (no request latency) — used by
+        the device-resident egress path where per-request latency is
+        recorded separately at egress completion."""
+        with self._lock:
+            self.audio_seconds += audio_seconds
+            self.chars += chars
+            self.synth_seconds += synth_seconds
 
     def record_result(self, audio_seconds: float, chars: int, synth_seconds: float):
-        self.audio_seconds += audio_seconds
-        self.chars += chars
-        self.synth_seconds += synth_seconds
-        self.latencies_s.append(synth_seconds)
+        self.record_throughput(audio_seconds, chars, synth_seconds)
+        with self._lock:
+            self.latencies_s.append(synth_seconds)
 
-    def latency_percentile(self, pct: float) -> float:
-        if not self.latencies_s:
+    def record_request_latency(self, latency_s: float):
+        """Per-request end-to-end latency (submit → trimmed audio on host)."""
+        with self._lock:
+            self.latencies_s.append(latency_s)
+
+    def record_ttfa(self, seconds: float):
+        """Time-to-first-audio for a streaming response."""
+        with self._lock:
+            self.ttfa_s.append(seconds)
+
+    @staticmethod
+    def _percentile(values: list, pct: float) -> float:
+        if not values:
             return 0.0
         import numpy as np
 
-        return float(np.percentile(np.asarray(self.latencies_s), pct))
+        return float(np.percentile(np.asarray(values), pct))
+
+    def latency_percentile(self, pct: float) -> float:
+        return self._percentile(self.latencies_s, pct)
 
     @property
     def rtf(self) -> float:
@@ -74,6 +116,7 @@ class StageProfiler:
     def summary(self) -> dict:
         return {
             "stages_s": dict(self.stages),
+            "counters": dict(self.counters),
             "rtf": self.rtf,
             "chars_per_sec": self.chars_per_sec,
             "audio_sec_per_sec": self.audio_sec_per_sec,
@@ -82,6 +125,9 @@ class StageProfiler:
             "requests": len(self.latencies_s),
             "latency_p50_s": self.latency_percentile(50),
             "latency_p95_s": self.latency_percentile(95),
+            "streams": len(self.ttfa_s),
+            "ttfa_p50_s": self._percentile(self.ttfa_s, 50),
+            "ttfa_p95_s": self._percentile(self.ttfa_s, 95),
         }
 
 

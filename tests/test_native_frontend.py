@@ -99,6 +99,41 @@ def test_random_unicode_fuzz():
         assert cc == py, f"fuzz mismatch for {text!r}"
 
 
+def test_canonical_reordering_parity():
+    """Stacked/multiple combining marks must come out in canonical order,
+    exactly as Python's unicodedata.normalize('NFKD') reorders them
+    (ADVICE r1: the C++ NFKD previously skipped canonical ordering)."""
+    cases = [
+        "ạ́b",          # dot-below(220) + acute(230): keep order
+        "ạ́b",          # acute then dot-below: must swap
+        "ẹ̈̄x",    # three marks incl. ccc 220 after 230s
+        "q̣̇t",          # hamlet case (dot-above + dot-below)
+        "ọ́ señör",                 # precomposed + stacked input
+        "ệ",                 # ê decomposes, then dot-below reorders in
+        "̣́leading marks",
+    ]
+    for text in cases:
+        py = preprocess_text(text, "es")
+        cc = native_preprocess(text, "es")
+        assert cc == py, f"reorder mismatch for {text!r}: {cc!r} != {py!r}"
+
+
+def test_random_combining_mark_fuzz():
+    rng = np.random.default_rng(7)
+    marks = [0x0300, 0x0301, 0x0308, 0x0304, 0x0323, 0x0327, 0x0331, 0x0345]
+    base = list(range(0x61, 0x7B)) + [0xE9, 0xE7, 0x6E]
+    for _ in range(100):
+        out = []
+        for _ in range(int(rng.integers(1, 25))):
+            out.append(chr(int(rng.choice(base))))
+            for _ in range(int(rng.integers(0, 4))):
+                out.append(chr(int(rng.choice(marks))))
+        text = "".join(out)
+        py = preprocess_text(text, "fr")
+        cc = native_preprocess(text, "fr")
+        assert cc == py, f"mark fuzz mismatch for {text!r}"
+
+
 def test_sanitized_native_build(tmp_path):
     """Run the C++ test driver under ASan/UBSan (make sanitize)."""
     import os

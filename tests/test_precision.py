@@ -61,6 +61,24 @@ def test_mulaw_roundtrip():
     assert snr > 30, f"mu-law SNR {snr:.1f} dB"
 
 
+def test_mulaw_device_host_parity_power_of_two():
+    """Device and host encoders must agree bit-for-bit, ESPECIALLY at
+    power-of-two segment boundaries where float log2 disagreed (ADVICE r1):
+    mag = 256..16384 <=> pcm = 2**k - 0x84."""
+    import jax
+
+    from supertonic_tpu.engine.synthesis import _mulaw_encode
+    from supertonic_tpu.utils.mulaw import encode
+
+    edges = np.array([2.0**k - 0x84 for k in range(8, 15)], np.float64)
+    vals = np.concatenate([edges - 1, edges, edges + 1,
+                           np.linspace(0, 32000, 997)])
+    x = np.concatenate([vals, -vals]).astype(np.float32) / 32767.0
+    host = encode(x)
+    dev = np.asarray(jax.jit(_mulaw_encode)(x))
+    np.testing.assert_array_equal(dev, host)
+
+
 def test_mulaw_engine_egress(tiny_config):
     from supertonic_tpu.engine import SynthesisEngine
     from supertonic_tpu.frontend import UnicodeProcessor, build_default_indexer
