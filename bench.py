@@ -60,6 +60,30 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    if not quick:
+        # latency-serving configuration: 8-bit mu-law egress halves the
+        # device->host bytes (G.711, ~13-bit speech quality, decoded on the
+        # host). Same compute graph; shares the device-resident params.
+        from supertonic_tpu.engine import SynthesisEngine
+
+        mulaw_engine = SynthesisEngine(
+            engine.params, tts.cfg, engine.processor,
+            precision=engine.precision, egress_format="mulaw",
+        )
+        for name, text in cases:
+            for steps in step_counts:
+                r = bench_single(mulaw_engine, style, text,
+                                 f"{name}_{steps}step_mulaw8",
+                                 total_step=steps, iters=iters)
+                report["singles"].append(r.as_dict())
+                print(
+                    f"# {r.name}: rtf={r.rtf:.4f} "
+                    f"chars/s={r.chars_per_sec:.0f} "
+                    f"synth={r.synth_seconds*1e3:.1f}ms "
+                    f"audio={r.audio_seconds:.2f}s",
+                    file=sys.stderr,
+                )
+
     best = None
     batch_cases = ((64, 5),) if quick else ((32, 5), (64, 5), (64, 2))
     for b, steps in batch_cases:

@@ -34,15 +34,52 @@ class TTS:
     ):
         from .assets import load_assets
 
-        if auto_download and assets_dir is None:
-            # No egress in this environment; honored when a mirror is mounted.
-            assets_dir = "assets"
+        if auto_download:
+            # reference py/example_pypi.py:3-4: TTS(auto_download=True)
+            # pulls Supertone/supertonic-2 (~260 MB) from Hugging Face.
+            assets_dir = self._auto_download(assets_dir)
         self.assets = load_assets(assets_dir, seed=seed)
         self.cfg = self.assets.cfg
         self.engine = SynthesisEngine(
             self.assets.params, self.cfg, self.assets.processor,
             precision=precision, seed=seed,
         )
+
+    @staticmethod
+    def _auto_download(assets_dir: str | None) -> str:
+        """Fetch the HF asset repo into a local cache dir (resumable,
+        idempotent; clear actionable error when the environment has no
+        egress). The fetched bundle supplies the real tts.json config,
+        unicode indexer, and voice styles immediately; native-model weights
+        additionally need `tools/convert_onnx.py` (params.npz), or use
+        `assets.load_onnx_pipeline` to run the fetched graphs directly."""
+        import os
+
+        target = assets_dir or os.path.join(
+            os.path.expanduser("~"), ".cache", "supertonic_tpu", "assets")
+        if os.path.exists(os.path.join(target, "params.npz")) or \
+                os.path.exists(os.path.join(target, "tts.json")):
+            return target  # already fetched/converted
+        import importlib.util
+        import sys as _sys
+
+        tools = os.path.join(os.path.dirname(__file__), "..", "tools")
+        spec = importlib.util.spec_from_file_location(
+            "supertonic_tpu_fetch_assets",
+            os.path.join(tools, "fetch_assets.py"))
+        mod = importlib.util.module_from_spec(spec)
+        _sys.modules.setdefault("supertonic_tpu_fetch_assets", mod)
+        spec.loader.exec_module(mod)
+        mod.fetch_all(target)
+        if not os.path.exists(os.path.join(target, "params.npz")):
+            from .utils.logging import default_logger as log
+
+            log.warning(
+                "assets_fetched_unconverted", dir=target,
+                hint="run tools/convert_onnx.py for native weights, or use "
+                     "assets.load_onnx_pipeline for the graph backend",
+            )
+        return target
 
     @property
     def sample_rate(self) -> int:
