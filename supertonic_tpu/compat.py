@@ -148,9 +148,33 @@ class TextToSpeech:
 
 
 def load_text_to_speech(assets_dir: str | None = None,
-                        use_gpu: bool = False) -> TextToSpeech:
+                        use_gpu: bool = False, *,
+                        backend: str = "auto"):
     """Reference loader shape (py/helper.py:322-336). ``use_gpu`` is accepted
-    for signature parity; the accelerator is the TPU."""
+    for signature parity; the accelerator is the TPU.
+
+    ``backend``:
+      * "native" — the tuned JAX models over a converted params bundle.
+      * "onnx"   — the generic graph executor running the four REAL .onnx
+        files from ``assets_dir`` (reference-identical semantics; needs the
+        fetched graphs, see tools/fetch_assets.py).
+      * "auto"   — "onnx" when ``assets_dir`` holds the four graphs but no
+        converted params.npz, else "native".
+    """
+    import os
+
+    if backend == "auto":
+        has_graphs = assets_dir and all(
+            os.path.exists(os.path.join(assets_dir, f"{m}.onnx"))
+            for m in ("duration_predictor", "text_encoder",
+                      "vector_estimator", "vocoder"))
+        has_params = assets_dir and os.path.exists(
+            os.path.join(assets_dir, "params.npz"))
+        backend = "onnx" if (has_graphs and not has_params) else "native"
+    if backend == "onnx":
+        from .assets.onnx_pipeline import load_onnx_pipeline
+
+        return load_onnx_pipeline(assets_dir)
     assets = load_assets(assets_dir)
     engine = SynthesisEngine(assets.params, assets.cfg, assets.processor)
     from .config import to_reference_dict

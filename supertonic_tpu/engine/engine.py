@@ -452,20 +452,30 @@ class SynthesisEngine:
         if not hasattr(self, "_step_fn"):
             from ..models import vector_estimator, vocoder as _vocoder
 
-            def _one_step(params, x, emb, sttl, tmask, lmask, cur, tot):
+            _dt = jnp.bfloat16 if self.precision == "bf16" else jnp.float32
+
+            def _cross(params, emb, sttl, tmask):
+                return vector_estimator.precompute_cross(
+                    params["vector_estimator"], self.cfg, emb, sttl, tmask,
+                    dtype=_dt,
+                )
+
+            def _one_step(params, x, emb, sttl, tmask, lmask, cur, tot,
+                          cache):
+                # cross-attention K/V precomputed ONCE (each step here is a
+                # separate dispatch, so XLA cannot hoist across steps the
+                # way the fused fori_loop program can)
                 return vector_estimator.step(
                     params["vector_estimator"], self.cfg, x, emb, sttl,
-                    tmask, lmask, cur, tot,
-                    dtype=jnp.bfloat16 if self.precision == "bf16" else jnp.float32,
-                    attn_fn=self.attn_fn,
+                    tmask, lmask, cur, tot, dtype=_dt, attn_fn=self.attn_fn,
+                    cross_cache=cache,
                 )
 
             def _voc(params, x):
-                return _vocoder.apply(
-                    params["vocoder"], self.cfg, x,
-                    dtype=jnp.bfloat16 if self.precision == "bf16" else jnp.float32,
-                )
+                return _vocoder.apply(params["vocoder"], self.cfg, x,
+                                      dtype=_dt)
 
+            self._cross_fn = jax.jit(_cross)
             self._step_fn = jax.jit(_one_step)
             self._vocoder_fn = jax.jit(_voc)
 
@@ -492,10 +502,11 @@ class SynthesisEngine:
         tmask = jnp.asarray(mask, jnp.float32)
         lmask_dev = jnp.asarray(lmask)
         tot = jnp.full((1,), float(total_step), jnp.float32)
+        cache = self._cross_fn(self.params, emb, sttl, tmask)
         for step in range(total_step):
             xt = self._step_fn(
                 self.params, xt, emb, sttl, tmask, lmask_dev,
-                jnp.full((1,), float(step), jnp.float32), tot,
+                jnp.full((1,), float(step), jnp.float32), tot, cache,
             )
             if progress_callback is not None:
                 # async dispatch would fire all callbacks instantly; progress

@@ -87,6 +87,13 @@ def acoustic_stage(
     x0 = noise.astype(jnp.float32) * latent_mask[:, :, None]
     tot = jnp.full((b,), float(total_step), jnp.float32)
 
+    # NOTE: explicitly hoisting the cross-attention K/V out of the loop
+    # (vector_estimator.precompute_cross) was measured SLOWER on TPU
+    # (96->106 ms at b64/5-step): XLA's while-loop LICM already hoists the
+    # invariant projections, and forcing ~96 MB of per-block K/V into the
+    # loop carry added async-copy traffic. The cache API stays opt-in for
+    # step-at-a-time callers (infer_with_progress) where each step is a
+    # separate program and XLA cannot hoist across dispatches.
     def body(step, x):
         cur = jnp.full((b,), 1.0, jnp.float32) * step
         return vector_estimator.step(

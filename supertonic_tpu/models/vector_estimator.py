@@ -51,6 +51,49 @@ def init(rng, cfg: TTSConfig) -> L.Params:
     }
 
 
+def precompute_cross(
+    params: L.Params,
+    cfg: TTSConfig,
+    text_emb: jax.Array,    # [B, L, odim]
+    style_ttl: jax.Array,   # [B, S, D]
+    text_mask: jax.Array,   # [B, L]
+    *,
+    dtype=jnp.float32,
+):
+    """Everything about the cross-attention memory that is INVARIANT across
+    denoise steps: projected [style;text] memory, its mask, and per-block
+    head-split+rotated (K, V). Hoisting this out of the flow loop saves
+    2 matmuls + rope per block per step (the reference pays them inside its
+    vector_estimator graph on every call, py/helper.py:200-213).
+
+    Returns (mem_mask [B, S+L], [(k, v)] per block).
+    """
+    hp = cfg.vector_estimator
+    b = text_emb.shape[0]
+    # memory = [style tokens ; projected text]; style tokens carry no
+    # positional rotation (angle 0), text tokens carry LARoPE positions.
+    style = L.linear(params["style_proj"], style_ttl.astype(dtype))
+    text = L.linear(params["text_proj"], text_emb.astype(dtype))
+    memory = jnp.concatenate([style, text], axis=1)
+    s_len = style.shape[1]
+    mem_mask = jnp.concatenate(
+        [jnp.ones((b, s_len), text_mask.dtype), text_mask], axis=1
+    )
+    head_dim = hp.dim // hp.n_heads
+    text_len = jnp.sum(text_mask, axis=-1)
+    text_pos = L.larope_positions(text_len, text.shape[1], hp.larope_scale)
+    # style positions = 0 -> cos 1, sin 0 -> identity rotation
+    mem_pos = jnp.concatenate(
+        [jnp.zeros((b, s_len), jnp.float32), text_pos], axis=1
+    )
+    mem_rope = L.rope_angles(mem_pos, head_dim, hp.larope_theta)
+    kvs = [
+        L.kv_project(bp["cross"], memory, hp.n_heads, k_rope=mem_rope)
+        for bp in params["blocks"]
+    ]
+    return mem_mask, kvs
+
+
 def velocity(
     params: L.Params,
     cfg: TTSConfig,
@@ -64,6 +107,7 @@ def velocity(
     dtype=jnp.float32,
     attn_fn=L.attention_core,
     fused_ffn: bool = False,
+    cross_cache=None,
 ) -> jax.Array:
     hp = cfg.vector_estimator
     b, T, _ = latent.shape
@@ -74,35 +118,25 @@ def velocity(
     cond = L.linear(params["time_mlp2"],
                     jax.nn.silu(L.linear(params["time_mlp1"], temb)))
 
-    # memory = [style tokens ; projected text]; style tokens carry no
-    # positional rotation (angle 0), text tokens carry LARoPE positions.
-    style = L.linear(params["style_proj"], style_ttl.astype(dtype))
-    text = L.linear(params["text_proj"], text_emb.astype(dtype))
-    memory = jnp.concatenate([style, text], axis=1)
-    s_len = style.shape[1]
-    mem_mask = jnp.concatenate(
-        [jnp.ones((b, s_len), text_mask.dtype), text_mask], axis=1
-    )
+    if cross_cache is None:
+        cross_cache = precompute_cross(
+            params, cfg, text_emb, style_ttl, text_mask, dtype=dtype
+        )
+    mem_mask, kvs = cross_cache
 
     head_dim = hp.dim // hp.n_heads
     lat_len = jnp.sum(latent_mask, axis=-1)
-    text_len = jnp.sum(text_mask, axis=-1)
     q_pos = L.larope_positions(lat_len, T, hp.larope_scale)
-    text_pos = L.larope_positions(text_len, text.shape[1], hp.larope_scale)
-    # style positions = 0 -> cos 1, sin 0 -> identity rotation
-    mem_pos = jnp.concatenate(
-        [jnp.zeros((b, s_len), jnp.float32), text_pos], axis=1
-    )
     q_rope = L.rope_angles(q_pos, head_dim, hp.larope_theta)
-    mem_rope = L.rope_angles(mem_pos, head_dim, hp.larope_theta)
 
-    for bp in params["blocks"]:
+    for bp, kv in zip(params["blocks"], kvs):
         x = L.block(
             bp, x, hp.n_heads,
             self_mask=latent_mask, self_rope=q_rope,
-            memory=memory, memory_mask=mem_mask,
-            q_rope_cross=q_rope, k_rope_cross=mem_rope,
+            memory_mask=mem_mask,
+            q_rope_cross=q_rope,
             cond=cond, attn_fn=attn_fn, fused_ffn=fused_ffn,
+            cross_kv=kv,
         )
 
     h = L.layer_norm(params["ln_out"], x)
@@ -126,15 +160,18 @@ def step(
     dtype=jnp.float32,
     attn_fn=L.attention_core,
     fused_ffn: bool = False,
+    cross_cache=None,
 ) -> jax.Array:
     """One full flow step: x_{t+dt} = x_t + dt * v(x_t, t). Matches the
-    reference vector_estimator.onnx call-site semantics exactly."""
+    reference vector_estimator.onnx call-site semantics exactly.
+    ``cross_cache`` (from precompute_cross) skips the loop-invariant memory
+    projections — same math, hoisted."""
     t = current_step / total_step
     dt = (1.0 / total_step)[:, None, None]
     v = velocity(
         params, cfg, noisy_latent, text_emb, style_ttl,
         text_mask, latent_mask, t, dtype=dtype, attn_fn=attn_fn,
-        fused_ffn=fused_ffn,
+        fused_ffn=fused_ffn, cross_cache=cross_cache,
     )
     x = noisy_latent.astype(jnp.float32) + dt * v
     return x * latent_mask[:, :, None]

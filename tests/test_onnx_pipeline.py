@@ -221,6 +221,32 @@ def test_pipeline_seeded_determinism(onnx_dir):
     np.testing.assert_array_equal(d1, d2)
 
 
+def test_compat_loader_auto_selects_onnx_backend(onnx_dir):
+    """compat.load_text_to_speech(dir) with real graphs but no converted
+    params must return the graph-executor pipeline (reference loader
+    semantics, py/helper.py:322-336)."""
+    import numpy as np
+
+    from supertonic_tpu.assets.onnx_pipeline import OnnxPipeline
+    from supertonic_tpu.compat import load_text_to_speech
+
+    tts = load_text_to_speech(onnx_dir)
+    assert isinstance(tts, OnnxPipeline)
+    assert tts.sample_rate == SR
+
+    rng = np.random.default_rng(1)
+
+    class Style:
+        ttl = rng.standard_normal((1, 2, 4)).astype(F32)
+        dp = rng.standard_normal((1, 2, 4)).astype(F32)
+
+    wav, dur = tts("A compat call.", "en", Style, total_step=2)
+    assert wav.shape[0] == 1 and float(dur[0]) > 0
+
+    native = load_text_to_speech(None, backend="native")
+    assert not isinstance(native, OnnxPipeline)
+
+
 def test_pipeline_longform_call(onnx_dir):
     pipe = load_onnx_pipeline(onnx_dir, seed=1)
     rng = np.random.default_rng(9)
