@@ -22,7 +22,8 @@ import os
 
 import numpy as np
 
-from ..frontend import UnicodeProcessor, chunk_text, get_latent_mask
+from ..frontend import (UnicodeProcessor, chunk_text, get_latent_mask,
+                        preprocess_text)
 from .onnx_exec import OnnxExecutor
 from .onnx_reader import load_onnx
 
@@ -37,7 +38,15 @@ class OnnxPipeline:
     def __init__(self, cfgs: dict, processor: UnicodeProcessor,
                  dp: OnnxExecutor, text_enc: OnnxExecutor,
                  vector_est: OnnxExecutor, vocoder: OnnxExecutor,
-                 *, seed: int = 0):
+                 *, seed: int = 0,
+                 text_buckets: tuple[int, ...] | None = None,
+                 latent_buckets: tuple[int, ...] | None = None):
+        """``text_buckets``/``latent_buckets``: optional shape ladders. The
+        reference runs its graphs at arbitrary (L, T) — fine for ONNX CPU,
+        but every new shape is a fresh XLA compile here. With ladders, L and
+        T pad up to bucket boundaries (masks keep results identical to
+        unpadded execution — the real graphs are mask-driven by design,
+        SURVEY.md §2.2) so the compile count stays bounded."""
         self.cfgs = cfgs
         self.processor = processor
         self.dp = dp
@@ -48,9 +57,11 @@ class OnnxPipeline:
         self.base_chunk_size = cfgs["ae"]["base_chunk_size"]
         self.chunk_compress_factor = cfgs["ttl"]["chunk_compress_factor"]
         self.ldim = cfgs["ttl"]["latent_dim"]
+        self.text_buckets = text_buckets
+        self.latent_buckets = latent_buckets
         self._rng = np.random.default_rng(seed)
 
-    # reference py/helper.py:161-175
+    # reference py/helper.py:161-175 (+ optional latent-bucket padding)
     def sample_noisy_latent(
         self, duration: np.ndarray, noise: np.ndarray | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -59,18 +70,27 @@ class OnnxPipeline:
         wav_lengths = (duration * self.sample_rate).astype(np.int64)
         chunk_size = self.base_chunk_size * self.chunk_compress_factor
         latent_len = int((wav_len_max + chunk_size - 1) // chunk_size)
+        t_pad = latent_len
+        if self.latent_buckets:
+            from ..engine.buckets import pick_bucket
+
+            t_pad = pick_bucket(latent_len, self.latent_buckets)
         latent_dim = self.ldim * self.chunk_compress_factor
         if noise is None:
             noise = self._rng.standard_normal(
-                (bsz, latent_dim, latent_len)).astype(np.float32)
+                (bsz, latent_dim, t_pad)).astype(np.float32)
         else:
             noise = np.asarray(noise, np.float32)[:, :, :latent_len]
             if noise.shape != (bsz, latent_dim, latent_len):
                 raise ValueError(
                     f"injected noise must cover [{bsz},{latent_dim},"
                     f"{latent_len}], got {noise.shape}")
+            if t_pad > latent_len:  # bucket padding is masked: zeros exact
+                noise = np.pad(noise,
+                               ((0, 0), (0, 0), (0, t_pad - latent_len)))
         latent_mask = get_latent_mask(
-            wav_lengths, self.base_chunk_size, self.chunk_compress_factor
+            wav_lengths, self.base_chunk_size, self.chunk_compress_factor,
+            max_len=t_pad,
         ).astype(np.float32)
         return noise * latent_mask, latent_mask
 
@@ -88,7 +108,15 @@ class OnnxPipeline:
             "Number of texts must match number of style vectors"
         )
         bsz = len(text_list)
-        text_ids, text_mask = self.processor(text_list, lang_list)
+        max_len = None
+        if self.text_buckets:
+            from ..engine.buckets import pick_bucket
+
+            lengths = [len(preprocess_text(t, g))
+                       for t, g in zip(text_list, lang_list)]
+            max_len = pick_bucket(max(lengths), self.text_buckets)
+        text_ids, text_mask = self.processor(text_list, lang_list,
+                                             max_len=max_len)
         text_ids = text_ids.astype(np.int64)
         text_mask = text_mask.astype(np.float32)
         (duration,) = self.dp.run(None, {
@@ -146,9 +174,14 @@ class OnnxPipeline:
 
 
 def load_onnx_pipeline(onnx_dir: str, *, seed: int = 0,
-                       matmul_precision: str = "float32") -> OnnxPipeline:
+                       matmul_precision: str = "float32",
+                       bucketed: bool = False) -> OnnxPipeline:
     """Load the four graphs + tts.json + unicode_indexer.json from a
-    directory laid out like the reference assets/onnx (py/helper.py:289-319)."""
+    directory laid out like the reference assets/onnx (py/helper.py:289-319).
+
+    ``bucketed=True`` pads (L, T) up the default runtime ladders so the
+    number of compiled programs stays bounded in serving (the reference
+    accepts arbitrary shapes because ONNX Runtime does not trace-compile)."""
     execs = {}
     for name in MODEL_FILES:
         path = os.path.join(onnx_dir, f"{name}.onnx")
@@ -159,7 +192,14 @@ def load_onnx_pipeline(onnx_dir: str, *, seed: int = 0,
     with open(os.path.join(onnx_dir, "unicode_indexer.json")) as f:
         indexer = np.asarray(json.load(f), np.int64)
     processor = UnicodeProcessor(indexer)
+    buckets = {}
+    if bucketed:
+        from ..config import RuntimeConfig
+
+        rt = RuntimeConfig()
+        buckets = dict(text_buckets=rt.text_buckets,
+                       latent_buckets=rt.latent_buckets)
     return OnnxPipeline(cfgs, processor,
                         execs["duration_predictor"], execs["text_encoder"],
                         execs["vector_estimator"], execs["vocoder"],
-                        seed=seed)
+                        seed=seed, **buckets)

@@ -49,12 +49,16 @@ def onnx_dir(tmp_path_factory):
     }
     np.save(d / "weights.npy", w, allow_pickle=True)
 
-    # -- duration_predictor.onnx ------------------------------------------
+    # -- duration_predictor.onnx (mask-correct: padding-invariant like the
+    #    real graphs, which see batch-max padding — py/helper.py:124-131) ---
     dp = _model(
         [("ReduceSum", ["text_mask"], ["msum"], {"axes": [1, 2], "keepdims": 0}),
          ("Mul", ["msum", "c_dur"], ["t0"], None),
          ("Cast", ["text_ids"], ["idsf"], {"to": 1}),
-         ("ReduceMean", ["idsf"], ["idm"], {"axes": [1], "keepdims": 0}),
+         ("Squeeze", ["text_mask", "ax1"], ["mask2"], None),
+         ("Mul", ["idsf", "mask2"], ["idmasked"], None),
+         ("ReduceSum", ["idmasked"], ["idsum"], {"axes": [1], "keepdims": 0}),
+         ("Div", ["idsum", "msum"], ["idm"], None),  # masked mean
          ("Mul", ["idm", "c_id"], ["t1"], None),
          ("ReduceMean", ["style_dp"], ["sm"], {"axes": [1, 2], "keepdims": 0}),
          ("Mul", ["sm", "c_s"], ["t2"], None),
@@ -62,7 +66,8 @@ def onnx_dir(tmp_path_factory):
          ("Add", ["t01", "t2"], ["t012"], None),
          ("Add", ["t012", "c_base"], ["duration"], None)],
         {"c_dur": np.float32(0.02), "c_id": np.float32(0.0005),
-         "c_s": np.float32(0.1), "c_base": np.float32(0.5)},
+         "c_s": np.float32(0.1), "c_base": np.float32(0.5),
+         "ax1": np.asarray([1], I64)},
         [("text_ids", I64, ("B", "L")), ("style_dp", F32, ("B", 2, 4)),
          ("text_mask", F32, ("B", 1, "L"))],
         [("duration", F32, ("B",))],
@@ -73,9 +78,10 @@ def onnx_dir(tmp_path_factory):
     te = _model(
         [("Gather", ["emb", "text_ids"], ["g"], {"axis": 0}),
          ("Transpose", ["g"], ["gt"], {"perm": [0, 2, 1]}),
-         ("Mul", ["gt", "text_mask"], ["gm"], None),
          ("ReduceMean", ["style_ttl"], ["sm"], {"axes": [1, 2], "keepdims": 1}),
-         ("Add", ["gm", "sm"], ["text_emb"], None)],
+         ("Add", ["gt", "sm"], ["gs"], None),
+         # mask LAST so padded positions are exactly zero (mask-correct)
+         ("Mul", ["gs", "text_mask"], ["text_emb"], None)],
         {"emb": w["emb"]},
         [("text_ids", I64, ("B", "L")), ("style_ttl", F32, ("B", 2, 4)),
          ("text_mask", F32, ("B", 1, "L"))],
@@ -92,7 +98,11 @@ def onnx_dir(tmp_path_factory):
          ("Unsqueeze", ["decay", "ax12"], ["decay3"], None),
          ("Conv", ["noisy_latent", "w_conv"], ["cv"],
           {"pads": [1, 1], "kernel_shape": [3]}),
-         ("ReduceMean", ["text_emb"], ["pool"], {"axes": [2], "keepdims": 1}),
+         # masked mean over L: text_emb is already mask-zeroed by the
+         # encoder, so sum / count(mask) is padding-invariant
+         ("ReduceSum", ["text_emb"], ["poolsum"], {"axes": [2], "keepdims": 1}),
+         ("ReduceSum", ["text_mask"], ["mcount"], {"axes": [2], "keepdims": 1}),
+         ("Div", ["poolsum", "mcount"], ["pool"], None),
          ("Transpose", ["pool"], ["poolt"], {"perm": [0, 2, 1]}),
          ("MatMul", ["poolt", "w_proj"], ["proj"], None),
          ("Transpose", ["proj"], ["projt"], {"perm": [0, 2, 1]}),
@@ -141,20 +151,22 @@ class NumpyReplica:
                          allow_pickle=True).item()
 
     def dp(self, ids, style_dp, mask):
-        return (mask.sum((1, 2)) * 0.02 + ids.mean(1) * 0.0005
+        msum = mask.sum((1, 2))
+        idm = (ids * mask[:, 0, :]).sum(1) / msum
+        return (msum * 0.02 + idm * 0.0005
                 + style_dp.mean((1, 2)) * 0.1 + 0.5).astype(F32)
 
     def text_enc(self, ids, style_ttl, mask):
-        g = self.w["emb"][ids].transpose(0, 2, 1) * mask
-        return g + style_ttl.mean((1, 2), keepdims=True)
+        g = self.w["emb"][ids].transpose(0, 2, 1)
+        return (g + style_ttl.mean((1, 2), keepdims=True)) * mask
 
-    def estimator(self, xt, emb, lmask, cs, ts):
+    def estimator(self, xt, emb, tmask, lmask, cs, ts):
         import torch
         import torch.nn.functional as tF
 
         cv = tF.conv1d(torch.from_numpy(xt), torch.from_numpy(self.w["w_conv"]),
                        padding=1).numpy()
-        pool = emb.mean(2, keepdims=True)                      # [B,E,1]
+        pool = emb.sum(2, keepdims=True) / tmask.sum(2, keepdims=True)
         proj = (pool.transpose(0, 2, 1) @ self.w["w_proj"]).transpose(0, 2, 1)
         dt = (1.0 / ts)[:, None, None]
         decay = (1.0 - cs / ts)[:, None, None]
@@ -200,7 +212,8 @@ def test_pipeline_matches_numpy_replica(onnx_dir):
     xt = noise * lmask
     ts = np.full((2,), 3.0, F32)
     for s in range(3):
-        xt = replica.estimator(xt, emb, lmask, np.full((2,), float(s), F32), ts)
+        xt = replica.estimator(xt, emb, mask, lmask,
+                               np.full((2,), float(s), F32), ts)
     ref_wav = replica.vocoder(xt)
     assert wav.shape == ref_wav.shape == (2, t_lat * chunk)
     np.testing.assert_allclose(wav, ref_wav, rtol=1e-4, atol=1e-5)
@@ -219,6 +232,66 @@ def test_pipeline_seeded_determinism(onnx_dir):
         ["Same text."], ["en"], Style, 2)
     np.testing.assert_array_equal(w1, w2)
     np.testing.assert_array_equal(d1, d2)
+
+
+def test_bucketed_pipeline_padding_invariant(onnx_dir):
+    """Bucketed (L, T) padding must not change trimmed waveforms — the
+    graphs are mask-driven (SURVEY.md §2.2), so extra masked frames are
+    inert. Same injected noise through both pipelines."""
+    from supertonic_tpu.assets.onnx_pipeline import load_onnx_pipeline as L
+
+    exact = L(onnx_dir)
+    bucketed = L(onnx_dir, bucketed=True)
+    assert bucketed.text_buckets and bucketed.latent_buckets
+    rng = np.random.default_rng(11)
+
+    class Style:
+        ttl = rng.standard_normal((1, 2, 4)).astype(F32)
+        dp = rng.standard_normal((1, 2, 4)).astype(F32)
+
+    text = ["A padding invariance check sentence."]
+    ids, mask = exact.processor(text, ["en"])
+    dur = None
+    # compute exact latent_len to build shared noise
+    (d0,) = exact.dp.run(None, {"text_ids": ids.astype(np.int64),
+                                "style_dp": Style.dp,
+                                "text_mask": mask.astype(F32)})
+    dur = np.asarray(d0, F32) / 1.05
+    chunk = BASE_CHUNK * CCF
+    t_lat = int(np.ceil(dur.max() * SR / chunk))
+    noise = rng.standard_normal((1, C, t_lat)).astype(F32)
+
+    w1, d1 = exact._infer(text, ["en"], Style, total_step=2, noise=noise)
+    w2, d2 = bucketed._infer(text, ["en"], Style, total_step=2, noise=noise)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
+    n = int(SR * float(d1[0]))
+    assert w2.shape[1] >= w1.shape[1]  # bucket-padded output is longer
+    np.testing.assert_allclose(w1[:, :n], w2[:, :n], rtol=1e-4, atol=1e-5)
+
+
+def test_bucketed_pipeline_bounds_compiles(onnx_dir):
+    """Different text lengths landing in one bucket reuse one compiled
+    program per graph (the whole point of the ladders)."""
+    from supertonic_tpu.assets.onnx_pipeline import load_onnx_pipeline as L
+
+    pipe = L(onnx_dir, bucketed=True)
+    rng = np.random.default_rng(3)
+
+    class Style:
+        ttl = rng.standard_normal((1, 2, 4)).astype(F32)
+        dp = rng.standard_normal((1, 2, 4)).astype(F32)
+
+    # all three normalize to lengths in (32, 64] -> one text bucket
+    for text in ("A sentence of medium length here.",
+                 "Another sentence, a bit longer than that.",
+                 "Third different length text for the cache."):
+        pipe._infer([text], ["en"], Style, total_step=2)
+    # all three land in the first text bucket -> exactly one dp/text_enc
+    # compile; latent lengths may span at most a couple of buckets
+    assert pipe.dp._jfn._cache_size() == 1
+    assert pipe.text_enc._jfn._cache_size() == 1
+    assert pipe.vector_est._jfn._cache_size() <= 2
+    assert pipe.vocoder._jfn._cache_size() <= 2
 
 
 def test_compat_loader_auto_selects_onnx_backend(onnx_dir):
