@@ -31,6 +31,7 @@ class TTS:
         precision: str | None = None,
         seed: int = 0,
         auto_download: bool = False,
+        egress_format: str = "int16",
     ):
         from .assets import load_assets
 
@@ -42,7 +43,7 @@ class TTS:
         self.cfg = self.assets.cfg
         self.engine = SynthesisEngine(
             self.assets.params, self.cfg, self.assets.processor,
-            precision=precision, seed=seed,
+            precision=precision, seed=seed, egress_format=egress_format,
         )
 
     @staticmethod

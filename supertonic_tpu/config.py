@@ -148,8 +148,11 @@ class RuntimeConfig:
     text_buckets: tuple[int, ...] = (32, 64, 128, 192, 256, 320, 384)
     # Latent-length bucket ladder (frames).
     latent_buckets: tuple[int, ...] = (64, 128, 192, 256, 320, 448, 640)
-    # Batch-size bucket ladder.
-    batch_buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128)
+    # Batch-size bucket ladder. Deliberately coarse (4x steps): every rung
+    # is one more compiled program per (L, T, steps) combination, and padding
+    # a 2-row batch to 4 costs microseconds while a compile costs seconds
+    # (minutes through a remote-compile tunnel).
+    batch_buckets: tuple[int, ...] = (1, 4, 16, 32, 64, 128)
     # Mesh axis names for data/tensor parallelism.
     data_axis: str = "data"
     model_axis: str = "model"

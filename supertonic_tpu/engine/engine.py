@@ -359,6 +359,44 @@ class SynthesisEngine:
             wav_np = np.asarray(wav)[:b_true]
         return wav_np, dur[:b_true]
 
+    def warmup(
+        self,
+        *,
+        batch_sizes: tuple[int, ...] | None = None,
+        text_buckets: tuple[int, ...] | None = None,
+        total_steps: tuple[int, ...] = (2, 5),
+        progress=None,
+    ) -> int:
+        """Pre-compile the fused program over the common bucket lattice so
+        live traffic never pays a first-shape XLA compile (new shapes cost
+        seconds locally, minutes through a remote-compile tunnel). Returns
+        the number of programs dispatched. Compiles persist in the on-disk
+        cache, so across restarts this is a fast cache load."""
+        rt = self.cfg.runtime
+        bss = batch_sizes or tuple(b for b in rt.batch_buckets if b <= 32)
+        lbs = text_buckets or rt.text_buckets[:3]
+        n = 0
+        rng = np.random.default_rng(0)
+        for b in bss:
+            style = VoiceStyle(
+                rng.standard_normal(
+                    (1, self.cfg.ttl.style.n_style,
+                     self.cfg.ttl.style.style_value_dim)).astype(np.float32),
+                rng.standard_normal(
+                    (1, self.cfg.dp.style.n_style,
+                     self.cfg.dp.style.style_value_dim)).astype(np.float32),
+            ).tile(b)
+            for lb in lbs:
+                # a text that lands exactly in bucket lb (tags cost 9 chars)
+                text = "a" * max(1, lb - 12) + "."
+                for steps in total_steps:
+                    self.infer_batch([text] * b, ["en"] * b, style,
+                                     total_step=steps, device_output=True)
+                    n += 1
+                    if progress:
+                        progress(n, len(bss) * len(lbs) * len(total_steps))
+        return n
+
     # ------------------------------------------------------------------
     # public API (mirrors reference TextToSpeech, py/helper.py:217-254)
     # ------------------------------------------------------------------

@@ -136,7 +136,14 @@ class ContinuousBatcher:
 
                 def egress(reqs=reqs, wav_dev=wav_dev, dur=dur):
                     try:
-                        wav = self.engine.to_host(wav_dev)
+                        # transfer only samples that exist: bucket padding
+                        # beyond the longest utterance is garbage bytes on
+                        # the device->host link
+                        sr = self.engine.cfg.sample_rate
+                        n_max = min(wav_dev.shape[1],
+                                    int(float(dur.max()) * sr) + 1)
+                        with self.engine.profiler.stage("egress"):
+                            wav = self.engine.to_host(wav_dev[:, :n_max])
                         trimmed = self.engine.trim(wav, dur)
                         done = time.perf_counter()
                         prof = self.engine.profiler

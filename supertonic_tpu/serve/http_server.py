@@ -391,10 +391,19 @@ def main():
     tts = TTS(
         os.getenv("TTS_ASSETS_DIR") or None,
         precision=os.getenv("TTS_PRECISION") or None,
+        # "mulaw" halves device->host bytes at G.711 speech quality — the
+        # latency-serving choice when the host link is the bottleneck
+        egress_format=os.getenv("TTS_EGRESS", "int16"),
     )
     host = os.getenv("TTS_HOST", "0.0.0.0")
     port = int(os.getenv("TTS_PORT", "8000"))
     use_batcher = os.getenv("TTS_BATCHER", "1") != "0"
+    if os.getenv("TTS_WARMUP", "0") != "0":
+        # pre-compile the common bucket lattice before accepting traffic
+        # (first-shape compiles otherwise land on live requests)
+        n = tts.engine.warmup(
+            progress=lambda i, total: print(f"warmup {i}/{total}"))
+        print(f"warmed {n} program shapes")
     server = make_server(tts, host, port, use_batcher=use_batcher)
     print(f"Serving Supertonic-TPU TTS on {host}:{port} "
           f"(batcher={'on' if use_batcher else 'off'})")

@@ -153,3 +153,29 @@ def test_infer_with_progress(engine, style):
     assert wav.shape[0] == 1
     assert float(dur[0]) > 0
     assert wav.shape[1] >= int(engine.cfg.sample_rate * float(dur[0]))
+
+
+def test_warmup_compiles_lattice(tiny_config):
+    from supertonic_tpu.engine import SynthesisEngine
+    from supertonic_tpu.frontend import UnicodeProcessor, build_default_indexer
+    from supertonic_tpu.models import init_all
+
+    eng = SynthesisEngine(init_all(0, tiny_config), tiny_config,
+                          UnicodeProcessor(build_default_indexer()),
+                          precision="f32")
+    seen = []
+    n = eng.warmup(batch_sizes=(1, 2), text_buckets=(32,),
+                   total_steps=(2,), progress=lambda i, t: seen.append((i, t)))
+    assert n == 2
+    assert seen == [(1, 2), (2, 2)]
+    # a request matching a warmed shape now runs without a new compile
+    import numpy as np
+
+    from supertonic_tpu.engine import VoiceStyle
+
+    rng = np.random.default_rng(0)
+    style = VoiceStyle(
+        rng.standard_normal((1, 4, 16)).astype(np.float32),
+        rng.standard_normal((1, 4, 16)).astype(np.float32))
+    wav, dur = eng.infer_batch(["Warm check."], ["en"], style, total_step=2)
+    assert wav.shape[0] == 1 and float(dur[0]) > 0
