@@ -68,6 +68,7 @@ class Ctx:
     xp: Any  # np (static eval) or jnp (traced)
     attrs: dict[str, Any]
     node: OnnxNode
+    env: dict | None = None  # enclosing scope (If/Loop subgraph capture)
 
     def attr(self, name: str, default=None):
         return self.attrs.get(name, default)
@@ -859,6 +860,90 @@ def op_resize(ctx: Ctx, x, roi=None, scales=None, sizes=None):
 
 
 # ---------------------------------------------------------------------------
+# scatter / gather-nd / topk / control flow
+# ---------------------------------------------------------------------------
+
+@op("GatherND")
+def op_gathernd(ctx: Ctx, data, indices):
+    if ctx.attr("batch_dims", 0):
+        raise UnsupportedOp("GatherND batch_dims > 0 not supported")
+    d = jnp.asarray(data)
+    idx = jnp.asarray(indices)
+    k = idx.shape[-1]
+    return d[tuple(idx[..., i] for i in range(k))]
+
+
+@op("ScatterND")
+def op_scatternd(ctx: Ctx, data, indices, updates):
+    red = ctx.attr("reduction", "none")
+    d = jnp.asarray(data)
+    idx = jnp.asarray(indices)
+    upd = jnp.asarray(updates).astype(d.dtype)
+    k = idx.shape[-1]
+    flat_idx = idx.reshape(-1, k)
+    upd_flat = upd.reshape((-1,) + d.shape[k:])
+    loc = d.at[tuple(flat_idx[:, i] for i in range(k))]
+    if red == "add":
+        return loc.add(upd_flat)
+    if red == "mul":
+        return loc.multiply(upd_flat)
+    if red == "none":
+        return loc.set(upd_flat)
+    raise UnsupportedOp(f"ScatterND reduction={red!r}")
+
+
+@op("TopK")
+def op_topk(ctx: Ctx, x, k):
+    kk = int(ctx.static(k, "k").ravel()[0])
+    axis = ctx.attr("axis", -1)
+    if not ctx.attr("largest", 1):
+        raise UnsupportedOp("TopK largest=0 not supported")
+    xa = jnp.asarray(x)
+    moved = jnp.moveaxis(xa, axis, -1)
+    vals, idx = jax.lax.top_k(moved, kk)
+    return (jnp.moveaxis(vals, -1, axis),
+            jnp.moveaxis(idx, -1, axis).astype(jnp.int32))
+
+
+@op("If")
+def op_if(ctx: Ctx, cond):
+    """Condition must be trace-time static (in these graphs it derives from
+    shape math, which the partial evaluator keeps concrete)."""
+    c = bool(np.asarray(ctx.static(cond, "condition")).ravel()[0])
+    sub = ctx.attr("then_branch" if c else "else_branch")
+    if sub is None:
+        raise UnsupportedOp("If: missing branch subgraph")
+    sub_env = dict(ctx.env or {})
+    for name, t in sub.initializers.items():
+        sub_env[name] = np.asarray(t.data)
+    _run_nodes(_toposort(sub, set(sub_env)), sub_env)
+    outs = tuple(sub_env[vi.name] for vi in sub.outputs)
+    return outs if len(outs) > 1 else outs[0]
+
+
+def _run_nodes(nodes: list[OnnxNode], env: dict) -> None:
+    """Evaluate nodes into ``env`` (shared by the executor and subgraphs)."""
+    for node in nodes:
+        ins = [env[i] if i else None for i in node.inputs]
+        handler = _REGISTRY.get(node.op_type)
+        if handler is None:
+            raise UnsupportedOp(
+                f"op '{node.op_type}' (node '{node.name}') is not "
+                f"implemented by the JAX ONNX executor"
+            )
+        static = getattr(handler, "static_ok", False) and all(
+            v is None or _is_static(v) for v in ins
+        )
+        ctx = Ctx(np if static else jnp, node.attrs, node, env)
+        out = handler(ctx, *ins)
+        if not isinstance(out, tuple):
+            out = (out,)
+        for name, val in zip(node.outputs, out):
+            if name:
+                env[name] = val
+
+
+# ---------------------------------------------------------------------------
 # executor
 # ---------------------------------------------------------------------------
 
@@ -934,24 +1019,7 @@ class OnnxExecutor:
         for name, arr in zip(self.input_names, inputs):
             env[name] = arr
         with jax.default_matmul_precision(self._matmul_precision):
-            for node in self._nodes:
-                ins = [env[i] if i else None for i in node.inputs]
-                handler = _REGISTRY.get(node.op_type)
-                if handler is None:
-                    raise UnsupportedOp(
-                        f"op '{node.op_type}' (node '{node.name}') is not "
-                        f"implemented by the JAX ONNX executor"
-                    )
-                static = getattr(handler, "static_ok", False) and all(
-                    v is None or _is_static(v) for v in ins
-                )
-                ctx = Ctx(np if static else jnp, node.attrs, node)
-                out = handler(ctx, *ins)
-                if not isinstance(out, tuple):
-                    out = (out,)
-                for name, val in zip(node.outputs, out):
-                    if name:
-                        env[name] = val
+            _run_nodes(self._nodes, env)
         outs = []
         for name in self.output_names:
             v = env[name]

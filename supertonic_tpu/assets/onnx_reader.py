@@ -214,6 +214,8 @@ def _parse_attribute(buf: bytes) -> tuple[str, Any]:
             value = val.decode(errors="replace")
         elif field == 5:
             value = parse_tensor(val)
+        elif field == 6:  # g: subgraph (If/Loop/Scan bodies)
+            value = parse_graph(val)
         elif field == 7:
             if wt == 2:
                 floats.extend(struct.unpack(f"<{len(val) // 4}f", val))
@@ -370,6 +372,8 @@ def encode_node(op_type: str, inputs: list[str], outputs: list[str],
             a += _ld(4, v.encode())
         elif isinstance(v, np.ndarray):
             a += _ld(5, encode_tensor("", v))
+        elif isinstance(v, SubgraphAttr):
+            a += _ld(6, v.payload)
         elif isinstance(v, (list, tuple)) and all(isinstance(x, int) for x in v):
             for x in v:
                 a += _tag(8, 0) + _varint(x)
@@ -399,7 +403,15 @@ def encode_value_info(name: str, dtype, shape: tuple) -> bytes:
     return _ld(1, name.encode()) + _ld(2, type_proto)
 
 
-def encode_model(graph_name: str, nodes: list[bytes],
+class SubgraphAttr:
+    """Wrap encoded GraphProto bytes for use as a node attribute
+    (If/Loop/Scan bodies)."""
+
+    def __init__(self, payload: bytes):
+        self.payload = payload
+
+
+def encode_graph(graph_name: str, nodes: list[bytes],
                  initializers: list[bytes],
                  inputs: list[bytes] | None = None,
                  outputs: list[bytes] | None = None) -> bytes:
@@ -412,6 +424,14 @@ def encode_model(graph_name: str, nodes: list[bytes],
         g += _ld(11, vi)
     for vi in outputs or []:
         g += _ld(12, vi)
+    return g
+
+
+def encode_model(graph_name: str, nodes: list[bytes],
+                 initializers: list[bytes],
+                 inputs: list[bytes] | None = None,
+                 outputs: list[bytes] | None = None) -> bytes:
     model = _tag(1, 0) + _varint(8)  # ir_version
-    model += _ld(7, g)
+    model += _ld(7, encode_graph(graph_name, nodes, initializers,
+                                 inputs, outputs))
     return model

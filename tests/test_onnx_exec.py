@@ -557,6 +557,62 @@ def test_attention_block_composite(rng):
     np.testing.assert_allclose(got, p @ v, rtol=1e-4, atol=1e-5)
 
 
+def test_gathernd_scatternd(rng):
+    data = rng.standard_normal((4, 5, 6)).astype(F32)
+    idx = np.asarray([[0, 1], [3, 4], [2, 0]], I64)
+    ex = build([("GatherND", ["d", "i"], ["y"])], inits={"i": idx},
+               inputs=[("d", F32, (4, 5, 6))], outputs=[("y", F32, (3, 6))])
+    np.testing.assert_allclose(run1(ex, d=data),
+                               data[idx[:, 0], idx[:, 1]])
+
+    upd = rng.standard_normal((3, 6)).astype(F32)
+    ex = build([("ScatterND", ["d", "i", "u"], ["y"])],
+               inits={"i": idx, "u": upd},
+               inputs=[("d", F32, (4, 5, 6))], outputs=[("y", F32, (4, 5, 6))])
+    ref = data.copy()
+    for r in range(3):
+        ref[idx[r, 0], idx[r, 1]] = upd[r]
+    np.testing.assert_allclose(run1(ex, d=data), ref)
+
+
+def test_topk(rng):
+    x = rng.standard_normal((3, 10)).astype(F32)
+    ex = build([("TopK", ["x", "k"], ["v", "i"], {"axis": -1})],
+               inits={"k": np.asarray([4], I64)},
+               inputs=[("x", F32, (3, 10))],
+               outputs=[("v", F32, (3, 4)), ("i", np.int32, (3, 4))])
+    v, i = ex.run(None, {"x": x})
+    ref = np.sort(x, axis=-1)[:, ::-1][:, :4]
+    np.testing.assert_allclose(v, ref, rtol=1e-6)
+    np.testing.assert_allclose(np.take_along_axis(x, i.astype(np.int64), -1),
+                               ref, rtol=1e-6)
+
+
+def test_if_static_condition(rng):
+    """If with a shape-derived (static) condition executes one branch; the
+    branch subgraph captures outer values by name."""
+    x = rng.standard_normal((3, 8)).astype(F32)
+
+    def branch(mul_const):
+        nodes = [R.encode_node("Mul", ["x", "c"], ["out"], name="bn")]
+        inits = [R.encode_tensor("c", np.float32(mul_const))]
+        outs = [R.encode_value_info("out", F32, (3, 8))]
+        return R.SubgraphAttr(R.encode_graph("b", nodes, inits, [], outs))
+
+    for dim, expect in ((8, 2.0), (4, 3.0)):
+        xin = x[:, :dim]
+        ex = build(
+            [("Shape", ["x"], ["sh"], None),
+             ("Gather", ["sh", "one"], ["d1"], {"axis": 0}),
+             ("Equal", ["d1", "eight"], ["is8"], None),
+             ("If", ["is8"], ["y"],
+              {"then_branch": branch(2.0), "else_branch": branch(3.0)})],
+            inits={"one": np.asarray(1, I64), "eight": np.asarray(8, I64)},
+            inputs=[("x", F32, (3, dim))], outputs=[("y", F32, (3, dim))],
+        )
+        np.testing.assert_allclose(run1(ex, x=xin), xin * expect, rtol=1e-6)
+
+
 def test_unsupported_op_raises(rng):
     ex = build([("NonMaxSuppression", ["x"], ["y"])],
                inputs=[("x", F32, (2, 2))], outputs=[("y", F32, (2, 2))])
