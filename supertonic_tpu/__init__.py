@@ -58,9 +58,12 @@ class TTS:
 
         target = assets_dir or os.path.join(
             os.path.expanduser("~"), ".cache", "supertonic_tpu", "assets")
-        if os.path.exists(os.path.join(target, "params.npz")) or \
-                os.path.exists(os.path.join(target, "tts.json")):
-            return target  # already fetched/converted
+        if os.path.exists(os.path.join(target, "params.npz")):
+            return target  # already converted — nothing to fetch
+        # fetch_all is idempotent (skips complete files, resumes .part), so
+        # a partially-fetched dir — e.g. tts.json downloaded, the 260 MB
+        # graphs interrupted — RESUMES here instead of silently serving
+        # random-init weights
         import importlib.util
         import sys as _sys
 

@@ -863,12 +863,19 @@ def op_resize(ctx: Ctx, x, roi=None, scales=None, sizes=None):
 # scatter / gather-nd / topk / control flow
 # ---------------------------------------------------------------------------
 
+def _wrap_nd_indices(idx: jax.Array, shape: tuple) -> jax.Array:
+    """ONNX allows negative indices (wrap from the end); jit-mode advanced
+    indexing would silently CLAMP them to 0 instead."""
+    dims = jnp.asarray(shape[: idx.shape[-1]], idx.dtype)
+    return jnp.where(idx < 0, idx + dims, idx)
+
+
 @op("GatherND")
 def op_gathernd(ctx: Ctx, data, indices):
     if ctx.attr("batch_dims", 0):
         raise UnsupportedOp("GatherND batch_dims > 0 not supported")
     d = jnp.asarray(data)
-    idx = jnp.asarray(indices)
+    idx = _wrap_nd_indices(jnp.asarray(indices), d.shape)
     k = idx.shape[-1]
     return d[tuple(idx[..., i] for i in range(k))]
 
@@ -877,7 +884,7 @@ def op_gathernd(ctx: Ctx, data, indices):
 def op_scatternd(ctx: Ctx, data, indices, updates):
     red = ctx.attr("reduction", "none")
     d = jnp.asarray(data)
-    idx = jnp.asarray(indices)
+    idx = _wrap_nd_indices(jnp.asarray(indices), d.shape)
     upd = jnp.asarray(updates).astype(d.dtype)
     k = idx.shape[-1]
     flat_idx = idx.reshape(-1, k)

@@ -23,7 +23,7 @@ import os
 import numpy as np
 
 from ..frontend import (UnicodeProcessor, chunk_text, get_latent_mask,
-                        preprocess_text)
+                        max_len_for_lang, preprocess_text)
 from .onnx_exec import OnnxExecutor
 from .onnx_reader import load_onnx
 
@@ -77,17 +77,19 @@ class OnnxPipeline:
             t_pad = pick_bucket(latent_len, self.latent_buckets)
         latent_dim = self.ldim * self.chunk_compress_factor
         if noise is None:
+            # draw at the EXACT latent length so a seeded pipeline produces
+            # identical audio with or without bucketing (the pad region is
+            # masked — zeros there are semantically inert)
             noise = self._rng.standard_normal(
-                (bsz, latent_dim, t_pad)).astype(np.float32)
+                (bsz, latent_dim, latent_len)).astype(np.float32)
         else:
             noise = np.asarray(noise, np.float32)[:, :, :latent_len]
             if noise.shape != (bsz, latent_dim, latent_len):
                 raise ValueError(
                     f"injected noise must cover [{bsz},{latent_dim},"
                     f"{latent_len}], got {noise.shape}")
-            if t_pad > latent_len:  # bucket padding is masked: zeros exact
-                noise = np.pad(noise,
-                               ((0, 0), (0, 0), (0, t_pad - latent_len)))
+        if t_pad > latent_len:  # bucket padding is masked: zeros exact
+            noise = np.pad(noise, ((0, 0), (0, 0), (0, t_pad - latent_len)))
         latent_mask = get_latent_mask(
             wav_lengths, self.base_chunk_size, self.chunk_compress_factor,
             max_len=t_pad,
@@ -141,7 +143,16 @@ class OnnxPipeline:
                 "total_step": total_step_np,
             })
         (wav,) = self.vocoder.run(None, {"latent": xt})
-        return np.asarray(wav), duration
+        wav = np.asarray(wav)
+        if self.latent_buckets:
+            # cut the bucket padding back to what unbucketed execution
+            # returns — __call__ CONCATENATES chunk waveforms (reference
+            # py/helper.py:233-244), so pad-region audio must not leak in
+            chunk_size = self.base_chunk_size * self.chunk_compress_factor
+            wav_len_max = duration.max() * self.sample_rate
+            latent_len = int((wav_len_max + chunk_size - 1) // chunk_size)
+            wav = wav[:, : latent_len * chunk_size]
+        return wav, duration
 
     # reference py/helper.py:217-244
     def __call__(
@@ -156,9 +167,8 @@ class OnnxPipeline:
         assert style.ttl.shape[0] == 1, (
             "Single speaker text to speech only supports single style"
         )
-        max_len = 120 if lang == "ko" else 300
         wav_cat = dur_cat = None
-        for piece in chunk_text(text, max_len=max_len):
+        for piece in chunk_text(text, max_len=max_len_for_lang(lang)):
             wav, dur = self._infer([piece], [lang], style, total_step, speed)
             if wav_cat is None:
                 wav_cat, dur_cat = wav, dur

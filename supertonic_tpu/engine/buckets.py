@@ -26,6 +26,12 @@ def pick_bucket(value: int, ladder: Sequence[int]) -> int:
     return int(math.ceil(value / step) * step)
 
 
+def quantize_up(value: int, step: int) -> int:
+    """Round up to a multiple of ``step`` (bounds the variety of slice
+    shapes — every distinct shape is a compiled program)."""
+    return -(-value // step) * step
+
+
 def latent_len_for_duration(
     duration_s: float, sample_rate: int, chunk_size: int
 ) -> int:

@@ -41,6 +41,20 @@ class VoiceStyle:
     def batch(self) -> int:
         return self.ttl.shape[0]
 
+    def fingerprint(self) -> bytes:
+        """Content digest (cached per object) — the engine's device-style
+        cache keys on this so fresh-but-identical VoiceStyle objects
+        (tile/concat per request) still hit."""
+        fp = getattr(self, "_fp", None)
+        if fp is None:
+            import hashlib
+
+            h = hashlib.blake2b(digest_size=16)
+            h.update(np.ascontiguousarray(self.ttl).view(np.uint8))
+            h.update(np.ascontiguousarray(self.dp).view(np.uint8))
+            fp = self._fp = h.digest()
+        return fp
+
     def tile(self, n: int) -> "VoiceStyle":
         assert self.batch == 1
         return VoiceStyle(np.repeat(self.ttl, n, 0), np.repeat(self.dp, n, 0))
@@ -172,11 +186,16 @@ class SynthesisEngine:
 
     def _device_style(self, style: "VoiceStyle", b_bucket: int):
         """Batch-padded (style_dp, style_ttl) as device-resident arrays,
-        cached by style identity + bucket (zero uploads on repeat use)."""
-        key = (id(style), b_bucket)
-        hit = self._style_dev_cache.get(key)
-        if hit is not None and hit[0] is style:
-            return hit[1], hit[2]
+        cached by CONTENT fingerprint + bucket. Callers routinely construct
+        fresh VoiceStyle objects per request (style.tile in __call__, row
+        concatenation in the batcher), so identity keying would miss every
+        time; the fingerprint (~1 ms to hash 3 MB, cached on the object) is
+        what makes repeat presets hit instead of re-uploading."""
+        key = (style.fingerprint(), b_bucket)
+        hit = self._style_dev_cache.pop(key, None)
+        if hit is not None:
+            self._style_dev_cache[key] = hit  # LRU: re-insert as newest
+            return hit
         ttl, dp = self._pad_batch([style.ttl, style.dp], b_bucket)
         dp_dev = jnp.asarray(dp, jnp.float32)
         ttl_dev = jnp.asarray(ttl, jnp.float32)
@@ -184,9 +203,9 @@ class SynthesisEngine:
             from ..parallel.mesh import shard_batch
 
             dp_dev, ttl_dev = shard_batch(self.mesh, dp_dev, ttl_dev)
-        if len(self._style_dev_cache) > 64:  # bound resident styles
-            self._style_dev_cache.clear()
-        self._style_dev_cache[key] = (style, dp_dev, ttl_dev)
+        while len(self._style_dev_cache) >= 32:  # bound resident HBM
+            self._style_dev_cache.pop(next(iter(self._style_dev_cache)))
+        self._style_dev_cache[key] = (dp_dev, ttl_dev)
         return dp_dev, ttl_dev
 
     def infer_batch(
@@ -246,7 +265,10 @@ class SynthesisEngine:
         est_secs = l_true * spc_est * self._spc_margin / min(speed, 1.0)
         t_guess = buckets.latent_len_for_duration(est_secs, sr, chunk)
         t_bucket = buckets.pick_bucket(t_guess, rt.latent_buckets)
-        n_xfer = min(t_bucket, max(t_guess, 1))
+        # quantize the egress slice to 16-frame steps: every distinct slice
+        # width is its own compiled (tiny) program, and the learned-rate
+        # estimate drifts — frame-granular widths would churn compiles
+        n_xfer = min(t_bucket, buckets.quantize_up(max(t_guess, 1), 16))
         for _attempt in range(4):
             with self.profiler.stage("fused_synthesis"):
                 wav_dev, dur_dev = self._fused_fn(
@@ -298,7 +320,7 @@ class SynthesisEngine:
             log.warning("latent_bucket_overflow", needed=t_needed,
                         bucket=t_bucket, attempt=_attempt + 1)
             t_bucket = buckets.pick_bucket(t_needed, rt.latent_buckets)
-            n_xfer = min(t_bucket, t_needed)  # duration now known exactly
+            n_xfer = min(t_bucket, buckets.quantize_up(t_needed, 16))
         else:
             # duration is deterministic per input, so one retry always fits;
             # reaching here means something is deeply wrong — returning
@@ -377,6 +399,18 @@ class SynthesisEngine:
         lbs = text_buckets or rt.text_buckets[:3]
         n = 0
         rng = np.random.default_rng(0)
+        # warmup batches are synthetic: keep them out of /metrics (swap in a
+        # throwaway profiler for the duration)
+        live_profiler = self.profiler
+        self.profiler = StageProfiler()
+        try:
+            n = self._warmup_lattice(bss, lbs, total_steps, progress, rng)
+        finally:
+            self.profiler = live_profiler
+        return n
+
+    def _warmup_lattice(self, bss, lbs, total_steps, progress, rng) -> int:
+        n = 0
         for b in bss:
             style = VoiceStyle(
                 rng.standard_normal(

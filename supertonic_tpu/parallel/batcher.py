@@ -138,10 +138,15 @@ class ContinuousBatcher:
                     try:
                         # transfer only samples that exist: bucket padding
                         # beyond the longest utterance is garbage bytes on
-                        # the device->host link
+                        # the device->host link. Quantized to 16-latent-frame
+                        # steps so slice widths come from a small lattice
+                        # (each width is its own compiled program).
+                        from ..engine.buckets import quantize_up
+
                         sr = self.engine.cfg.sample_rate
-                        n_max = min(wav_dev.shape[1],
-                                    int(float(dur.max()) * sr) + 1)
+                        q = self.engine.cfg.chunk_size * 16
+                        n_max = min(wav_dev.shape[1], quantize_up(
+                            int(float(dur.max()) * sr) + 1, q))
                         with self.engine.profiler.stage("egress"):
                             wav = self.engine.to_host(wav_dev[:, :n_max])
                         trimmed = self.engine.trim(wav, dur)

@@ -17,10 +17,7 @@ from __future__ import annotations
 
 import io
 import os
-import struct
 from typing import List, Union
-
-import numpy as np
 
 from .http_server import TTSService, ValidationError
 
@@ -80,30 +77,13 @@ def create_app(tts=None, *, use_batcher: bool = True):
 
     @app.post("/tts/stream")
     def synthesize_stream(req: TTSRequest):
-        sr = tts.sample_rate
-        gen = service.stream_chunks(req.model_dump())
         try:
-            first = next(gen, None)
+            # shared generator: same wire bytes as the stdlib server, same
+            # time-to-first-audio metric
+            body = service.stream_wav_bytes(req.model_dump())
         except ValidationError as e:
             raise HTTPException(status_code=e.status, detail=e.detail)
-
-        def body():
-            yield (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
-                   + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr,
-                                           sr * 2, 2, 16)
-                   + b"data" + struct.pack("<I", 0xFFFFFFFF))
-            gap = np.zeros(int(req.silence_duration * sr), np.float32)
-            prev = False
-            for wav, _dur in ([first] if first is not None else []):
-                yield (np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes()
-                prev = True
-            for wav, _dur in gen:
-                if prev and len(gap):
-                    yield (gap * 32767).astype("<i2").tobytes()
-                yield (np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes()
-                prev = True
-
-        return StreamingResponse(body(), media_type="audio/wav")
+        return StreamingResponse(body, media_type="audio/wav")
 
     return app
 

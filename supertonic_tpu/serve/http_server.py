@@ -215,6 +215,11 @@ class TTSService:
         time-to-first-audio; the remainder submit together and coalesce with
         any concurrent traffic. No lock is held between yields."""
         texts, langs, styles = self._validate(req)
+        if len(texts) != 1 or len(langs) != 1 or len(styles) != 1:
+            # batch=true sneaks multi-text past _validate; streaming would
+            # silently synthesize texts[0] and drop the rest
+            raise ValidationError(
+                400, "Streaming requires single text, lang, and voice_style.")
         text, lang = texts[0], langs[0]
         style = self.get_style(styles[0])
 
@@ -238,6 +243,42 @@ class TTSService:
         ]
         for f in rest:
             yield f.result()
+
+    def stream_wav_bytes(self, req: dict):
+        """Transport-independent chunked WAV body: sentinel-size header,
+        then PCM16 per synthesized text chunk with silence gaps between.
+        Validation (and the first chunk's synthesis) happen in THIS call so
+        transports can still emit a clean error response; the returned
+        generator only yields bytes. Records time-to-first-audio."""
+        import struct
+
+        sr = self.tts.sample_rate
+        t0 = time.perf_counter()
+        gen = self.stream_chunks(req)
+        first = next(gen, None)  # ValidationError propagates before bytes
+
+        def pcm(wav):
+            return (np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes()
+
+        def body():
+            yield (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+                   + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr,
+                                           sr * 2, 2, 16)
+                   + b"data" + struct.pack("<I", 0xFFFFFFFF))
+            gap = pcm(np.zeros(int(req["silence_duration"] * sr), np.float32))
+            wrote = False
+            if first is not None:
+                yield pcm(first[0])
+                self.tts.engine.profiler.record_ttfa(
+                    time.perf_counter() - t0)
+                wrote = True
+            for wav, _dur in gen:
+                if wrote and gap:
+                    yield gap
+                yield pcm(wav)
+                wrote = True
+
+        return body()
 
     def metrics(self) -> dict:
         out = self.tts.engine.profiler.summary()
@@ -279,47 +320,18 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000,
             self.wfile.write(b"\r\n")
 
         def _stream_tts(self, req: dict):
-            """Chunked WAV: header with streaming sentinel sizes, then PCM16
-            per synthesized text chunk. Synthesis runs via the batcher; the
-            socket writes happen on this handler thread only, so a slow
-            client throttles nobody but itself."""
-            import struct
-
-            sr = service.tts.sample_rate
-            t0 = time.perf_counter()
-            gen = service.stream_chunks(req)
-            # pull the first chunk BEFORE sending headers so validation
-            # errors can still produce a clean JSON error response
-            try:
-                first = next(gen)
-            except StopIteration:
-                first = None
-
+            """Chunked WAV via the shared service generator. Synthesis runs
+            via the batcher; the socket writes happen on this handler thread
+            only, so a slow client throttles nobody but itself."""
+            # validation + first-chunk synthesis happen HERE, before headers,
+            # so errors still produce a clean JSON response
+            body = service.stream_wav_bytes(req)
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
-            # streaming WAV header: 0xFFFFFFFF sizes (unknown length)
-            header = (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
-                      + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr,
-                                              sr * 2, 2, 16)
-                      + b"data" + struct.pack("<I", 0xFFFFFFFF))
-            self._write_chunk(header)
-            gap = np.zeros(int(req["silence_duration"] * sr), np.float32)
-            wrote_any = False
-            if first is not None:
-                wav, _dur = first
-                self._write_chunk((np.clip(wav, -1, 1) * 32767)
-                                  .astype("<i2").tobytes())
-                service.tts.engine.profiler.record_ttfa(
-                    time.perf_counter() - t0)
-                wrote_any = True
-            for wav, _dur in gen:
-                if wrote_any and len(gap):
-                    self._write_chunk((gap * 32767).astype("<i2").tobytes())
-                self._write_chunk((np.clip(wav, -1, 1) * 32767)
-                                  .astype("<i2").tobytes())
-                wrote_any = True
+            for data in body:
+                self._write_chunk(data)
             self.wfile.write(b"0\r\n\r\n")
 
         def do_POST(self):
@@ -385,6 +397,11 @@ def main():
         from ..utils.jaxenv import force_cpu
 
         force_cpu()
+    # persistent compile cache: restarts re-load compiled programs instead
+    # of re-compiling them (warmup becomes a fast cache load)
+    from ..utils.jaxenv import setup_compilation_cache
+
+    setup_compilation_cache()
 
     from .. import TTS
 

@@ -179,3 +179,45 @@ def test_warmup_compiles_lattice(tiny_config):
         rng.standard_normal((1, 4, 16)).astype(np.float32))
     wav, dur = eng.infer_batch(["Warm check."], ["en"], style, total_step=2)
     assert wav.shape[0] == 1 and float(dur[0]) > 0
+
+
+def test_warmup_does_not_pollute_metrics(tiny_config):
+    from supertonic_tpu.engine import SynthesisEngine
+    from supertonic_tpu.frontend import UnicodeProcessor, build_default_indexer
+    from supertonic_tpu.models import init_all
+
+    eng = SynthesisEngine(init_all(0, tiny_config), tiny_config,
+                          UnicodeProcessor(build_default_indexer()),
+                          precision="f32")
+    eng.warmup(batch_sizes=(1,), text_buckets=(32,), total_steps=(2,))
+    s = eng.profiler.summary()
+    assert s["requests"] == 0 and s["audio_seconds"] == 0
+
+
+def test_style_device_cache_hits_on_content(tiny_config):
+    """Fresh-but-identical VoiceStyle objects (tile/concat per request) must
+    hit the device cache — identity keying missed every serving request
+    (code review r2)."""
+    import numpy as np
+
+    from supertonic_tpu.engine import SynthesisEngine, VoiceStyle
+    from supertonic_tpu.frontend import UnicodeProcessor, build_default_indexer
+    from supertonic_tpu.models import init_all
+
+    eng = SynthesisEngine(init_all(0, tiny_config), tiny_config,
+                          UnicodeProcessor(build_default_indexer()),
+                          precision="f32")
+    rng = np.random.default_rng(0)
+    ttl = rng.standard_normal((1, 4, 16)).astype(np.float32)
+    dp = rng.standard_normal((1, 4, 16)).astype(np.float32)
+    a = VoiceStyle(ttl.copy(), dp.copy())
+    b = VoiceStyle(ttl.copy(), dp.copy())  # different object, same content
+    d1 = eng._device_style(a, 1)
+    assert len(eng._style_dev_cache) == 1
+    d2 = eng._device_style(b, 1)
+    assert len(eng._style_dev_cache) == 1  # content hit, no second upload
+    assert d1[0] is d2[0] and d1[1] is d2[1]
+    # tiles of the same base also share one entry per (content, bucket)
+    eng._device_style(a.tile(2), 2)
+    eng._device_style(b.tile(2), 2)
+    assert len(eng._style_dev_cache) == 2

@@ -641,3 +641,12 @@ def test_run_output_name_selection(rng):
     np.testing.assert_allclose(only_b[0], x * x, rtol=1e-6)
     a_then_b = ex.run(None, {"x": x})
     np.testing.assert_allclose(a_then_b[0], 2 * x, rtol=1e-6)
+
+
+def test_gathernd_negative_indices(rng):
+    data = rng.standard_normal((4, 5)).astype(F32)
+    idx = np.asarray([[-1, -2], [0, -1]], I64)  # wrap from the end
+    ex = build([("GatherND", ["d", "i"], ["y"])], inits={"i": idx},
+               inputs=[("d", F32, (4, 5))], outputs=[("y", F32, (2,))])
+    np.testing.assert_allclose(run1(ex, d=data),
+                               np.asarray([data[-1, -2], data[0, -1]]))

@@ -341,3 +341,24 @@ def test_pipeline_longform_call(onnx_dir):
     # padded chunks concatenated like the reference (py/helper.py:233-244):
     # total sample count >= silence samples + per-chunk latent grids
     assert wav.shape[1] >= int(0.25 * SR) * (n_chunks - 1)
+
+
+def test_bucketed_longform_call_matches_exact(onnx_dir):
+    """Bucketed __call__ must CONCATENATE identically to the exact pipeline:
+    pad-region audio leaking between chunks was a real bug (code review r2)."""
+    from supertonic_tpu.assets.onnx_pipeline import load_onnx_pipeline as L
+
+    rng = np.random.default_rng(5)
+
+    class Style:
+        ttl = rng.standard_normal((1, 2, 4)).astype(F32)
+        dp = rng.standard_normal((1, 2, 4)).astype(F32)
+
+    text = ("A first sentence for the long form test. " * 5
+            + "Then a second block of text follows here. " * 4)
+    w1, d1 = L(onnx_dir, seed=3)(text, "en", Style, total_step=2)
+    w2, d2 = L(onnx_dir, seed=3, bucketed=True)(text, "en", Style,
+                                                total_step=2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
+    assert w1.shape == w2.shape  # identical concat geometry
+    np.testing.assert_allclose(w1, w2, rtol=1e-4, atol=1e-5)
