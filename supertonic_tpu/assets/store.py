@@ -208,4 +208,11 @@ def load_assets(dirpath: str | None = None, *, seed: int = 0) -> Assets:
         params = init_all(seed, cfg)
     if indexer is None:
         indexer = build_default_indexer()
+    if os.getenv("TTS_NATIVE_FRONTEND", "0") != "0":
+        # GIL-free C++ frontend for threaded per-host feeders
+        # (SURVEY.md §7.3 hard part 6); parity is fuzz-enforced in
+        # tests/test_native_frontend.py. Falls back to Python if unbuildable.
+        from ..frontend.native import best_processor
+
+        return Assets(cfg, params, best_processor(indexer), style_dir)
     return Assets(cfg, params, UnicodeProcessor(indexer), style_dir)
