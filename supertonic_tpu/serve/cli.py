@@ -19,9 +19,13 @@ def parse_args(argv=None):
                         "random-init fallback when absent")
     p.add_argument("--precision", type=str, default=None,
                    choices=["bf16", "f32"], help="Compute precision")
-    p.add_argument("--platform", type=str, default=None,
+    import os
+
+    p.add_argument("--platform", type=str,
+                   default=os.getenv("TTS_PLATFORM") or None,
                    choices=["cpu", "tpu"],
-                   help="Force a JAX platform (default: auto — TPU if present)")
+                   help="Force a JAX platform (default: $TTS_PLATFORM or "
+                        "auto — TPU if present)")
     p.add_argument("--total-step", type=int, default=5,
                    help="Number of denoising steps")
     p.add_argument("--speed", type=float, default=1.05,
