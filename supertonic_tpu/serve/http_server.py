@@ -288,8 +288,9 @@ class TTSService:
 
 
 def make_server(tts, host: str = "0.0.0.0", port: int = 8000,
-                *, use_batcher: bool = True) -> ThreadingHTTPServer:
-    service = TTSService(tts, use_batcher=use_batcher)
+                *, use_batcher: bool = True,
+                max_batch: int = 32) -> ThreadingHTTPServer:
+    service = TTSService(tts, use_batcher=use_batcher, max_batch=max_batch)
 
     class Handler(BaseHTTPRequestHandler):
         # dead/stalled clients must not pin a handler thread forever
@@ -415,13 +416,18 @@ def main():
     host = os.getenv("TTS_HOST", "0.0.0.0")
     port = int(os.getenv("TTS_PORT", "8000"))
     use_batcher = os.getenv("TTS_BATCHER", "1") != "0"
+    max_batch = int(os.getenv("TTS_MAX_BATCH", "32"))
     if os.getenv("TTS_WARMUP", "0") != "0":
         # pre-compile the common bucket lattice before accepting traffic
         # (first-shape compiles otherwise land on live requests)
+        rt = tts.cfg.runtime
+        bss = tuple(b for b in rt.batch_buckets if b <= max_batch)
         n = tts.engine.warmup(
+            batch_sizes=bss,
             progress=lambda i, total: print(f"warmup {i}/{total}"))
         print(f"warmed {n} program shapes")
-    server = make_server(tts, host, port, use_batcher=use_batcher)
+    server = make_server(tts, host, port, use_batcher=use_batcher,
+                         max_batch=max_batch)
     print(f"Serving Supertonic-TPU TTS on {host}:{port} "
           f"(batcher={'on' if use_batcher else 'off'})")
     server.serve_forever()
