@@ -1,6 +1,11 @@
 """High-level API example (mirrors the reference's PyPI usage,
 reference py/example_pypi.py:1-16)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # repo root
+
 from supertonic_tpu import TTS
 
 # Without an assets dir this runs deterministic random-init weights —

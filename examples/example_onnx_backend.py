@@ -9,7 +9,10 @@ py/example_onnx.py flow (reference py/helper.py:322-336):
     python examples/example_onnx_backend.py assets/onnx
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # repo root
 
 import numpy as np
 

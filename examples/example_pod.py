@@ -13,6 +13,11 @@ On a single machine this example degenerates to one host and still runs
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # repo root
+
+import os
 
 import numpy as np
 

@@ -3,6 +3,11 @@ playback can begin after the first chunk (time-to-first-audio), while the
 rest synthesize."""
 
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # repo root
+
+import os
 
 import numpy as np
 
