@@ -76,3 +76,28 @@ def test_host_shard_partition():
     shards = [host_shard(items, pid, 3) for pid in range(3)]
     assert sorted(sum(shards, [])) == items
     assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
+
+
+def test_batcher_over_mesh(tiny_config):
+    """Continuous batcher driving a mesh-sharded engine (the pod-serving
+    configuration: DP over local devices + request coalescing)."""
+    from supertonic_tpu.parallel.batcher import ContinuousBatcher
+
+    params = init_all(0, tiny_config)
+    proc = UnicodeProcessor(build_default_indexer())
+    engine = SynthesisEngine(params, tiny_config, proc, precision="f32",
+                             mesh=make_mesh(8))
+    batcher = ContinuousBatcher(engine, max_batch=8, max_wait_ms=5)
+    try:
+        futs = [
+            batcher.submit(f"Mesh batcher request {i}.", "en",
+                           _style(tiny_config, 1, seed=i), total_step=2)
+            for i in range(12)
+        ]
+        for f in futs:
+            wav, dur = f.result(timeout=300)
+            assert wav.ndim == 1 and dur > 0
+            assert np.isfinite(wav).all()
+        assert batcher.stats["batches"] < 12
+    finally:
+        batcher.shutdown()
