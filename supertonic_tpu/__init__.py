@@ -64,17 +64,9 @@ class TTS:
         # a partially-fetched dir — e.g. tts.json downloaded, the 260 MB
         # graphs interrupted — RESUMES here instead of silently serving
         # random-init weights
-        import importlib.util
-        import sys as _sys
+        from .assets.fetch import fetch_all
 
-        tools = os.path.join(os.path.dirname(__file__), "..", "tools")
-        spec = importlib.util.spec_from_file_location(
-            "supertonic_tpu_fetch_assets",
-            os.path.join(tools, "fetch_assets.py"))
-        mod = importlib.util.module_from_spec(spec)
-        _sys.modules.setdefault("supertonic_tpu_fetch_assets", mod)
-        spec.loader.exec_module(mod)
-        mod.fetch_all(target)
+        fetch_all(target)
         if not os.path.exists(os.path.join(target, "params.npz")):
             from .utils.logging import default_logger as log
 

@@ -397,7 +397,6 @@ class SynthesisEngine:
         rt = self.cfg.runtime
         bss = batch_sizes or tuple(b for b in rt.batch_buckets if b <= 32)
         lbs = text_buckets or rt.text_buckets[:3]
-        n = 0
         rng = np.random.default_rng(0)
         # warmup batches are synthetic: keep them out of /metrics (swap in a
         # throwaway profiler for the duration)

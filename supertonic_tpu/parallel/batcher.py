@@ -24,7 +24,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..engine.buckets import pick_bucket
+from ..engine.buckets import pick_bucket, quantize_up
 from ..engine.engine import SynthesisEngine, VoiceStyle
 from ..frontend import preprocess_text
 
@@ -141,8 +141,6 @@ class ContinuousBatcher:
                         # the device->host link. Quantized to 16-latent-frame
                         # steps so slice widths come from a small lattice
                         # (each width is its own compiled program).
-                        from ..engine.buckets import quantize_up
-
                         sr = self.engine.cfg.sample_rate
                         q = self.engine.cfg.chunk_size * 16
                         n_max = min(wav_dev.shape[1], quantize_up(

@@ -22,10 +22,6 @@ from typing import List, Union
 from .http_server import TTSService, ValidationError
 
 
-def _env_flag(name: str, default: str = "0") -> bool:
-    return os.getenv(name, default).strip().lower() in {"1", "true", "yes", "y", "on"}
-
-
 def create_app(tts=None, *, use_batcher: bool = True):
     """Build the FastAPI app. ``tts`` defaults to a TTS() constructed from
     env config (TTS_ASSETS_DIR, TTS_PRECISION)."""

@@ -19,8 +19,6 @@ def parse_args(argv=None):
                         "random-init fallback when absent")
     p.add_argument("--precision", type=str, default=None,
                    choices=["bf16", "f32"], help="Compute precision")
-    import os
-
     p.add_argument("--platform", type=str,
                    default=os.getenv("TTS_PLATFORM") or None,
                    choices=["cpu", "tpu"],
