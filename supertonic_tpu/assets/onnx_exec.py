@@ -928,6 +928,56 @@ def op_if(ctx: Ctx, cond):
     return outs if len(outs) > 1 else outs[0]
 
 
+@op("Loop")
+def op_loop(ctx: Ctx, trip_count, cond, *carried):
+    """ONNX Loop with a trace-time-static trip count, unrolled at trace
+    time (the jit-compatible subset: for-loops over fixed lengths, the form
+    torch exports for fixed-iteration scans). A data-dependent loop
+    condition cannot compile under jit and raises UnsupportedOp.
+
+    Body graph signature per spec: (iter_num, cond_in, carried...) ->
+    (cond_out, carried..., scan_outputs...); scan outputs are stacked along
+    a new leading axis.
+    """
+    body = ctx.attr("body")
+    if body is None:
+        raise UnsupportedOp("Loop: missing body subgraph")
+    m = int(ctx.static(trip_count, "trip_count (M)").ravel()[0])
+    if cond is not None:
+        c = np.asarray(ctx.static(cond, "initial condition"))
+        if not bool(c.ravel()[0]):
+            m = 0
+    n_carried = len(carried)
+    n_scan = len(body.outputs) - 1 - n_carried
+    in_names = [vi.name for vi in body.inputs]
+    out_names = [vi.name for vi in body.outputs]
+    state = list(carried)
+    scans: list[list] = [[] for _ in range(n_scan)]
+    for it in range(m):
+        sub_env = dict(ctx.env or {})
+        for name, t in body.initializers.items():
+            sub_env[name] = np.asarray(t.data)
+        sub_env[in_names[0]] = np.asarray(it, np.int64)
+        if len(in_names) > 1:
+            sub_env[in_names[1]] = np.asarray(True)
+        for name, val in zip(in_names[2:], state):
+            sub_env[name] = val
+        _run_nodes(_toposort(body, set(sub_env)), sub_env)
+        cond_out = sub_env[out_names[0]]
+        state = [sub_env[n] for n in out_names[1 : 1 + n_carried]]
+        for i, n in enumerate(out_names[1 + n_carried:]):
+            scans[i].append(jnp.asarray(sub_env[n]))
+        if _is_static(cond_out):
+            if not bool(np.asarray(cond_out).ravel()[0]):
+                break
+        else:
+            raise UnsupportedOp(
+                "Loop: data-dependent loop condition cannot compile under jit"
+            )
+    outs = tuple(state) + tuple(jnp.stack(s) for s in scans)
+    return outs if len(outs) > 1 else outs[0]
+
+
 def _run_nodes(nodes: list[OnnxNode], env: dict) -> None:
     """Evaluate nodes into ``env`` (shared by the executor and subgraphs)."""
     for node in nodes:

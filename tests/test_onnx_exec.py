@@ -650,3 +650,37 @@ def test_gathernd_negative_indices(rng):
                inputs=[("d", F32, (4, 5))], outputs=[("y", F32, (2,))])
     np.testing.assert_allclose(run1(ex, d=data),
                                np.asarray([data[-1, -2], data[0, -1]]))
+
+
+def test_loop_static_trip_count(rng):
+    """Loop unrolled at trace time: running sum carried across iterations,
+    per-iteration scan output stacked."""
+    x = rng.standard_normal((3,)).astype(F32)
+
+    body_nodes = [
+        R.encode_node("Add", ["acc_in", "x"], ["acc_out"], name="b0"),
+        R.encode_node("Identity", ["true_c"], ["cond_out"], name="b1"),
+        R.encode_node("Mul", ["acc_out", "two"], ["scan0"], name="b2"),
+    ]
+    body_inits = [R.encode_tensor("true_c", np.asarray(True)),
+                  R.encode_tensor("two", np.float32(2.0))]
+    body_ins = [R.encode_value_info("it", I64, ()),
+                R.encode_value_info("cond_in", np.bool_, ()),
+                R.encode_value_info("acc_in", F32, (3,))]
+    body_outs = [R.encode_value_info("cond_out", np.bool_, ()),
+                 R.encode_value_info("acc_out", F32, (3,)),
+                 R.encode_value_info("scan0", F32, (3,))]
+    body = R.SubgraphAttr(R.encode_graph("body", body_nodes, body_inits,
+                                         body_ins, body_outs))
+
+    ex = build(
+        [("Loop", ["m", "go", "acc0"], ["acc", "scan"], {"body": body})],
+        inits={"m": np.asarray(4, I64), "go": np.asarray(True),
+               "acc0": np.zeros(3, F32)},
+        inputs=[("x", F32, (3,))],
+        outputs=[("acc", F32, (3,)), ("scan", F32, (4, 3))],
+    )
+    acc, scan = ex.run(None, {"x": x})
+    np.testing.assert_allclose(acc, 4 * x, rtol=1e-6)
+    ref_scan = np.stack([2 * (i + 1) * x for i in range(4)])
+    np.testing.assert_allclose(scan, ref_scan, rtol=1e-6)
