@@ -141,7 +141,9 @@ class VocoderHParams:
 class RuntimeConfig:
     """TPU execution options (no analog in the reference)."""
 
-    # "f32" = strict float32 matmuls for parity gates; "bf16" = fast path.
+    # "f32" = strict float32 matmuls for parity gates; "bf16" = fast path;
+    # "int8" = W8A8 estimator-block matmuls (models.quantize_params), bf16
+    # elsewhere — the max-throughput serving point.
     precision: str = "bf16"
     # Text-length bucket ladder (characters incl. lang tags): pad L up to one of
     # these to bound XLA recompiles.

@@ -63,6 +63,14 @@ class VoiceStyle:
         return VoiceStyle(self.ttl[idx], self.dp[idx])
 
 
+def _tree_has_key(tree, key: str) -> bool:
+    if isinstance(tree, dict):
+        return key in tree or any(_tree_has_key(v, key) for v in tree.values())
+    if isinstance(tree, (list, tuple)):
+        return any(_tree_has_key(v, key) for v in tree)
+    return False
+
+
 class SynthesisEngine:
     def __init__(
         self,
@@ -90,6 +98,10 @@ class SynthesisEngine:
         # 2x SLOWER end-to-end on TPU — splitting the fused output
         # materializes [B,T,3D] and defeats XLA's consumer fusion of the
         # separate projections. The engine deliberately keeps params unfused.
+        if self.precision == "int8" and not _tree_has_key(params, "w_q"):
+            from ..models import quantize_params
+
+            params = quantize_params(params)
         if mesh is not None:
             from ..parallel.mesh import shard_params
 
@@ -523,7 +535,7 @@ class SynthesisEngine:
         if not hasattr(self, "_step_fn"):
             from ..models import vector_estimator, vocoder as _vocoder
 
-            _dt = jnp.bfloat16 if self.precision == "bf16" else jnp.float32
+            _dt = jnp.float32 if self.precision == "f32" else jnp.bfloat16
 
             def _cross(params, emb, sttl, tmask):
                 return vector_estimator.precompute_cross(

@@ -31,7 +31,9 @@ from ..models import layers as L
 
 
 def _dtype_of(precision: str):
-    return jnp.bfloat16 if precision == "bf16" else jnp.float32
+    # "int8" quantizes the estimator-block matmuls (params carry w_q, see
+    # models.quantize_params); everything else in that mode computes in bf16.
+    return jnp.float32 if precision == "f32" else jnp.bfloat16
 
 
 def text_stage(

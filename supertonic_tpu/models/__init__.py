@@ -67,11 +67,44 @@ def fuse_projections(params):
     return out
 
 
+def quantize_params(params, models=("vector_estimator",)):
+    """Derive W8A8 int8 weights for the transformer-block linears of the
+    chosen networks (default: the vector estimator — the only network in the
+    ``total_step``x hot loop). Attention einsums, norms, AdaLN modulation and
+    the tiny time-MLP stay bf16/f32; the quantized matmuls cover ~87% of the
+    estimator step's FLOPs. Apply AFTER checkpoint load, like
+    fuse_projections. Opt-in via SynthesisEngine(precision="int8")."""
+    from .layers import quantize_linear
+
+    proj_keys = ("q", "k", "v", "o", "qkv", "kv")
+
+    def q_block(bp):
+        bp = dict(bp)
+        for sub in ("self", "cross"):
+            if sub in bp:
+                bp[sub] = {
+                    k: (quantize_linear(v) if k in proj_keys else v)
+                    for k, v in bp[sub].items()
+                }
+        if "ffn" in bp:
+            bp["ffn"] = {k: quantize_linear(v) for k, v in bp["ffn"].items()}
+        return bp
+
+    out = {}
+    for name, tree in params.items():
+        if name in models and isinstance(tree, dict) and "blocks" in tree:
+            tree = dict(tree)
+            tree["blocks"] = [q_block(bp) for bp in tree["blocks"]]
+        out[name] = tree
+    return out
+
+
 __all__ = [
     "count_params",
     "duration_predictor",
     "fuse_projections",
     "init_all",
+    "quantize_params",
     "text_encoder",
     "vector_estimator",
     "vocoder",

@@ -49,7 +49,37 @@ def linear_init(rng, din: int, dout: int, *, zero: bool = False) -> Params:
 
 
 def linear(p: Params, x: jax.Array) -> jax.Array:
+    if "w_q" in p:
+        return _linear_w8a8(p, x)
     y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+    return (y + p["b"]).astype(x.dtype)
+
+
+def quantize_linear(p: Params) -> Params:
+    """Offline W8A8 quantization of one linear layer: symmetric per-output-
+    channel int8 weights + f32 scales. Applied by models.quantize_params for
+    the opt-in int8 serving path (v5e int8 MXU peak is 2x bf16)."""
+    w = np.asarray(p["w"], np.float32)
+    scale = np.maximum(np.max(np.abs(w), axis=0), 1e-12) / 127.0
+    w_q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
+    return {"w_q": w_q, "w_scale": scale.astype(np.float32),
+            "b": np.asarray(p["b"], np.float32)}
+
+
+def _linear_w8a8(p: Params, x: jax.Array) -> jax.Array:
+    """Dynamic-activation int8 matmul: per-token symmetric activation quant,
+    int8 x int8 -> int32 on the MXU, rescale in f32. The reduction axis
+    scale cancels exactly for the max element, so worst-case per-element
+    quantization error is bounded by 0.5/127 of the row absmax."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12) / 127.0
+    xq = jnp.round(xf / sx).astype(jnp.int8)  # |xf/sx| <= 127 by construction
+    acc = jax.lax.dot_general(
+        xq, p["w_q"],
+        dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * sx * p["w_scale"]
     return (y + p["b"]).astype(x.dtype)
 
 

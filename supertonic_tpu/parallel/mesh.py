@@ -78,14 +78,16 @@ def _pspec_for_path(path: tuple[str, ...]) -> P:
     if len(path) >= 3:
         parent, leaf = path[-3], path[-2]
         name = path[-1]
+        # int8-quantized linears (models.quantize_params): "w_q" shards like
+        # "w"; the per-output-channel "w_scale" shards like the bias.
         if parent == "ffn" and leaf == "in":
-            return P(None, MODEL_AXIS) if name == "w" else P(MODEL_AXIS)
+            return P(None, MODEL_AXIS) if name in ("w", "w_q") else P(MODEL_AXIS)
         if parent == "ffn" and leaf == "out":
-            return P(MODEL_AXIS, None) if name == "w" else P()
+            return P(MODEL_AXIS, None) if name in ("w", "w_q") else P()
         if parent in ("self", "cross") and leaf in ("q", "k", "v"):
-            return P(None, MODEL_AXIS) if name == "w" else P(MODEL_AXIS)
+            return P(None, MODEL_AXIS) if name in ("w", "w_q") else P(MODEL_AXIS)
         if parent in ("self", "cross") and leaf == "o":
-            return P(MODEL_AXIS, None) if name == "w" else P()
+            return P(MODEL_AXIS, None) if name in ("w", "w_q") else P()
     return P()
 
 

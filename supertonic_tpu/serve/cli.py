@@ -18,7 +18,8 @@ def parse_args(argv=None):
                    help="Asset bundle dir (params.npz, tts.json, ...); "
                         "random-init fallback when absent")
     p.add_argument("--precision", type=str, default=None,
-                   choices=["bf16", "f32"], help="Compute precision")
+                   choices=["bf16", "f32", "int8"], help="Compute precision "
+                   "(int8 = W8A8 estimator matmuls, bf16 elsewhere)")
     p.add_argument("--platform", type=str,
                    default=os.getenv("TTS_PLATFORM") or None,
                    choices=["cpu", "tpu"],
