@@ -1,0 +1,298 @@
+"""Pod-level serving router: one HTTP front door over N per-host TTS servers.
+
+The reference is a single-process service (py/service.py); multi-host reach
+is OUR design (SURVEY.md §5 "failure detection": health endpoint per host +
+request retry on host loss). Each TPU host runs the regular batcher-backed
+server (serve.http_server / examples/example_pod.py); this router sits in
+front and provides:
+
+  * **least-pending dispatch** — each request goes to the healthy backend
+    with the fewest in-flight requests (utterance-level data parallelism
+    across hosts; no cross-host collectives anywhere in the request path);
+  * **health checking** — a background thread polls ``GET /health`` on every
+    backend; failures eject a backend from rotation, recovery re-adds it;
+  * **retry on host loss** — connection errors / 5xx responses re-dispatch
+    the request to the next-best backend (bounded attempts); a request is
+    never retried after response bytes have been forwarded;
+  * aggregate ``/health`` (degraded vs ok) and ``/metrics`` (per-backend).
+
+Stdlib-only (http.client + ThreadingHTTPServer), same zero-dependency rule
+as the stdlib server.
+"""
+
+from __future__ import annotations
+
+import http.client
+import json
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import urlsplit
+
+from ..utils.logging import default_logger as log
+
+
+@dataclass
+class Backend:
+    url: str                      # e.g. "http://10.0.0.2:8000"
+    healthy: bool = True
+    pending: int = 0
+    consecutive_failures: int = 0
+    requests: int = 0
+    retries_absorbed: int = 0
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    @property
+    def hostport(self) -> tuple[str, int]:
+        parts = urlsplit(self.url)
+        return parts.hostname or "127.0.0.1", parts.port or 80
+
+    def acquire(self):
+        with self._lock:
+            self.pending += 1
+            self.requests += 1
+
+    def release(self):
+        with self._lock:
+            self.pending -= 1
+
+    def mark_ok(self):
+        self.consecutive_failures = 0
+        self.healthy = True
+
+    def mark_failed(self, threshold: int):
+        self.consecutive_failures += 1
+        if self.consecutive_failures >= threshold:
+            if self.healthy:
+                log.warning("backend_unhealthy", backend=self.url,
+                            failures=self.consecutive_failures)
+            self.healthy = False
+
+
+class NoBackendAvailable(Exception):
+    pass
+
+
+class Router:
+    """Backend pool + dispatch policy. Transport-independent (the HTTP front
+    end below and tests drive it directly)."""
+
+    def __init__(self, backend_urls: list[str], *,
+                 failure_threshold: int = 2,
+                 health_interval_s: float = 2.0,
+                 request_timeout_s: float = 300.0,
+                 max_attempts: int | None = None):
+        if not backend_urls:
+            raise ValueError("router needs at least one backend")
+        self.backends = [Backend(u.rstrip("/")) for u in backend_urls]
+        self.failure_threshold = failure_threshold
+        self.health_interval_s = health_interval_s
+        self.request_timeout_s = request_timeout_s
+        self.max_attempts = max_attempts or len(self.backends)
+        self._stop = threading.Event()
+        self._health_thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------- lifecycle
+    def start_health_loop(self):
+        self._health_thread = threading.Thread(
+            target=self._health_loop, daemon=True)
+        self._health_thread.start()
+
+    def close(self):
+        self._stop.set()
+        if self._health_thread is not None:
+            self._health_thread.join(timeout=self.health_interval_s + 1)
+
+    def _health_loop(self):
+        while not self._stop.wait(self.health_interval_s):
+            self.check_health()
+
+    def check_health(self):
+        """One poll round over all backends (also callable from tests)."""
+        for b in self.backends:
+            try:
+                status, _hdrs, body = self._raw_request(
+                    b, "GET", "/health", None, timeout=5.0)
+                ok = status == 200
+            except OSError:
+                ok = False
+            if ok:
+                if not b.healthy:
+                    log.info("backend_recovered", backend=b.url)
+                b.mark_ok()
+            else:
+                b.mark_failed(self.failure_threshold)
+
+    # -------------------------------------------------------------- dispatch
+    def pick(self, exclude: set[str] = frozenset()) -> Backend:
+        candidates = [b for b in self.backends
+                      if b.healthy and b.url not in exclude]
+        if not candidates:
+            # desperation pass: every backend unhealthy/excluded — try the
+            # least-recently-failed one rather than failing outright
+            candidates = [b for b in self.backends if b.url not in exclude]
+        if not candidates:
+            raise NoBackendAvailable("no backend available")
+        return min(candidates, key=lambda b: b.pending)
+
+    def _raw_request(self, backend: Backend, method: str, path: str,
+                     body: bytes | None, *, headers: dict | None = None,
+                     timeout: float | None = None):
+        host, port = backend.hostport
+        conn = http.client.HTTPConnection(
+            host, port, timeout=timeout or self.request_timeout_s)
+        try:
+            conn.request(method, path, body=body, headers=headers or {})
+            resp = conn.getresponse()
+            payload = resp.read()
+            return resp.status, dict(resp.getheaders()), payload
+        finally:
+            conn.close()
+
+    def forward(self, method: str, path: str, body: bytes | None,
+                headers: dict | None = None):
+        """Dispatch with retry. Returns (status, headers, payload,
+        backend_url). Retries connection errors and 5xx on other backends;
+        4xx are the client's problem and are returned as-is."""
+        tried: set[str] = set()
+        last_err: Exception | None = None
+        for attempt in range(self.max_attempts):
+            try:
+                backend = self.pick(exclude=tried)
+            except NoBackendAvailable:
+                break
+            tried.add(backend.url)
+            backend.acquire()
+            try:
+                status, hdrs, payload = self._raw_request(
+                    backend, method, path, body, headers=headers)
+            except OSError as e:
+                last_err = e
+                backend.mark_failed(self.failure_threshold)
+                backend.retries_absorbed += 1
+                log.warning("backend_request_failed", backend=backend.url,
+                            error=str(e), attempt=attempt + 1)
+                continue
+            finally:
+                backend.release()
+            if status >= 500:
+                backend.mark_failed(self.failure_threshold)
+                backend.retries_absorbed += 1
+                last_err = RuntimeError(f"{backend.url} -> {status}")
+                continue
+            backend.mark_ok()
+            return status, hdrs, payload, backend.url
+        raise NoBackendAvailable(
+            f"all backends failed after {len(tried)} attempts: {last_err}")
+
+    # --------------------------------------------------------------- status
+    def health(self) -> tuple[int, dict]:
+        healthy = [b for b in self.backends if b.healthy]
+        status = 200 if healthy else 503
+        return status, {
+            "status": ("ok" if len(healthy) == len(self.backends)
+                       else "degraded" if healthy else "unavailable"),
+            "backends": {
+                b.url: {"healthy": b.healthy, "pending": b.pending,
+                        "requests": b.requests,
+                        "retries_absorbed": b.retries_absorbed}
+                for b in self.backends
+            },
+        }
+
+    def metrics(self) -> dict:
+        out = {"router": self.health()[1]}
+        for b in self.backends:
+            if not b.healthy:
+                continue
+            try:
+                status, _h, body = self._raw_request(
+                    b, "GET", "/metrics", None, timeout=5.0)
+                if status == 200:
+                    out[b.url] = json.loads(body)
+            except (OSError, ValueError):
+                pass
+        return out
+
+
+def make_router_server(router: Router, host: str = "0.0.0.0",
+                       port: int = 8080) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        timeout = 330
+
+        def log_message(self, *args):
+            pass
+
+        def _send_json(self, status: int, obj: dict):
+            payload = json.dumps(obj).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):
+            if self.path == "/health":
+                status, obj = router.health()
+                self._send_json(status, obj)
+            elif self.path == "/metrics":
+                self._send_json(200, router.metrics())
+            else:
+                self._send_json(404, {"detail": "not found"})
+
+        def do_POST(self):
+            if self.path not in ("/tts", "/tts/stream"):
+                self._send_json(404, {"detail": "not found"})
+                return
+            t0 = time.perf_counter()
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            try:
+                status, hdrs, payload, backend = router.forward(
+                    "POST", self.path, body,
+                    headers={"Content-Type": "application/json",
+                             "Content-Length": str(len(body))},
+                )
+            except NoBackendAvailable as e:
+                self._send_json(503, {"detail": str(e)})
+                return
+            log.info("routed", path=self.path, backend=backend,
+                     status=status,
+                     latency_s=round(time.perf_counter() - t0, 4))
+            self.send_response(status)
+            for k in ("Content-Type", "Content-Disposition"):
+                if k in hdrs:
+                    self.send_header(k, hdrs[k])
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    class Server(ThreadingHTTPServer):
+        request_queue_size = 128
+        daemon_threads = True
+
+    server = Server((host, port), Handler)
+    server.router = router
+    return server
+
+
+def main():
+    import os
+
+    urls = [u for u in os.getenv("TTS_BACKENDS", "").split(",") if u]
+    if not urls:
+        raise SystemExit(
+            "set TTS_BACKENDS=http://host1:8000,http://host2:8000")
+    router = Router(urls)
+    router.check_health()
+    router.start_health_loop()
+    host = os.getenv("TTS_ROUTER_HOST", "0.0.0.0")
+    port = int(os.getenv("TTS_ROUTER_PORT", "8080"))
+    server = make_router_server(router, host, port)
+    print(f"Routing /tts over {len(urls)} backends on {host}:{port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

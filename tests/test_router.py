@@ -1,0 +1,156 @@
+"""Pod-serving router (serve/router.py): health checks, least-pending
+dispatch, retry on host loss. Two real backend servers (tiny engines) run
+in-process; a third "dead" backend exercises failover."""
+
+import io
+import threading
+
+import httpx
+import numpy as np
+import pytest
+
+from supertonic_tpu import TTS
+from supertonic_tpu.assets import Assets
+from supertonic_tpu.engine import SynthesisEngine
+from supertonic_tpu.frontend import UnicodeProcessor, build_default_indexer
+from supertonic_tpu.models import init_all
+from supertonic_tpu.serve.http_server import make_server
+from supertonic_tpu.serve.router import (
+    NoBackendAvailable,
+    Router,
+    make_router_server,
+)
+from supertonic_tpu.utils import read_wav
+
+
+def _make_backend(tiny_config):
+    params = init_all(0, tiny_config)
+    tts = TTS.__new__(TTS)
+    tts.assets = Assets(tiny_config, params,
+                        UnicodeProcessor(build_default_indexer()), None)
+    tts.cfg = tiny_config
+    tts.engine = SynthesisEngine(params, tiny_config, tts.assets.processor,
+                                 precision="f32")
+    server = make_server(tts, "127.0.0.1", 0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server, f"http://127.0.0.1:{server.server_address[1]}"
+
+
+@pytest.fixture(scope="module")
+def pod(tiny_config):
+    """Two live backends + a router front door."""
+    servers, urls = [], []
+    for _ in range(2):
+        s, u = _make_backend(tiny_config)
+        servers.append(s)
+        urls.append(u)
+    router = Router(urls, health_interval_s=0.2, failure_threshold=1)
+    router.check_health()
+    front = make_router_server(router, "127.0.0.1", 0)
+    threading.Thread(target=front.serve_forever, daemon=True).start()
+    front_url = f"http://127.0.0.1:{front.server_address[1]}"
+    yield front_url, router, servers, urls
+    front.shutdown()
+    router.close()
+    for s in servers:
+        s.shutdown()
+        s.service.close()
+
+
+def test_router_health_aggregate(pod):
+    front_url, router, _servers, urls = pod
+    r = httpx.get(f"{front_url}/health")
+    assert r.status_code == 200
+    body = r.json()
+    assert body["status"] == "ok"
+    assert set(body["backends"]) == set(urls)
+    assert all(b["healthy"] for b in body["backends"].values())
+
+
+def test_router_forwards_tts(pod):
+    front_url, router, _servers, _urls = pod
+    r = httpx.post(f"{front_url}/tts",
+                   json={"text": "Hello router.", "total_step": 2},
+                   timeout=120)
+    assert r.status_code == 200
+    assert r.headers["content-type"].startswith("audio/wav")
+    wav, sr = read_wav(io.BytesIO(r.content))
+    assert len(wav) > 0
+
+
+def test_router_spreads_load(pod):
+    front_url, router, _servers, _urls = pod
+
+    results = []
+
+    def hit():
+        r = httpx.post(f"{front_url}/tts",
+                       json={"text": "Load spread test.", "total_step": 2},
+                       timeout=120)
+        results.append(r.status_code)
+
+    threads = [threading.Thread(target=hit) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == [200] * 8
+    served = [b.requests for b in router.backends]
+    # least-pending dispatch must not starve a healthy backend entirely
+    assert all(n > 0 for n in served), served
+
+
+def test_router_client_errors_not_retried(pod):
+    front_url, router, _servers, _urls = pod
+    before = [b.retries_absorbed for b in router.backends]
+    r = httpx.post(f"{front_url}/tts", json={"text": "Hi.", "lang": "xx"})
+    assert r.status_code == 400
+    assert [b.retries_absorbed for b in router.backends] == before
+
+
+def test_router_retries_dead_backend(tiny_config):
+    """A pool with one dead host: requests transparently fail over."""
+    server, live_url = _make_backend(tiny_config)
+    try:
+        router = Router(["http://127.0.0.1:9", live_url],
+                        failure_threshold=1)
+        status, hdrs, payload, backend = router.forward(
+            "POST", "/tts",
+            b'{"text": "Failover works.", "total_step": 2}',
+            headers={"Content-Type": "application/json"},
+        )
+        assert status == 200
+        assert backend == live_url
+        dead = router.backends[0]
+        assert not dead.healthy
+        assert dead.retries_absorbed >= 1
+        # health now reports degraded
+        code, body = router.health()
+        assert code == 200 and body["status"] == "degraded"
+    finally:
+        server.shutdown()
+        server.service.close()
+
+
+def test_router_all_dead_503(tiny_config):
+    router = Router(["http://127.0.0.1:9"], failure_threshold=1,
+                    max_attempts=2)
+    with pytest.raises(NoBackendAvailable):
+        router.forward("POST", "/tts", b"{}")
+    code, body = router.health()
+    assert code == 503
+    assert body["status"] == "unavailable"
+
+
+def test_router_recovery(tiny_config):
+    """An ejected backend returns to rotation once /health succeeds."""
+    server, url = _make_backend(tiny_config)
+    try:
+        router = Router([url], failure_threshold=1)
+        router.backends[0].mark_failed(1)
+        assert not router.backends[0].healthy
+        router.check_health()
+        assert router.backends[0].healthy
+    finally:
+        server.shutdown()
+        server.service.close()
