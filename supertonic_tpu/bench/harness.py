@@ -89,21 +89,29 @@ def bench_batch_throughput(engine, style, text: str, *, batch: int = 32,
     texts = [text] * batch
     langs = ["en"] * batch
 
-    def run_device():
-        return engine.infer_batch(
+    def begin():
+        return engine.infer_batch_begin(
             texts, langs, tiled, total_step, 1.05, device_output=True
         )
 
     # warmup: compile + buckets
     for _ in range(warmup):
-        wav_dev, dur = run_device()
-    jax.block_until_ready(wav_dev)
+        wav_dev, dur = engine.infer_batch_end(begin())
     total_audio = float(np.sum(dur))
 
+    # depth-2 pipeline: batch k+1 dispatches BEFORE batch k's duration is
+    # fetched, so the per-batch host round-trip (the dominant fixed cost on
+    # a high-RTT device link) overlaps device compute instead of stalling
+    # it. This is the continuous batcher's serving schedule. The final
+    # end() fences the last batch (its duration fetch completes only after
+    # the device finishes), so the wall clock is honest.
     t0 = time.perf_counter()
-    for _ in range(iters):
-        wav_dev, dur = run_device()
-    jax.block_until_ready(wav_dev)
+    pend = begin()
+    for _ in range(iters - 1):
+        nxt = begin()
+        wav_dev, dur = engine.infer_batch_end(pend)
+        pend = nxt
+    wav_dev, dur = engine.infer_batch_end(pend)
     t = (time.perf_counter() - t0) / iters
 
     # one egress measurement (device -> host)

@@ -63,6 +63,26 @@ class VoiceStyle:
         return VoiceStyle(self.ttl[idx], self.dp[idx])
 
 
+@dataclasses.dataclass
+class PendingBatch:
+    """An in-flight fused-synthesis dispatch (infer_batch_begin). Holds the
+    device handles plus everything infer_batch_end needs to resolve, retry
+    on bucket overflow, and record metrics."""
+
+    wav_dev: object
+    dur_dev: object
+    dev_args: tuple
+    text_mask: np.ndarray
+    b_true: int
+    t_bucket: int
+    n_xfer: int
+    total_step: int
+    speed: float
+    device_output: bool
+    t_start: float
+    n_chars: int
+
+
 def _tree_has_key(tree, key: str) -> bool:
     if isinstance(tree, dict):
         return key in tree or any(_tree_has_key(v, key) for v in tree.values())
@@ -220,29 +240,12 @@ class SynthesisEngine:
         self._style_dev_cache[key] = (dp_dev, ttl_dev)
         return dp_dev, ttl_dev
 
-    def infer_batch(
-        self,
-        text_list: list[str],
-        lang_list: list[str],
-        style: VoiceStyle,
-        total_step: int = 5,
-        speed: float = 1.05,
-        noise: np.ndarray | None = None,
-        device_output: bool = False,
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """Synthesize a batch. Returns (wav [B, T*chunk] f32 np — PADDED, trim
-        to int(sr * duration[b]) like the reference —, duration [B] f32)."""
-        assert len(text_list) == style.batch, (
-            "Number of texts must match number of style vectors"
-        )
-        if not text_list:
-            return (np.zeros((0, 0), np.float32), np.zeros((0,), np.float32))
-        t_start = time.perf_counter()
-        b_true = len(text_list)
+    def _prepare_inputs(self, text_list, lang_list, style):
+        """Frontend + bucketing + device placement shared by the fused and
+        injected-noise paths. Returns (dev_args, text_mask, l_true,
+        b_true, b_bucket)."""
         rt = self.cfg.runtime
-        chunk = self.cfg.chunk_size
-        sr = self.cfg.sample_rate
-
+        b_true = len(text_list)
         with self.profiler.stage("frontend"):
             text_ids, text_mask3 = self.processor(text_list, lang_list)
             l_true = text_ids.shape[1]
@@ -263,12 +266,65 @@ class SynthesisEngine:
             ids_dev, mask_dev = shard_batch(self.mesh, ids_dev, mask_dev)
         sdp_dev, sttl_dev = self._device_style(style, b_bucket)
         dev_args = (ids_dev, mask_dev, sdp_dev, sttl_dev)
+        return dev_args, text_mask, l_true, b_true, b_bucket
 
+    def infer_batch(
+        self,
+        text_list: list[str],
+        lang_list: list[str],
+        style: VoiceStyle,
+        total_step: int = 5,
+        speed: float = 1.05,
+        noise: np.ndarray | None = None,
+        device_output: bool = False,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Synthesize a batch. Returns (wav [B, T*chunk] f32 np — PADDED, trim
+        to int(sr * duration[b]) like the reference —, duration [B] f32)."""
+        assert len(text_list) == style.batch, (
+            "Number of texts must match number of style vectors"
+        )
+        if not text_list:
+            return (np.zeros((0, 0), np.float32), np.zeros((0,), np.float32))
         if noise is not None:
+            dev_args, text_mask, _l, b_true, b_bucket = self._prepare_inputs(
+                text_list, lang_list, style)
             return self._infer_injected_noise(
                 dev_args, text_mask, noise, b_true, b_bucket,
                 total_step, speed,
             )
+        return self.infer_batch_end(self.infer_batch_begin(
+            text_list, lang_list, style, total_step, speed,
+            device_output=device_output,
+        ))
+
+    def infer_batch_begin(
+        self,
+        text_list: list[str],
+        lang_list: list[str],
+        style: VoiceStyle,
+        total_step: int = 5,
+        speed: float = 1.05,
+        *,
+        device_output: bool = False,
+    ) -> "PendingBatch":
+        """Dispatch a fused-synthesis batch WITHOUT waiting for results.
+
+        The duration device->host copy starts streaming immediately; resolve
+        with infer_batch_end. Behind a high-RTT device link every resolved
+        batch costs one synchronous round-trip — callers that keep ONE
+        PendingBatch in flight while dispatching the next (bench harness,
+        continuous batcher) overlap that round-trip with device compute.
+        A plain infer_batch call is begin+end back-to-back."""
+        assert len(text_list) == style.batch, (
+            "Number of texts must match number of style vectors"
+        )
+        assert text_list, "infer_batch_begin requires a non-empty batch"
+        t_start = time.perf_counter()
+        rt = self.cfg.runtime
+        chunk = self.cfg.chunk_size
+        sr = self.cfg.sample_rate
+        dev_args, text_mask, l_true, b_true, _b_bucket = self._prepare_inputs(
+            text_list, lang_list, style)
 
         # production path: one fused program, no mid-pipeline sync.
         # t bucket from the learned sec/char estimate; the returned
@@ -281,13 +337,40 @@ class SynthesisEngine:
         # width is its own compiled (tiny) program, and the learned-rate
         # estimate drifts — frame-granular widths would churn compiles
         n_xfer = min(t_bucket, buckets.quantize_up(max(t_guess, 1), 16))
+        with self.profiler.stage("fused_synthesis"):
+            wav_dev, dur_dev = self._fused_fn(
+                self.params, *dev_args, self._next_key(),
+                jnp.float32(speed), int(total_step), int(t_bucket),
+                self.egress_format,
+            )
+        try:
+            dur_dev.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass  # backend without async copies: end() fetches synchronously
+        return PendingBatch(
+            wav_dev=wav_dev, dur_dev=dur_dev, dev_args=dev_args,
+            text_mask=text_mask, b_true=b_true, t_bucket=t_bucket,
+            n_xfer=n_xfer, total_step=total_step, speed=speed,
+            device_output=device_output, t_start=t_start,
+            n_chars=sum(len(t) for t in text_list),
+        )
+
+    def infer_batch_end(
+        self, pending: "PendingBatch"
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Resolve an in-flight dispatch: fetch the duration (and waveform on
+        the host-output path), handle latent-bucket overflow re-runs, update
+        the learned speaking rate, record metrics."""
+        chunk = self.cfg.chunk_size
+        sr = self.cfg.sample_rate
+        rt = self.cfg.runtime
+        b_true = pending.b_true
+        device_output = pending.device_output
+        speed = pending.speed
+        text_mask = pending.text_mask
+        wav_dev, dur_dev = pending.wav_dev, pending.dur_dev
+        t_bucket, n_xfer = pending.t_bucket, pending.n_xfer
         for _attempt in range(4):
-            with self.profiler.stage("fused_synthesis"):
-                wav_dev, dur_dev = self._fused_fn(
-                    self.params, *dev_args, self._next_key(),
-                    jnp.float32(speed), int(total_step), int(t_bucket),
-                    self.egress_format,
-                )
             if device_output:
                 # benchmark / pod-egress path: waveform stays device-resident,
                 # only the tiny duration vector crosses to the host
@@ -333,6 +416,12 @@ class SynthesisEngine:
                         bucket=t_bucket, attempt=_attempt + 1)
             t_bucket = buckets.pick_bucket(t_needed, rt.latent_buckets)
             n_xfer = min(t_bucket, buckets.quantize_up(t_needed, 16))
+            with self.profiler.stage("fused_synthesis"):
+                wav_dev, dur_dev = self._fused_fn(
+                    self.params, *pending.dev_args, self._next_key(),
+                    jnp.float32(speed), int(pending.total_step),
+                    int(t_bucket), self.egress_format,
+                )
         else:
             # duration is deterministic per input, so one retry always fits;
             # reaching here means something is deeply wrong — returning
@@ -344,17 +433,17 @@ class SynthesisEngine:
                 f"return truncated audio"
             )
         audio_s = float(np.sum(dur[:b_true]))
-        n_chars = sum(len(t) for t in text_list)
+        n_chars = pending.n_chars
         if device_output:
             # throughput is known now; per-request latency is recorded by the
             # caller (batcher egress thread) when audio lands on the host
             self.profiler.record_throughput(
-                audio_s, n_chars, time.perf_counter() - t_start
+                audio_s, n_chars, time.perf_counter() - pending.t_start
             )
             return wav_dev[:b_true], dur[:b_true]
         wav_np = self._decode_egress(wav_host[:b_true])
         self.profiler.record_result(
-            audio_s, n_chars, time.perf_counter() - t_start
+            audio_s, n_chars, time.perf_counter() - pending.t_start
         )
         return wav_np, dur[:b_true]
 

@@ -96,72 +96,91 @@ class ContinuousBatcher:
 
     # ------------------------------------------------------------------
     def _run(self):
+        # one dispatched-but-unresolved group stays in flight across loop
+        # iterations: its duration fetch (a full host round-trip on
+        # high-RTT links) overlaps the NEXT group's device compute
+        pending: list[tuple] = []
         while True:
             with self._wake:
-                while not self._queue and not self._stop:
+                while not self._queue and not self._stop and not pending:
                     self._wake.wait()
-                if self._stop and not self._queue:
+                if self._stop and not self._queue and not pending:
                     return
-                # linger briefly to let a batch accumulate
-                if len(self._queue) < self.max_batch and not self._stop:
+                # linger briefly to let a batch accumulate (but never while
+                # dispatched work is waiting to be resolved)
+                if (len(self._queue) < self.max_batch and not self._stop
+                        and not pending):
                     self._wake.wait(self.max_wait_ms / 1000.0)
                 batch = self._queue[: self.max_batch]
                 del self._queue[: len(batch)]
-            if batch:
-                self._process(batch)
+            dispatched = self._dispatch(batch) if batch else []
+            for pend, reqs in pending:
+                self._resolve(pend, reqs)
+            pending = dispatched
 
-    def _process(self, batch: list[_Request]):
-        # group by (text-length bucket, total_step, speed) so every group is
-        # one compiled shape
+    def _dispatch(self, batch: list[_Request]) -> list[tuple]:
+        """Group a batch by compiled shape and dispatch every group without
+        waiting. Returns [(PendingBatch, requests)] to resolve later."""
         ladder = self.engine.cfg.runtime.text_buckets
         groups: dict[tuple, list[_Request]] = {}
         for r in batch:
             key = (pick_bucket(r.norm_len, ladder), r.total_step, r.speed)
             groups.setdefault(key, []).append(r)
+        out = []
         for (_, total_step, speed), reqs in groups.items():
             try:
                 style = VoiceStyle(
                     np.concatenate([r.style.ttl for r in reqs]),
                     np.concatenate([r.style.dp for r in reqs]),
                 )
-                # compute stays on this thread (keeps dispatch order);
-                # the waveform stays on device and the transfer+trim run on
-                # the egress pool, overlapping the next group's compute
-                wav_dev, dur = self.engine.infer_batch(
+                pend = self.engine.infer_batch_begin(
                     [r.text for r in reqs], [r.lang for r in reqs],
                     style, total_step, speed, device_output=True,
                 )
-                self.stats["batches"] += 1
-                self.stats["batched_requests"] += len(reqs)
-
-                def egress(reqs=reqs, wav_dev=wav_dev, dur=dur):
-                    try:
-                        # transfer only samples that exist: bucket padding
-                        # beyond the longest utterance is garbage bytes on
-                        # the device->host link. Quantized to 16-latent-frame
-                        # steps so slice widths come from a small lattice
-                        # (each width is its own compiled program).
-                        sr = self.engine.cfg.sample_rate
-                        q = self.engine.cfg.chunk_size * 16
-                        n_max = min(wav_dev.shape[1], quantize_up(
-                            int(float(dur.max()) * sr) + 1, q))
-                        with self.engine.profiler.stage("egress"):
-                            wav = self.engine.to_host(wav_dev[:, :n_max])
-                        trimmed = self.engine.trim(wav, dur)
-                        done = time.perf_counter()
-                        prof = self.engine.profiler
-                        for r, w, d in zip(reqs, trimmed, dur):
-                            # end-to-end latency: submit -> audio on host
-                            # (engine recorded batch throughput at dispatch)
-                            prof.record_request_latency(done - r.t_submit)
-                            r.future.set_result((w, float(d)))
-                    except Exception as e:  # pragma: no cover
-                        for r in reqs:
-                            if not r.future.done():
-                                r.future.set_exception(e)
-
-                self._egress.submit(egress)
+                out.append((pend, reqs))
             except Exception as e:  # pragma: no cover
                 for r in reqs:
                     if not r.future.done():
                         r.future.set_exception(e)
+        return out
+
+    def _resolve(self, pend, reqs: list[_Request]):
+        try:
+            # resolution stays on this thread (keeps dispatch order); the
+            # waveform stays on device and the transfer+trim run on the
+            # egress pool, overlapping the next group's compute
+            wav_dev, dur = self.engine.infer_batch_end(pend)
+            self.stats["batches"] += 1
+            self.stats["batched_requests"] += len(reqs)
+
+            def egress(reqs=reqs, wav_dev=wav_dev, dur=dur):
+                try:
+                    # transfer only samples that exist: bucket padding
+                    # beyond the longest utterance is garbage bytes on
+                    # the device->host link. Quantized to 16-latent-frame
+                    # steps so slice widths come from a small lattice
+                    # (each width is its own compiled program).
+                    sr = self.engine.cfg.sample_rate
+                    q = self.engine.cfg.chunk_size * 16
+                    n_max = min(wav_dev.shape[1], quantize_up(
+                        int(float(dur.max()) * sr) + 1, q))
+                    with self.engine.profiler.stage("egress"):
+                        wav = self.engine.to_host(wav_dev[:, :n_max])
+                    trimmed = self.engine.trim(wav, dur)
+                    done = time.perf_counter()
+                    prof = self.engine.profiler
+                    for r, w, d in zip(reqs, trimmed, dur):
+                        # end-to-end latency: submit -> audio on host
+                        # (engine recorded batch throughput at dispatch)
+                        prof.record_request_latency(done - r.t_submit)
+                        r.future.set_result((w, float(d)))
+                except Exception as e:  # pragma: no cover
+                    for r in reqs:
+                        if not r.future.done():
+                            r.future.set_exception(e)
+
+            self._egress.submit(egress)
+        except Exception as e:  # pragma: no cover
+            for r in reqs:
+                if not r.future.done():
+                    r.future.set_exception(e)
