@@ -39,12 +39,48 @@ class TTS:
             # reference py/example_pypi.py:3-4: TTS(auto_download=True)
             # pulls Supertone/supertonic-2 (~260 MB) from Hugging Face.
             assets_dir = self._auto_download(assets_dir)
-        self.assets = load_assets(assets_dir, seed=seed)
+        graphs_dir = self._find_graphs(assets_dir)
+        self.assets = load_assets(assets_dir, seed=seed,
+                                  init_params=graphs_dir is None)
         self.cfg = self.assets.cfg
-        self.engine = SynthesisEngine(
-            self.assets.params, self.cfg, self.assets.processor,
-            precision=precision, seed=seed, egress_format=egress_format,
-        )
+        if graphs_dir is not None:
+            # the bundle holds the four REAL reference graphs but no
+            # converted params.npz: serve THROUGH the generic ONNX graph
+            # executor rather than silently substituting random-init native
+            # weights. Run tools/convert_onnx.py to graduate to the fused
+            # native engine.
+            from .assets import load_onnx_pipeline
+            from .engine.onnx_adapter import OnnxEngineAdapter
+            from .utils.logging import default_logger as log
+
+            pipeline = load_onnx_pipeline(graphs_dir, seed=seed,
+                                          bucketed=True)
+            self.engine = OnnxEngineAdapter(pipeline, self.cfg)
+            log.info("serving_onnx_executor_backend", dir=graphs_dir)
+        else:
+            self.engine = SynthesisEngine(
+                self.assets.params, self.cfg, self.assets.processor,
+                precision=precision, seed=seed, egress_format=egress_format,
+            )
+
+    @staticmethod
+    def _find_graphs(assets_dir: str | None) -> str | None:
+        """Directory holding the four reference graphs, when the bundle has
+        them but no converted params.npz (fetched-but-unconverted assets)."""
+        import os
+
+        if not assets_dir:
+            return None
+        if os.path.exists(os.path.join(assets_dir, "params.npz")):
+            return None
+        graph_names = ("duration_predictor", "text_encoder",
+                       "vector_estimator", "vocoder")
+        for sub in ("", "onnx"):
+            d = os.path.join(assets_dir, sub) if sub else assets_dir
+            if all(os.path.exists(os.path.join(d, f"{g}.onnx"))
+                   for g in graph_names):
+                return d
+        return None
 
     @staticmethod
     def _auto_download(assets_dir: str | None) -> str:

@@ -177,9 +177,12 @@ def save_assets(dirpath: str, cfg: TTSConfig, params: Any,
         save_voice_style(os.path.join(sd, f"{name}.json"), st)
 
 
-def load_assets(dirpath: str | None = None, *, seed: int = 0) -> Assets:
+def load_assets(dirpath: str | None = None, *, seed: int = 0,
+                init_params: bool = True) -> Assets:
     """Load the asset bundle; any missing piece falls back to deterministic
-    defaults (random-init params, built-in indexer, synthetic styles)."""
+    defaults (random-init params, built-in indexer, synthetic styles).
+    ``init_params=False`` skips the random-init fallback (callers that will
+    serve through the ONNX graph-executor backend never touch params)."""
     cfg = TTSConfig()
     params = None
     indexer = None
@@ -204,7 +207,7 @@ def load_assets(dirpath: str | None = None, *, seed: int = 0) -> Assets:
         sd = os.path.join(dirpath, "voice_styles")
         if os.path.isdir(sd):
             style_dir = sd
-    if params is None:
+    if params is None and init_params:
         params = init_all(seed, cfg)
     if indexer is None:
         indexer = build_default_indexer()
