@@ -86,20 +86,33 @@ def main() -> None:
 
     best = None
     batch_cases = ((64, 5),) if quick else ((32, 5), (64, 5), (64, 2))
-    for b, steps in batch_cases:
-        tp = bench_batch_throughput(engine, style, MID_TEXT, batch=b,
-                                    total_step=steps, iters=iters)
-        report[f"batch{b}_{steps}step"] = tp
-        print(f"# batch{b} {steps}-step: "
-              f"{tp['audio_sec_per_sec_per_chip']:.1f} "
-              f"audio-sec/s/chip ({tp['aggregate_realtime_x']:.0f}x realtime, "
-              f"egress {tp['egress_s_per_batch']:.2f}s)", file=sys.stderr)
-        # primary metric stays the default operating point (5 steps)
-        if steps == 5 and (
-            best is None
-            or tp["audio_sec_per_sec_per_chip"] > best["audio_sec_per_sec_per_chip"]
-        ):
-            best = tp
+    # TTS_TRACE_DIR=/path captures a jax.profiler device trace (xplane)
+    # of the batch sweep for TensorBoard/XProf analysis
+    import contextlib
+
+    trace_dir = os.getenv("TTS_TRACE_DIR")
+    if trace_dir:
+        from supertonic_tpu.utils.timing import device_trace
+        trace_ctx = device_trace(trace_dir)
+    else:
+        trace_ctx = contextlib.nullcontext()
+    with trace_ctx:
+        for b, steps in batch_cases:
+            tp = bench_batch_throughput(engine, style, MID_TEXT, batch=b,
+                                        total_step=steps, iters=iters)
+            report[f"batch{b}_{steps}step"] = tp
+            print(f"# batch{b} {steps}-step: "
+                  f"{tp['audio_sec_per_sec_per_chip']:.1f} "
+                  f"audio-sec/s/chip ({tp['aggregate_realtime_x']:.0f}x "
+                  f"realtime, egress {tp['egress_s_per_batch']:.2f}s)",
+                  file=sys.stderr)
+            # primary metric stays the default operating point (5 steps)
+            if steps == 5 and (
+                best is None
+                or tp["audio_sec_per_sec_per_chip"]
+                > best["audio_sec_per_sec_per_chip"]
+            ):
+                best = tp
     tp = best
 
     with open("bench_report.json", "w") as f:

@@ -39,10 +39,8 @@ class TTS:
             # reference py/example_pypi.py:3-4: TTS(auto_download=True)
             # pulls Supertone/supertonic-2 (~260 MB) from Hugging Face.
             assets_dir = self._auto_download(assets_dir)
+        pipeline = None
         graphs_dir = self._find_graphs(assets_dir)
-        self.assets = load_assets(assets_dir, seed=seed,
-                                  init_params=graphs_dir is None)
-        self.cfg = self.assets.cfg
         if graphs_dir is not None:
             # the bundle holds the four REAL reference graphs but no
             # converted params.npz: serve THROUGH the generic ONNX graph
@@ -50,11 +48,23 @@ class TTS:
             # weights. Run tools/convert_onnx.py to graduate to the fused
             # native engine.
             from .assets import load_onnx_pipeline
+            from .utils.logging import default_logger as log
+
+            try:
+                pipeline = load_onnx_pipeline(graphs_dir, seed=seed,
+                                              bucketed=True)
+            except (OSError, ValueError, KeyError) as e:
+                # unreadable/corrupt graphs (e.g. an interrupted fetch):
+                # fall back to the native engine rather than failing startup
+                log.warning("onnx_backend_unloadable", dir=graphs_dir,
+                            error=f"{type(e).__name__}: {e}")
+        self.assets = load_assets(assets_dir, seed=seed,
+                                  init_params=pipeline is None)
+        self.cfg = self.assets.cfg
+        if pipeline is not None:
             from .engine.onnx_adapter import OnnxEngineAdapter
             from .utils.logging import default_logger as log
 
-            pipeline = load_onnx_pipeline(graphs_dir, seed=seed,
-                                          bucketed=True)
             self.engine = OnnxEngineAdapter(pipeline, self.cfg)
             log.info("serving_onnx_executor_backend", dir=graphs_dir)
         else:

@@ -105,6 +105,7 @@ class OnnxPipeline:
         total_step: int,
         speed: float = 1.05,
         noise: np.ndarray | None = None,
+        progress_callback=None,
     ) -> tuple[np.ndarray, np.ndarray]:
         assert len(text_list) == style.ttl.shape[0], (
             "Number of texts must match number of style vectors"
@@ -142,6 +143,11 @@ class OnnxPipeline:
                 "current_step": np.full((bsz,), step, np.float32),
                 "total_step": total_step_np,
             })
+            if progress_callback is not None:
+                # per-denoise-step progress (reference web port semantics,
+                # web/helper.js:215-218); xt is already a host array, so the
+                # step has truly COMPLETED when this fires
+                progress_callback(step + 1, total_step)
         (wav,) = self.vocoder.run(None, {"latent": xt})
         wav = np.asarray(wav)
         if self.latent_buckets:

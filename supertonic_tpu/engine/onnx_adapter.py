@@ -123,6 +123,16 @@ class OnnxEngineAdapter:
             for w, d in zip(self.trim(wavs, durs), durs):
                 yield w, float(d)
 
+    def infer_with_progress(self, text, lang, style, total_step: int = 5,
+                            speed: float = 1.05, progress_callback=None):
+        """Single-utterance synthesis with a per-denoise-step callback
+        (reference web port behavior) — the executor pipeline runs its Euler
+        loop step-at-a-time on the host anyway, so this costs nothing."""
+        assert style.batch == 1
+        return self.pipeline._infer(
+            [text], [lang], style, total_step, speed,
+            progress_callback=progress_callback)
+
     def warmup(self, *, total_steps=(2, 5), progress=None, **_kw) -> int:
         """Pre-compile the executor programs for the smallest bucket."""
         style = self._default_style()

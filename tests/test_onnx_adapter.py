@@ -54,6 +54,16 @@ def test_batch_and_stream_via_adapter(tts_onnx):
         assert len(w) == int(tts_onnx.sample_rate * d) or len(w) > 0
 
 
+def test_progress_callback_via_adapter(tts_onnx):
+    style = tts_onnx.get_voice_style("M1")
+    seen = []
+    wav, dur = tts_onnx.engine.infer_with_progress(
+        "Progress check.", "en", style, total_step=3,
+        progress_callback=lambda s, t: seen.append((s, t)))
+    assert seen == [(1, 3), (2, 3), (3, 3)]
+    assert wav.shape[0] == 1 and float(dur[0]) > 0
+
+
 def test_injected_noise_path(tts_onnx):
     """Parity-harness surface: identical injected noise -> identical audio."""
     style = tts_onnx.get_voice_style("M1")
