@@ -39,35 +39,63 @@ class TTS:
             # reference py/example_pypi.py:3-4: TTS(auto_download=True)
             # pulls Supertone/supertonic-2 (~260 MB) from Hugging Face.
             assets_dir = self._auto_download(assets_dir)
-        pipeline = None
+        import os
+
         graphs_dir = self._find_graphs(assets_dir)
+        if graphs_dir is not None and graphs_dir != assets_dir and \
+                os.path.exists(os.path.join(graphs_dir, "tts.json")):
+            # un-flattened bundle (assets/onnx/*): cfg + indexer live next to
+            # the graphs
+            assets_dir = graphs_dir
+        self.assets = load_assets(assets_dir, seed=seed,
+                                  init_params=graphs_dir is None)
+        self.cfg = self.assets.cfg
+        self.engine = None
         if graphs_dir is not None:
             # the bundle holds the four REAL reference graphs but no
             # converted params.npz: serve THROUGH the generic ONNX graph
             # executor rather than silently substituting random-init native
-            # weights. Run tools/convert_onnx.py to graduate to the fused
-            # native engine.
-            from .assets import load_onnx_pipeline
+            # weights. Default is the FUSED executor backend — the four
+            # graphs composed into single XLA programs under the full
+            # SynthesisEngine (buckets, learned rate, pipelined dispatch);
+            # TTS_ONNX_FUSED=0 selects the reference-orchestration adapter
+            # (one dispatch per graph call, per-step host loop) instead.
+            # Run tools/convert_onnx.py to graduate to the native engine.
             from .utils.logging import default_logger as log
 
+            fused = os.environ.get("TTS_ONNX_FUSED", "1") != "0"
             try:
-                pipeline = load_onnx_pipeline(graphs_dir, seed=seed,
-                                              bucketed=True)
+                if fused:
+                    from .assets import load_onnx_backend
+
+                    mp = ("float32" if (precision or self.cfg.runtime.precision)
+                          == "f32" else "default")
+                    backend = load_onnx_backend(graphs_dir, self.cfg,
+                                                matmul_precision=mp)
+                    self.engine = SynthesisEngine(
+                        backend.params, self.cfg, self.assets.processor,
+                        precision=precision, seed=seed,
+                        egress_format=egress_format, backend=backend,
+                    )
+                    log.info("serving_onnx_fused_backend", dir=graphs_dir)
+                else:
+                    from .assets import load_onnx_pipeline
+                    from .engine.onnx_adapter import OnnxEngineAdapter
+
+                    pipeline = load_onnx_pipeline(graphs_dir, seed=seed,
+                                                  bucketed=True)
+                    self.engine = OnnxEngineAdapter(pipeline, self.cfg)
+                    log.info("serving_onnx_executor_backend", dir=graphs_dir)
             except (OSError, ValueError, KeyError) as e:
                 # unreadable/corrupt graphs (e.g. an interrupted fetch):
                 # fall back to the native engine rather than failing startup
                 log.warning("onnx_backend_unloadable", dir=graphs_dir,
                             error=f"{type(e).__name__}: {e}")
-        self.assets = load_assets(assets_dir, seed=seed,
-                                  init_params=pipeline is None)
-        self.cfg = self.assets.cfg
-        if pipeline is not None:
-            from .engine.onnx_adapter import OnnxEngineAdapter
-            from .utils.logging import default_logger as log
+        if self.engine is None:
+            if self.assets.params is None:  # graph load failed above
+                from .models import init_all
 
-            self.engine = OnnxEngineAdapter(pipeline, self.cfg)
-            log.info("serving_onnx_executor_backend", dir=graphs_dir)
-        else:
+                self.assets.params = init_all(seed, self.cfg)
             self.engine = SynthesisEngine(
                 self.assets.params, self.cfg, self.assets.processor,
                 precision=precision, seed=seed, egress_format=egress_format,

@@ -1,3 +1,4 @@
+from .onnx_backend import OnnxStageBackend, load_onnx_backend
 from .onnx_exec import OnnxExecutor, OnnxSession, load_session
 from .onnx_pipeline import OnnxPipeline, load_onnx_pipeline
 from .store import (
@@ -18,6 +19,8 @@ __all__ = [
     "OnnxExecutor",
     "OnnxPipeline",
     "OnnxSession",
+    "OnnxStageBackend",
+    "load_onnx_backend",
     "load_onnx_pipeline",
     "load_session",
     "flatten_tree",

@@ -1,0 +1,197 @@
+"""Fused SynthesisEngine backend over the generic ONNX-graph executor.
+
+``OnnxEngineAdapter`` (engine/onnx_adapter.py) serves the four REAL
+reference graphs with reference-identical orchestration: one dispatch per
+graph call, 3 + total_step host round-trips per batch — exactly the cost
+profile the reference pays per ORT call (py/helper.py:177-215). This module
+is the TPU-native fast path for the same graphs: the four executors'
+*traced* bodies are composed into the engine's stage programs
+
+  text_fn      duration_predictor + text_encoder        (one program)
+  acoustic_fn  lax.fori_loop(vector_estimator) + vocoder (one program)
+  fused_fn     all four + on-device noise + egress quantize (ONE program)
+
+so a ``SynthesisEngine(..., backend=OnnxStageBackend(...))`` runs real
+graphs with ZERO mid-pipeline host syncs and inherits everything the native
+engine has: (B, L, T) bucket ladders, the learned speaking-rate latent
+estimate, the device-resident style cache, sliced egress, begin/end
+dispatch pipelining, the continuous batcher, and /metrics. Weight mapping
+is still not required — real-weight serving at fused-path dispatch cost is
+a data drop (SURVEY.md §2.2 contract; VERDICT r1 item 1).
+
+Layouts: the engine speaks channel-last ([B, T, C] latents, [B, L] masks);
+the graphs speak the reference's channel-first contract ([B, C, T],
+[B, 1, L]) — conversion happens inside the traced programs where it is a
+free relayout for XLA, not a host copy.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TTSConfig
+from .onnx_exec import OnnxExecutor
+from .onnx_reader import load_onnx
+
+__all__ = ["OnnxStageBackend", "load_onnx_backend"]
+
+# §2.2 I/O contract (reference cpp/helper.cpp:512-664, go/helper.go:873-892)
+_CONTRACT = {
+    "duration_predictor": ("text_ids", "style_dp", "text_mask"),
+    "text_encoder": ("text_ids", "style_ttl", "text_mask"),
+    "vector_estimator": ("noisy_latent", "text_emb", "style_ttl", "text_mask",
+                         "latent_mask", "current_step", "total_step"),
+    "vocoder": ("latent",),
+}
+
+
+def _caller(name: str, exe: OnnxExecutor) -> Callable:
+    """Name-keyed invocation of an executor's traced body (feed order is
+    whatever the graph declares; the contract only fixes the name set)."""
+    declared = set(exe.input_names)
+    expected = set(_CONTRACT[name])
+    if declared != expected:
+        raise ValueError(
+            f"{name}.onnx inputs {sorted(declared)} do not match the "
+            f"reference contract {sorted(expected)} (SURVEY.md §2.2)"
+        )
+
+    def call(weights: dict, **by_name):
+        return exe._run_traced(
+            weights, tuple(by_name[n] for n in exe.input_names)
+        )
+
+    return call
+
+
+class OnnxStageBackend:
+    """Engine stage programs composed from four ONNX-graph executors.
+
+    ``params`` is the pytree the engine passes back into every stage call
+    (weights stay jit *arguments* — never closed over, per CLAUDE.md).
+    """
+
+    def __init__(self, execs: dict[str, OnnxExecutor], cfg: TTSConfig):
+        self.cfg = cfg
+        self.execs = execs
+        self.params = {name: dict(exe._weights) for name, exe in execs.items()}
+        self._call = {name: _caller(name, exe) for name, exe in execs.items()}
+        self.text_fn = jax.jit(self._text_stage)
+        self.acoustic_fn = jax.jit(self._acoustic_stage, static_argnums=(6,))
+        self.fused_fn = jax.jit(self._fused, static_argnums=(7, 8, 9))
+
+    # -- traced stage bodies (engine-facing signatures match synthesis.py) --
+
+    def _text_stage(self, params, ids, mask, sdp, sttl, speed):
+        mask3 = mask[:, None, :].astype(jnp.float32)
+        (dur,) = self._call["duration_predictor"](
+            params["duration_predictor"],
+            text_ids=ids, style_dp=sdp, text_mask=mask3,
+        )
+        dur = dur.astype(jnp.float32) / speed
+        (emb,) = self._call["text_encoder"](
+            params["text_encoder"],
+            text_ids=ids, style_ttl=sttl, text_mask=mask3,
+        )
+        return dur, emb
+
+    def _acoustic_stage(self, params, emb, sttl, tmask, lmask, noise,
+                        total_step: int):
+        b = lmask.shape[0]
+        tmask3 = tmask[:, None, :].astype(jnp.float32)
+        lmask3 = lmask[:, None, :].astype(jnp.float32)
+        # engine noise is channel-last [B, T, C]; graphs take [B, C, T]
+        x0 = jnp.transpose(
+            noise.astype(jnp.float32) * lmask[:, :, None], (0, 2, 1)
+        )
+        tot = jnp.full((b,), float(total_step), jnp.float32)
+
+        def body(step, x):
+            cur = jnp.full((b,), 1.0, jnp.float32) * step
+            (x2,) = self._call["vector_estimator"](
+                params["vector_estimator"],
+                noisy_latent=x, text_emb=emb, style_ttl=sttl,
+                text_mask=tmask3, latent_mask=lmask3,
+                current_step=cur, total_step=tot,
+            )
+            return x2.astype(x.dtype)
+
+        xt = jax.lax.fori_loop(0, total_step, body, x0)
+        (wav,) = self._call["vocoder"](params["vocoder"], latent=xt)
+        # contract: wav [B, T*chunk] (§2.2 padded output) — normalize width
+        # defensively so the engine's egress slicing math always holds
+        want = lmask.shape[1] * self.cfg.chunk_size
+        if wav.shape[1] < want:
+            wav = jnp.pad(wav, ((0, 0), (0, want - wav.shape[1])))
+        elif wav.shape[1] > want:
+            wav = wav[:, :want]
+        return wav.astype(jnp.float32)
+
+    def _fused(self, params, ids, mask, sdp, sttl, key, speed,
+               total_step: int, t_pad: int, egress: str):
+        from ..engine import synthesis as S
+
+        dur, emb = self._text_stage(params, ids, mask, sdp, sttl, speed)
+        chunk = self.cfg.chunk_size
+        latent_len = jnp.minimum(
+            jnp.ceil(dur * self.cfg.sample_rate / chunk), float(t_pad)
+        )
+        frame_idx = jnp.arange(t_pad, dtype=jnp.float32)[None, :]
+        lmask = (frame_idx < latent_len[:, None]).astype(jnp.float32)
+        b = ids.shape[0]
+        noise = jax.random.normal(
+            key, (b, t_pad, self.cfg.latent_channels), jnp.float32)
+        wav = self._acoustic_stage(params, emb, sttl, mask, lmask, noise,
+                                   total_step)
+        if egress == "int16":
+            wav = jnp.clip(wav * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
+        elif egress == "mulaw":
+            wav = S._mulaw_encode(wav)
+        return wav, dur
+
+    # -- step-at-a-time programs for engine.infer_with_progress ------------
+
+    def progress_fns(self):
+        """(cross_fn|None, step_fn, vocoder_fn): no cross-attention cache is
+        extractable from an opaque graph, so cross_fn is None and each step
+        re-runs the full estimator graph (still one dispatch per step, like
+        the reference's per-step ORT call)."""
+
+        def _step(params, x, emb, sttl, tmask, lmask, cur, tot, cache=None):
+            del cache
+            tmask3 = tmask[:, None, :].astype(jnp.float32)
+            lmask3 = lmask[:, None, :].astype(jnp.float32)
+            (x2,) = self._call["vector_estimator"](
+                params["vector_estimator"],
+                noisy_latent=jnp.transpose(x, (0, 2, 1)), text_emb=emb,
+                style_ttl=sttl, text_mask=tmask3, latent_mask=lmask3,
+                current_step=cur, total_step=tot,
+            )
+            return jnp.transpose(x2, (0, 2, 1)).astype(x.dtype)
+
+        def _voc(params, x):
+            (wav,) = self._call["vocoder"](
+                params["vocoder"], latent=jnp.transpose(x, (0, 2, 1)))
+            return wav.astype(jnp.float32)
+
+        return None, jax.jit(_step), jax.jit(_voc)
+
+
+def load_onnx_backend(onnx_dir: str, cfg: TTSConfig, *,
+                      matmul_precision: str = "default") -> OnnxStageBackend:
+    """Build the fused stage backend from a directory holding the four
+    reference graphs (reference py/helper.py:289-306 layout).
+
+    ``matmul_precision``: "float32" for ORT-parity-strict matmuls (SURVEY.md
+    §7.3 hard part 2), "default" for the bf16-pass TPU fast path.
+    """
+    execs = {}
+    for name in _CONTRACT:
+        path = os.path.join(onnx_dir, f"{name}.onnx")
+        execs[name] = OnnxExecutor(load_onnx(path),
+                                   matmul_precision=matmul_precision)
+    return OnnxStageBackend(execs, cfg)

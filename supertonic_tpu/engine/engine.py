@@ -104,21 +104,34 @@ class SynthesisEngine:
         egress_format: str = "int16",
         mesh=None,
         fused_ffn: bool = False,
+        backend=None,
     ):
         """``mesh``: optional jax.sharding.Mesh (axes 'data'/'model', see
         parallel.make_mesh). Params are placed with TP shardings (replicated
         when model=1) and every batch is sharded over the data axis; GSPMD
-        compiles the collectives. Without a mesh, single-device jit."""
+        compiles the collectives. Without a mesh, single-device jit.
+
+        ``backend``: optional stage-program provider (text_fn / acoustic_fn /
+        fused_fn with the synthesis.py signatures) replacing the native
+        models — e.g. assets.onnx_backend.OnnxStageBackend, which composes
+        the four REAL reference graphs into the same fused programs. All
+        engine machinery (buckets, learned rate, style cache, pipelined
+        dispatch, batcher) applies unchanged; ``params`` should then be
+        ``backend.params``."""
         self.cfg = cfg
         self.processor = processor
         self.precision = precision or cfg.runtime.precision
         self.attn_fn = attn_fn or L.attention_core
         self.mesh = mesh
+        self.backend = backend
+        if backend is not None and params is None:
+            params = backend.params
         # NOTE: models.fuse_projections (merged QKV/KV matmuls) was measured
         # 2x SLOWER end-to-end on TPU — splitting the fused output
         # materializes [B,T,3D] and defeats XLA's consumer fusion of the
         # separate projections. The engine deliberately keeps params unfused.
-        if self.precision == "int8" and not _tree_has_key(params, "w_q"):
+        if (backend is None and self.precision == "int8"
+                and not _tree_has_key(params, "w_q")):
             from ..models import quantize_params
 
             params = quantize_params(params)
@@ -133,17 +146,22 @@ class SynthesisEngine:
         self.profiler = StageProfiler()
         self.egress_format = egress_format
         self._key = jax.random.key(seed)
-        self._text_fn = synthesis.jit_text_stage(
-            cfg, precision=self.precision, attn_fn=self.attn_fn
-        )
-        self._acoustic_fn = synthesis.jit_acoustic_stage(
-            cfg, precision=self.precision, attn_fn=self.attn_fn,
-            fused_ffn=fused_ffn,
-        )
-        self._fused_fn = synthesis.jit_synthesize_fused(
-            cfg, precision=self.precision, attn_fn=self.attn_fn,
-            fused_ffn=fused_ffn,
-        )
+        if backend is not None:
+            self._text_fn = backend.text_fn
+            self._acoustic_fn = backend.acoustic_fn
+            self._fused_fn = backend.fused_fn
+        else:
+            self._text_fn = synthesis.jit_text_stage(
+                cfg, precision=self.precision, attn_fn=self.attn_fn
+            )
+            self._acoustic_fn = synthesis.jit_acoustic_stage(
+                cfg, precision=self.precision, attn_fn=self.attn_fn,
+                fused_ffn=fused_ffn,
+            )
+            self._fused_fn = synthesis.jit_synthesize_fused(
+                cfg, precision=self.precision, attn_fn=self.attn_fn,
+                fused_ffn=fused_ffn,
+            )
         # host-side latent-bucket heuristic: the engine LEARNS the model's
         # observed seconds-per-char so padded latent length tracks reality
         # instead of a conservative constant — overpadding directly
@@ -621,6 +639,12 @@ class SynthesisEngine:
         than the fused path (one dispatch per step) — use for interactive
         UIs, not serving."""
         assert style.batch == 1
+        if not hasattr(self, "_step_fn") and self.backend is not None:
+            # backend-provided step programs (cross-attention cache is
+            # backend-specific; None means "no cache")
+            self._cross_fn, self._step_fn, self._vocoder_fn = (
+                self.backend.progress_fns()
+            )
         if not hasattr(self, "_step_fn"):
             from ..models import vector_estimator, vocoder as _vocoder
 
@@ -674,7 +698,8 @@ class SynthesisEngine:
         tmask = jnp.asarray(mask, jnp.float32)
         lmask_dev = jnp.asarray(lmask)
         tot = jnp.full((1,), float(total_step), jnp.float32)
-        cache = self._cross_fn(self.params, emb, sttl, tmask)
+        cache = (self._cross_fn(self.params, emb, sttl, tmask)
+                 if self._cross_fn is not None else None)
         for step in range(total_step):
             xt = self._step_fn(
                 self.params, xt, emb, sttl, tmask, lmask_dev,

@@ -22,7 +22,16 @@ from supertonic_tpu.utils import read_wav
 
 @pytest.fixture(scope="module")
 def tts_onnx(onnx_dir):  # noqa: F811
-    return TTS(onnx_dir)
+    # this module tests the reference-orchestration ADAPTER specifically;
+    # the default for graph bundles is the fused engine backend
+    # (tests/test_onnx_backend.py)
+    import os
+
+    os.environ["TTS_ONNX_FUSED"] = "0"
+    try:
+        return TTS(onnx_dir)
+    finally:
+        del os.environ["TTS_ONNX_FUSED"]
 
 
 def test_tts_selects_executor_backend(tts_onnx):
