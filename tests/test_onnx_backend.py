@@ -140,6 +140,38 @@ def test_tts_selects_fused_backend(onnx_dir, monkeypatch):  # noqa: F811
     assert isinstance(tts2.engine, OnnxEngineAdapter)
 
 
+def test_backend_mesh_matches_single_device(onnx_dir):  # noqa: F811
+    """Real-graph serving scales data-parallel: the fused executor programs
+    under an 8-device mesh (weights replicated — unknown param names get
+    P() from param_pspecs; batches sharded over 'data') must match
+    single-device output exactly."""
+    from supertonic_tpu.parallel import make_mesh
+
+    cfg = load_tts_json(os.path.join(onnx_dir, "tts.json"))
+    with open(os.path.join(onnx_dir, "unicode_indexer.json")) as f:
+        processor = UnicodeProcessor(np.asarray(json.load(f), np.int64))
+    backend = load_onnx_backend(onnx_dir, cfg, matmul_precision="float32")
+
+    single = SynthesisEngine(backend.params, cfg, processor, precision="f32",
+                             seed=3, egress_format="f32", backend=backend)
+    sharded = SynthesisEngine(backend.params, cfg, processor, precision="f32",
+                              seed=3, egress_format="f32", backend=backend,
+                              mesh=make_mesh(8))
+    # pin both engines to the same latent-bucket prior (the learned-rate
+    # disk cache would otherwise steer them to different noise grids)
+    for e in (single, sharded):
+        e._spc_window.clear()
+        e._spc_prior = 1.0 / 11.0
+
+    texts = [f"Mesh utterance number {i}." for i in range(8)]
+    rng = np.random.default_rng(13)
+    style = _style(rng, b=8)
+    w1, d1 = single.batch(texts, ["en"] * 8, style, total_step=2)
+    w2, d2 = sharded.batch(texts, ["en"] * 8, style, total_step=2)
+    np.testing.assert_allclose(d1, d2, atol=1e-6)
+    np.testing.assert_allclose(w1, w2, atol=3e-5)
+
+
 def test_backend_contract_name_mismatch_raises(onnx_dir, tmp_path):  # noqa: F811
     """A graph whose inputs deviate from the §2.2 name contract is rejected
     loudly at load (not with a cryptic trace error later)."""
