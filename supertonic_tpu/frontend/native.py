@@ -52,6 +52,10 @@ def load_native():
     if path is None:
         return None
     lib = ctypes.CDLL(path)
+    if not hasattr(lib, "stpu_chunk_text"):  # stale pre-v2 .so: rebuild
+        if build_native(force=True) is None:
+            return None
+        lib = ctypes.CDLL(_LIB_PATH)
     lib.stpu_preprocess.restype = ctypes.c_int
     lib.stpu_preprocess.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
@@ -62,6 +66,15 @@ def load_native():
         ctypes.POINTER(ctypes.c_longlong),
         ctypes.c_long,
         ctypes.POINTER(ctypes.c_longlong),
+        ctypes.c_long,
+    ]
+    lib.stpu_chunk_text.restype = ctypes.c_long
+    lib.stpu_chunk_text.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long),
         ctypes.c_long,
     ]
     _lib = lib
@@ -81,6 +94,27 @@ def native_preprocess(text: str, lang: str) -> str:
     if n < 0:
         raise RuntimeError(f"native preprocess error {n}")
     return buf.raw[:n].decode("utf-8")
+
+
+def native_chunk_text(text: str, max_len: int = 300) -> list[str]:
+    """Long-form chunking in C++ (char-exact twin of chunker.chunk_text;
+    the reference's C++ port also chunks natively, cpp/helper.cpp:1117).
+    Raises RuntimeError when the native library is unavailable."""
+    lib = load_native()
+    if lib is None:
+        raise RuntimeError("native frontend unavailable")
+    raw = text.encode("utf-8")
+    out_cap = len(raw) + 64
+    # worst case one chunk per codepoint (pathological max_len=1 inputs)
+    off_cap = len(text) + 2
+    out = ctypes.create_string_buffer(out_cap)
+    offsets = (ctypes.c_long * off_cap)()
+    n = lib.stpu_chunk_text(raw, max_len, out, out_cap, offsets, off_cap)
+    if n < 0:
+        raise RuntimeError(f"native chunk_text error {n}")
+    data = out.raw
+    return [data[offsets[k]: offsets[k + 1]].decode("utf-8")
+            for k in range(n)]
 
 
 class NativeUnicodeProcessor:

@@ -304,6 +304,199 @@ bool ValidLang(const std::string& lang) {
          lang == "fr";
 }
 
+// ---------------------------------------------------------------- chunker ---
+// Character-exact C++ twin of the Python chunker
+// (supertonic_tpu/frontend/chunker.py, differential-tested against reference
+// py/helper.py:388-429 + the Rust port's oversize fallbacks,
+// rust/src/helper.rs:330-450). The reference C++ port chunks natively too
+// (cpp/helper.cpp:1117); here it keeps per-host feeders GIL-free end-to-end.
+// All lengths are CODEPOINT counts (Python len), not bytes.
+
+bool InRanges(uint32_t cp, const CpRange* table, int n) {
+  int lo = 0, hi = n - 1;
+  while (lo <= hi) {
+    int mid = (lo + hi) / 2;
+    if (cp < table[mid].lo)
+      hi = mid - 1;
+    else if (cp >= table[mid].hi)
+      lo = mid + 1;
+    else
+      return true;
+  }
+  return false;
+}
+
+// Python str.isspace / str.isalnum (tables generated from the interpreter)
+bool IsPySpace(uint32_t cp) {
+  return InRanges(cp, kSpaceRanges, kSpaceRangesSize);
+}
+bool IsPyAlnum(uint32_t cp) {
+  return InRanges(cp, kAlnumRanges, kAlnumRangesSize);
+}
+
+u32string StripPy(const u32string& s) {
+  size_t b = 0, e = s.size();
+  while (b < e && IsPySpace(s[b])) ++b;
+  while (e > b && IsPySpace(s[e - 1])) --e;
+  return s.substr(b, e - b);
+}
+
+// paragraph split on r"\n\s*\n+": post-strip this is equivalent to
+// splitting at every whitespace run containing >= 2 newlines
+std::vector<u32string> SplitParagraphs(const u32string& text) {
+  std::vector<u32string> out;
+  size_t start = 0, i = 0;
+  const size_t n = text.size();
+  while (i < n) {
+    if (IsPySpace(text[i])) {
+      size_t j = i;
+      int newlines = 0;
+      while (j < n && IsPySpace(text[j])) {
+        if (text[j] == U'\n') ++newlines;
+        ++j;
+      }
+      if (newlines >= 2) {
+        out.push_back(text.substr(start, i - start));
+        start = j;
+      }
+      i = j;
+    } else {
+      ++i;
+    }
+  }
+  if (start < n) out.push_back(text.substr(start));
+  return out;
+}
+
+const char* kAbbreviations[] = {
+    "Mr.",  "Mrs.", "Ms.",  "Dr.",  "Prof.", "Sr.",  "Jr.",
+    "Ph.D.", "etc.", "e.g.", "i.e.", "vs.",  "Inc.", "Ltd.",
+    "Co.",  "Corp.", "St.",  "Ave.", "Blvd.",
+};
+
+bool EndsWithAscii(const u32string& s, const char* suffix) {
+  size_t m = std::strlen(suffix);
+  if (s.size() < m) return false;
+  for (size_t i = 0; i < m; ++i)
+    if (s[s.size() - m + i] != static_cast<uint32_t>(suffix[i])) return false;
+  return true;
+}
+
+// chunker.py _ends_with_abbreviation: known abbreviation, or a single
+// capital initial "F." with a word boundary before it (a preceding '.' IS a
+// boundary — "U.S. Government" must not split mid-acronym)
+bool EndsWithAbbreviation(const u32string& prefix) {
+  for (const char* a : kAbbreviations)
+    if (EndsWithAscii(prefix, a)) return true;
+  size_t n = prefix.size();
+  if (n >= 2 && prefix[n - 2] >= U'A' && prefix[n - 2] <= U'Z') {
+    if (n == 2) return true;
+    uint32_t before = prefix[n - 3];
+    if (!(IsPyAlnum(before) || before == U'_')) return true;
+  }
+  return false;
+}
+
+std::vector<u32string> SplitSentences(const u32string& para) {
+  std::vector<u32string> out;
+  size_t start = 0, i = 0;
+  const size_t n = para.size();
+  while (i < n) {
+    uint32_t ch = para[i];
+    if ((ch == U'.' || ch == U'!' || ch == U'?') && i + 1 < n &&
+        IsPySpace(para[i + 1])) {
+      if (ch != U'.' ||
+          !EndsWithAbbreviation(para.substr(start, i + 1 - start))) {
+        u32string s = StripPy(para.substr(start, i + 1 - start));
+        if (!s.empty()) out.push_back(s);
+        ++i;
+        while (i < n && IsPySpace(para[i])) ++i;
+        start = i;
+        continue;
+      }
+    }
+    ++i;
+  }
+  u32string tail = StripPy(para.substr(start));
+  if (!tail.empty()) out.push_back(tail);
+  return out;
+}
+
+// chunker.py _split_oversized: comma segments (trailing comma kept,
+// following whitespace consumed — re.split(r"(?<=,)\s*")), then words,
+// greedily re-packed
+std::vector<u32string> SplitOversized(const u32string& sentence,
+                                      size_t max_len) {
+  if (sentence.size() <= max_len) return {sentence};
+  std::vector<u32string> segments;
+  size_t start = 0, i = 0;
+  const size_t n = sentence.size();
+  while (i < n) {
+    if (sentence[i] == U',') {
+      segments.push_back(sentence.substr(start, i + 1 - start));
+      ++i;
+      while (i < n && IsPySpace(sentence[i])) ++i;
+      start = i;
+    } else {
+      ++i;
+    }
+  }
+  if (start < n) segments.push_back(sentence.substr(start));
+  std::vector<u32string> pieces;
+  for (const auto& seg : segments) {
+    if (seg.size() <= max_len) {
+      pieces.push_back(seg);
+    } else {  // word-level fallback (str.split on whitespace runs)
+      size_t b = 0;
+      while (b < seg.size()) {
+        while (b < seg.size() && IsPySpace(seg[b])) ++b;
+        size_t e = b;
+        while (e < seg.size() && !IsPySpace(seg[e])) ++e;
+        if (e > b) pieces.push_back(seg.substr(b, e - b));
+        b = e;
+      }
+    }
+  }
+  std::vector<u32string> parts;
+  u32string current;
+  for (const auto& piece : pieces) {
+    size_t cand = current.empty() ? piece.size()
+                                  : current.size() + 1 + piece.size();
+    if (cand <= max_len) {
+      if (!current.empty()) current.push_back(U' ');
+      current += piece;
+    } else {
+      if (!current.empty()) parts.push_back(current);
+      current = piece;
+    }
+  }
+  if (!current.empty()) parts.push_back(current);
+  if (parts.empty()) parts.push_back(sentence);
+  return parts;
+}
+
+std::vector<u32string> ChunkText(const u32string& raw, size_t max_len) {
+  std::vector<u32string> chunks;
+  for (const auto& para_raw : SplitParagraphs(StripPy(raw))) {
+    u32string para = StripPy(para_raw);
+    if (para.empty()) continue;
+    u32string current;
+    for (const auto& sentence : SplitSentences(para)) {
+      for (const auto& piece : SplitOversized(sentence, max_len)) {
+        if (current.size() + piece.size() + 1 <= max_len) {
+          if (!current.empty()) current.push_back(U' ');
+          current += piece;
+        } else {
+          if (!current.empty()) chunks.push_back(StripPy(current));
+          current = piece;
+        }
+      }
+    }
+    if (!current.empty()) chunks.push_back(StripPy(current));
+  }
+  return chunks;
+}
+
 }  // namespace
 
 extern "C" {
@@ -332,6 +525,28 @@ long stpu_tokenize(const char* utf8, const long long* indexer, long table_len,
   return static_cast<long>(cps.size());
 }
 
-int stpu_version() { return 1; }
+// Long-form chunking (see ChunkText above). Writes the chunks' UTF-8 bytes
+// concatenated into ``out`` and their byte offsets into ``offsets``
+// (n_chunks + 1 entries: chunk k spans [offsets[k], offsets[k+1])).
+// Returns n_chunks, or -2 when either buffer is too small.
+long stpu_chunk_text(const char* utf8, long max_len, char* out, long out_cap,
+                     long* offsets, long offsets_cap) {
+  std::vector<u32string> chunks =
+      ChunkText(DecodeUtf8(utf8), static_cast<size_t>(max_len));
+  if (static_cast<long>(chunks.size()) + 1 > offsets_cap) return -2;
+  long pos = 0;
+  std::string bytes;
+  for (size_t k = 0; k < chunks.size(); ++k) {
+    offsets[k] = pos;
+    EncodeUtf8(chunks[k], &bytes);
+    if (pos + static_cast<long>(bytes.size()) > out_cap) return -2;
+    std::memcpy(out + pos, bytes.data(), bytes.size());
+    pos += static_cast<long>(bytes.size());
+  }
+  offsets[chunks.size()] = pos;
+  return static_cast<long>(chunks.size());
+}
+
+int stpu_version() { return 2; }
 
 }  // extern "C"

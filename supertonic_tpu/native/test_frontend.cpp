@@ -14,6 +14,8 @@ extern "C" {
 int stpu_preprocess(const char* utf8, const char* lang, char* out, int cap);
 long stpu_tokenize(const char* utf8, const long long* indexer, long table_len,
                    long long* out_ids, long cap);
+long stpu_chunk_text(const char* utf8, long max_len, char* out, long out_cap,
+                     long* offsets, long offsets_cap);
 int stpu_version();
 }
 
@@ -33,7 +35,7 @@ static int check(const char* text, const char* lang, const char* expect) {
 
 int main() {
   int fails = 0;
-  assert(stpu_version() == 1);
+  assert(stpu_version() == 2);
 
   fails += check("Hello world", "en", "<en>Hello world.</en>");
   fails += check("what ?", "en", "<en>what?</en>");
@@ -90,6 +92,46 @@ int main() {
                       static_cast<int>(out.size())) < 0) {
     std::printf("FAIL stress\n");
     ++fails;
+  }
+
+  // chunker: abbreviation guard, acronym, paragraph split, oversize packing
+  {
+    char cbuf[4096];
+    long offs[64];
+    const char* text =
+        "Dr. Smith met Mr. Jones. The U.S. Government agreed!\n\n"
+        "A second paragraph, with commas, goes here and keeps going on.";
+    long nc = stpu_chunk_text(text, 40, cbuf, sizeof cbuf, offs, 64);
+    if (nc < 2) {
+      std::printf("FAIL chunker: nc=%ld\n", nc);
+      ++fails;
+    }
+    for (long k = 0; k < nc; ++k) {
+      long len = offs[k + 1] - offs[k];
+      if (len <= 0 || len > 4 * 40) {  // bytes <= 4x codepoint budget
+        std::printf("FAIL chunker span %ld: %ld bytes\n", k, len);
+        ++fails;
+      }
+    }
+    // abbreviation must not split: "Dr. Smith" stays in chunk 0
+    std::string first(cbuf + offs[0], cbuf + offs[1]);
+    if (first.find("Dr. Smith") == std::string::npos) {
+      std::printf("FAIL chunker abbrev: %s\n", first.c_str());
+      ++fails;
+    }
+    // capacity guards
+    if (stpu_chunk_text(text, 40, cbuf, 8, offs, 64) != -2 ||
+        stpu_chunk_text(text, 40, cbuf, sizeof cbuf, offs, 1) != -2) {
+      std::printf("FAIL chunker cap guard\n");
+      ++fails;
+    }
+    // malformed UTF-8 through the chunker must not crash (ASan-guarded)
+    const char badc[] = {char(0xF0), char(0x9F), 'a', '.', ' ',
+                         char(0xC3), 0};
+    if (stpu_chunk_text(badc, 10, cbuf, sizeof cbuf, offs, 64) < 0) {
+      std::printf("FAIL chunker bad utf8\n");
+      ++fails;
+    }
   }
 
   if (fails == 0) std::printf("NATIVE FRONTEND TESTS PASSED\n");

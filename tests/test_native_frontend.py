@@ -151,3 +151,81 @@ def test_sanitized_native_build(tmp_path):
         pytest.skip("no native toolchain")
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "NATIVE FRONTEND TESTS PASSED" in proc.stdout
+
+
+# --------------------------------------------------------------- chunker ---
+
+CHUNK_CORPUS = [
+    "Dr. Smith met Mr. Jones at 5 p.m. sharp. They talked.",
+    "The U.S. Government and the E.U. Commission agreed. Next item.",
+    "F. Scott Fitzgerald wrote it. B. B. King played it.",
+    "e.g., apples, i.e., the red ones, etc. are fruits. Right?",
+    "Para one sentence one. Para one sentence two.\n\nPara two starts here.",
+    "One! Two? Three. Four;\n\n\n  Five after blank lines.",
+    "A sentence with, many, commas, that keeps, going, and going, and "
+    "going, far beyond any reasonable budget, to force comma fallback.",
+    "Supercalifragilisticexpialidocious" * 12 + " tail words here.",
+    "안녕하세요. 오늘 날씨가 참 좋네요. 산책을 갈까요? 네, 좋아요. " * 6,
+    "Mixed café sentences. Ação coração! Mañana señor? Fin.",
+    "  leading and trailing whitespace  \n\n  around paragraphs  ",
+    "no terminal punctuation at all just words",
+    "",
+    "...",
+    "Inc. Ltd. Co. Corp. St. Ave. Blvd. all abbreviations. Done.",
+    "a. b. c. single letters split. lowercase ok.",
+    "line one\nline two stays in one chunk. second sentence here.",
+]
+
+
+def test_chunker_parity_corpus():
+    from supertonic_tpu.frontend.chunker import _chunk_text_py
+    from supertonic_tpu.frontend.native import native_chunk_text
+
+    for text in CHUNK_CORPUS:
+        for max_len in (20, 40, 120, 300):
+            py = _chunk_text_py(text, max_len)
+            cc = native_chunk_text(text, max_len)
+            assert cc == py, (
+                f"chunk mismatch for {text!r} max_len={max_len}: "
+                f"{cc!r} != {py!r}"
+            )
+
+
+def test_chunker_parity_fuzz():
+    from supertonic_tpu.frontend.chunker import _chunk_text_py
+    from supertonic_tpu.frontend.native import native_chunk_text
+
+    rng = np.random.default_rng(21)
+    words = ["alpha", "beta", "Dr.", "Mr.", "U.S.", "F.", "gamma,", "delta",
+             "안녕", "café", "№", "x" * 35, "e.g.,", "—", "5",
+             "ﬁn", "end."]
+    seps = [" ", " ", " ", "  ", "\n", "\n\n", ". ", "! ", "? ", ", ",
+            ".\n\n", "\t"]
+    for _ in range(150):
+        n = int(rng.integers(1, 60))
+        parts = []
+        for _ in range(n):
+            parts.append(str(rng.choice(words)))
+            parts.append(str(rng.choice(seps)))
+        text = "".join(parts)
+        max_len = int(rng.choice([15, 30, 60, 120, 300]))
+        py = _chunk_text_py(text, max_len)
+        cc = native_chunk_text(text, max_len)
+        assert cc == py, (
+            f"chunk fuzz mismatch max_len={max_len} for {text!r}:\n"
+            f"native={cc!r}\npython={py!r}"
+        )
+
+
+def test_chunk_text_env_dispatch(monkeypatch):
+    """TTS_NATIVE_FRONTEND=1 routes frontend.chunk_text through the C++
+    twin (same opt-in as the native normalizer) with identical output."""
+    from supertonic_tpu.frontend import chunk_text
+    from supertonic_tpu.frontend.chunker import _chunk_text_py
+
+    text = "Dr. Smith spoke at length. " * 30
+    monkeypatch.setenv("TTS_NATIVE_FRONTEND", "1")
+    native = chunk_text(text, max_len=80)
+    monkeypatch.delenv("TTS_NATIVE_FRONTEND")
+    assert native == _chunk_text_py(text, max_len=80)
+    assert len(native) > 3
