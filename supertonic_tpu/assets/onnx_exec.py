@@ -131,6 +131,17 @@ _simple("Softplus", lambda c, x: jax.nn.softplus(x))
 _simple("Softsign", lambda c, x: x / (1 + c.xp.abs(x)))
 _simple("Not", lambda c, x: c.xp.logical_not(x), static_ok=True)
 _simple("IsNaN", lambda c, x: c.xp.isnan(x))
+_simple("IsInf", lambda c, x: c.xp.isinf(x))
+_simple("Sinh", lambda c, x: c.xp.sinh(x))
+_simple("Cosh", lambda c, x: c.xp.cosh(x))
+_simple("Asin", lambda c, x: c.xp.arcsin(x))
+_simple("Acos", lambda c, x: c.xp.arccos(x))
+_simple("Atan", lambda c, x: c.xp.arctan(x))
+_simple("Asinh", lambda c, x: c.xp.arcsinh(x))
+_simple("Acosh", lambda c, x: c.xp.arccosh(x))
+_simple("Atanh", lambda c, x: c.xp.arctanh(x))
+_simple("Mish", lambda c, x: x * c.xp.tanh(jax.nn.softplus(x)))
+_simple("HardSwish", lambda c, x: x * jnp.clip(x / 6.0 + 0.5, 0, 1))
 
 
 @op("Gelu")
@@ -160,6 +171,34 @@ def op_hardsigmoid(ctx: Ctx, x):
 @op("PRelu")
 def op_prelu(ctx: Ctx, x, slope):
     return jnp.where(x >= 0, x, slope * x)
+
+
+@op("Selu")
+def op_selu(ctx: Ctx, x):
+    # ONNX defaults (exact f32 literals from the spec)
+    alpha = ctx.attr("alpha", 1.6732631921768188)
+    gamma = ctx.attr("gamma", 1.0507010221481323)
+    return gamma * jnp.where(x > 0, x, alpha * (jnp.exp(x) - 1))
+
+
+@op("Celu")
+def op_celu(ctx: Ctx, x):
+    alpha = ctx.attr("alpha", 1.0)
+    return jnp.maximum(x, 0) + jnp.minimum(0.0, alpha * (jnp.exp(x / alpha) - 1))
+
+
+@op("ThresholdedRelu")
+def op_thresholdedrelu(ctx: Ctx, x):
+    alpha = ctx.attr("alpha", 1.0)
+    return jnp.where(x > alpha, x, 0.0).astype(x.dtype)
+
+
+@op("Shrink")
+def op_shrink(ctx: Ctx, x):
+    lambd = ctx.attr("lambd", 0.5)
+    bias = ctx.attr("bias", 0.0)
+    return jnp.where(x < -lambd, x + bias,
+                     jnp.where(x > lambd, x - bias, 0.0)).astype(x.dtype)
 
 
 @op("Clip")
@@ -270,16 +309,30 @@ def _reduce(fn_name: str):
             "ReduceMax": ctx.xp.max, "ReduceMin": ctx.xp.min,
             "ReduceProd": ctx.xp.prod,
         }
+        if fn_name == "ReduceL1":
+            return ctx.xp.sum(ctx.xp.abs(x), axis=axes_t, keepdims=keep)
         if fn_name == "ReduceL2":
             return ctx.xp.sqrt(ctx.xp.sum(ctx.xp.square(x), axis=axes_t,
                                           keepdims=keep))
+        if fn_name == "ReduceSumSquare":
+            return ctx.xp.sum(ctx.xp.square(x), axis=axes_t, keepdims=keep)
+        if fn_name == "ReduceLogSum":
+            return ctx.xp.log(ctx.xp.sum(x, axis=axes_t, keepdims=keep))
+        if fn_name == "ReduceLogSumExp":
+            if ctx.xp is np:
+                m = np.max(x, axis=axes_t, keepdims=True)
+                s = np.log(np.sum(np.exp(x - m), axis=axes_t, keepdims=True)) + m
+                return s if keep else np.squeeze(s, axis=axes_t)
+            s = jax.nn.logsumexp(jnp.asarray(x), axis=axes_t, keepdims=True)
+            return s if keep else jnp.squeeze(s, axis=axes_t)
         return red[fn_name](x, axis=axes_t, keepdims=keep)
     h.__name__ = f"op_{fn_name.lower()}"
     return h
 
 
 for _r in ("ReduceMean", "ReduceSum", "ReduceMax", "ReduceMin",
-           "ReduceProd", "ReduceL2"):
+           "ReduceProd", "ReduceL1", "ReduceL2", "ReduceSumSquare",
+           "ReduceLogSum", "ReduceLogSumExp"):
     _reduce(_r)
 
 
@@ -302,9 +355,24 @@ def op_argmin(ctx: Ctx, x):
 @op("CumSum")
 def op_cumsum(ctx: Ctx, x, axis):
     ax = int(ctx.static(axis, "axis"))
-    if ctx.attr("exclusive", 0) or ctx.attr("reverse", 0):
-        raise UnsupportedOp("CumSum exclusive/reverse not supported")
-    return jnp.cumsum(x, axis=ax)
+    x = jnp.asarray(x)
+    if ctx.attr("reverse", 0):
+        x = jnp.flip(x, axis=ax)
+    if ctx.attr("exclusive", 0):
+        # shift inclusive cumsum right by one, zero first (bit-exact: no
+        # subtraction rounding)
+        inc = jnp.cumsum(x, axis=ax)
+        pad = [(0, 0)] * x.ndim
+        pad[ax if ax >= 0 else ax + x.ndim] = (1, 0)
+        out = jnp.pad(inc, pad)[
+            tuple(slice(0, -1) if i == (ax % x.ndim) else slice(None)
+                  for i in range(x.ndim))
+        ]
+    else:
+        out = jnp.cumsum(x, axis=ax)
+    if ctx.attr("reverse", 0):
+        out = jnp.flip(out, axis=ax)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -666,6 +734,29 @@ def op_groupnorm(ctx: Ctx, x, scale, bias):
     return y * jnp.reshape(scale, shape) + jnp.reshape(bias, shape)
 
 
+@op("LpNormalization")
+def op_lpnorm(ctx: Ctx, x):
+    axis = ctx.attr("axis", -1)
+    p = ctx.attr("p", 2)
+    x = jnp.asarray(x)
+    if p == 1:
+        norm = jnp.sum(jnp.abs(x), axis=axis, keepdims=True)
+    elif p == 2:
+        norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
+    else:
+        raise UnsupportedOp(f"LpNormalization p={p}")
+    return x / norm
+
+
+@op("MeanVarianceNormalization")
+def op_mvn(ctx: Ctx, x):
+    axes = tuple(ctx.attr("axes", [0, 2, 3]))
+    x = jnp.asarray(x)
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(x), axis=axes, keepdims=True) - jnp.square(mean)
+    return (x - mean) / jnp.sqrt(var + 1e-9)
+
+
 @op("BatchNormalization")
 def op_batchnorm(ctx: Ctx, x, scale, bias, mean, var):
     eps = ctx.attr("epsilon", 1e-5)
@@ -780,25 +871,44 @@ def _pool(ctx: Ctx, x, reducer, init, is_avg: bool):
     nd = x.ndim - 2
     k = tuple(ctx.attr("kernel_shape"))
     strides = tuple(ctx.attr("strides", [1] * nd))
-    if ctx.attr("ceil_mode", 0):
-        raise UnsupportedOp("Pool ceil_mode=1 not supported")
     dils = tuple(ctx.attr("dilations", [1] * nd))
     pads = _conv_pads_pool(ctx, nd)
+    x = jnp.asarray(x)
+    extra = [0] * nd
+    if ctx.attr("ceil_mode", 0):
+        # extend the hi pad so output dims use ceil instead of floor; the
+        # counts-divisor below (and -inf for max) keeps the extension inert
+        for i in range(nd):
+            span = x.shape[2 + i] + pads[i][0] + pads[i][1] \
+                - dils[i] * (k[i] - 1) - 1
+            o_ceil = -(-span // strides[i]) + 1
+            # torch/ORT convention: a ceil window may only overhang if it
+            # STARTS inside the (left-padded) input
+            if (o_ceil - 1) * strides[i] >= x.shape[2 + i] + pads[i][0]:
+                o_ceil -= 1
+            need = (o_ceil - 1) * strides[i] + dils[i] * (k[i] - 1) + 1
+            extra[i] = max(0, need - (x.shape[2 + i] + pads[i][0]
+                                      + pads[i][1]))
+    if is_avg and ctx.attr("count_include_pad", 0):
+        # fold the explicit pads into the data as zeros so they count in the
+        # denominator; the ceil-mode extension stays excluded (torch/ONNX
+        # semantics: ceil windows that reach past the padded input are
+        # truncated, not counted)
+        width = [(0, 0), (0, 0)] + pads
+        x = jnp.pad(x, width)
+        pads = [(0, 0)] * nd
+    pads = [(lo, hi + e) for (lo, hi), e in zip(pads, extra)]
     window = (1, 1) + k
     ws = (1, 1) + strides
     wd = (1, 1) + dils
     pad_full = [(0, 0), (0, 0)] + pads
-    x = jnp.asarray(x)
     out = lax.reduce_window(x, init, reducer, window, ws, pad_full,
                             window_dilation=wd)
     if is_avg:
-        if ctx.attr("count_include_pad", 0):
-            out = out / math.prod(k)
-        else:
-            ones = jnp.ones(x.shape, x.dtype)
-            counts = lax.reduce_window(ones, 0.0, lax.add, window, ws,
-                                       pad_full, window_dilation=wd)
-            out = out / counts
+        ones = jnp.ones(x.shape, x.dtype)
+        counts = lax.reduce_window(ones, 0.0, lax.add, window, ws,
+                                   pad_full, window_dilation=wd)
+        out = out / counts
     return out
 
 
@@ -872,10 +982,21 @@ def _wrap_nd_indices(idx: jax.Array, shape: tuple) -> jax.Array:
 
 @op("GatherND")
 def op_gathernd(ctx: Ctx, data, indices):
-    if ctx.attr("batch_dims", 0):
-        raise UnsupportedOp("GatherND batch_dims > 0 not supported")
+    b = ctx.attr("batch_dims", 0)
     d = jnp.asarray(data)
-    idx = _wrap_nd_indices(jnp.asarray(indices), d.shape)
+    idx = jnp.asarray(indices)
+    if b:
+        # vmap the batch_dims away (leading dims of data and indices agree)
+        def inner(dd, ii):
+            ii = _wrap_nd_indices(ii, dd.shape)
+            k = ii.shape[-1]
+            return dd[tuple(ii[..., i] for i in range(k))]
+
+        fn = inner
+        for _ in range(b):
+            fn = jax.vmap(fn)
+        return fn(d, idx)
+    idx = _wrap_nd_indices(idx, d.shape)
     k = idx.shape[-1]
     return d[tuple(idx[..., i] for i in range(k))]
 
@@ -903,13 +1024,42 @@ def op_scatternd(ctx: Ctx, data, indices, updates):
 def op_topk(ctx: Ctx, x, k):
     kk = int(ctx.static(k, "k").ravel()[0])
     axis = ctx.attr("axis", -1)
-    if not ctx.attr("largest", 1):
-        raise UnsupportedOp("TopK largest=0 not supported")
+    largest = ctx.attr("largest", 1)
     xa = jnp.asarray(x)
     moved = jnp.moveaxis(xa, axis, -1)
-    vals, idx = jax.lax.top_k(moved, kk)
+    if largest:
+        vals, idx = jax.lax.top_k(moved, kk)
+    else:  # smallest-k: negate, top_k, negate back (ascending order)
+        vals, idx = jax.lax.top_k(-moved, kk)
+        vals = -vals
     return (jnp.moveaxis(vals, -1, axis),
             jnp.moveaxis(idx, -1, axis).astype(jnp.int32))
+
+
+@op("ScatterElements")
+def op_scatterelements(ctx: Ctx, data, indices, updates):
+    axis = ctx.attr("axis", 0)
+    red = ctx.attr("reduction", "none")
+    d = jnp.asarray(data)
+    idx = jnp.asarray(indices)
+    idx = jnp.where(idx < 0, idx + d.shape[axis], idx)
+    upd = jnp.asarray(updates).astype(d.dtype)
+    # build full index grids: scatter along `axis`, identity elsewhere
+    grids = jnp.meshgrid(*[jnp.arange(s) for s in idx.shape], indexing="ij")
+    loc_idx = tuple(idx if a == (axis % d.ndim) else grids[a]
+                    for a in range(d.ndim))
+    loc = d.at[loc_idx]
+    if red == "add":
+        return loc.add(upd)
+    if red == "mul":
+        return loc.multiply(upd)
+    if red == "max":
+        return loc.max(upd)
+    if red == "min":
+        return loc.min(upd)
+    if red == "none":
+        return loc.set(upd)
+    raise UnsupportedOp(f"ScatterElements reduction={red!r}")
 
 
 @op("If")

@@ -684,3 +684,172 @@ def test_loop_static_trip_count(rng):
     np.testing.assert_allclose(acc, 4 * x, rtol=1e-6)
     ref_scan = np.stack([2 * (i + 1) * x for i in range(4)])
     np.testing.assert_allclose(scan, ref_scan, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# round-2c op additions (coverage insurance for the real graphs)
+# ---------------------------------------------------------------------------
+
+def _one(op_name, x, attrs=None, extra_inits=None, n_out=1):
+    outs = [f"y{i}" for i in range(n_out)]
+    ex = build(
+        [(op_name, ["x"] + list(extra_inits or {}), outs, attrs)],
+        inits=extra_inits,
+        inputs=[("x", F32, x.shape)],
+        outputs=[(o, F32, x.shape) for o in outs],
+    )
+    r = ex.run(None, {"x": x})
+    return r[0] if n_out == 1 else r
+
+
+def test_activations_vs_torch(rng):
+    import torch
+    import torch.nn.functional as tF
+
+    x = (rng.standard_normal((3, 17)) * 2).astype(F32)
+    t = torch.from_numpy(x)
+    cases = [
+        ("Selu", None, tF.selu(t)),
+        ("Celu", {"alpha": 1.3}, tF.celu(t, alpha=1.3)),
+        ("Mish", None, tF.mish(t)),
+        ("HardSwish", None, tF.hardswish(t)),
+        ("Softsign", None, tF.softsign(t)),
+        ("ThresholdedRelu", {"alpha": 0.7},
+         torch.where(t > 0.7, t, torch.zeros_like(t))),
+        ("Shrink", {"lambd": 0.5, "bias": 0.1},
+         torch.where(t < -0.5, t + 0.1,
+                     torch.where(t > 0.5, t - 0.1, torch.zeros_like(t)))),
+        ("Sinh", None, torch.sinh(t)),
+        ("Cosh", None, torch.cosh(t)),
+        ("Atan", None, torch.atan(t)),
+        ("Asinh", None, torch.asinh(t)),
+    ]
+    for name, attrs, want in cases:
+        got = _one(name, x, attrs)
+        np.testing.assert_allclose(got, want.numpy(), rtol=2e-5, atol=2e-6,
+                                   err_msg=name)
+
+
+def test_extended_reductions(rng):
+    x = np.abs(rng.standard_normal((2, 4, 5))).astype(F32) + 0.1
+    for name, want in [
+        ("ReduceL1", np.abs(x).sum(1, keepdims=True)),
+        ("ReduceSumSquare", (x ** 2).sum(1, keepdims=True)),
+        ("ReduceLogSum", np.log(x.sum(1, keepdims=True))),
+        ("ReduceLogSumExp", np.log(np.exp(x).sum(1, keepdims=True))),
+    ]:
+        got = _one(name, x, {"axes": [1]})
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                                   err_msg=name)
+
+
+def test_cumsum_exclusive_reverse(rng):
+    x = rng.standard_normal((3, 6)).astype(F32)
+    ax = np.asarray(1, I64)
+    for excl in (0, 1):
+        for rev in (0, 1):
+            ex = build(
+                [("CumSum", ["x", "ax"], ["y"],
+                  {"exclusive": excl, "reverse": rev})],
+                inits={"ax": ax},
+                inputs=[("x", F32, x.shape)], outputs=[("y", F32, x.shape)],
+            )
+            got = run1(ex, x=x)
+            base = x[:, ::-1] if rev else x
+            want = np.cumsum(base, axis=1)
+            if excl:
+                want = np.concatenate(
+                    [np.zeros((3, 1), F32), want[:, :-1]], axis=1)
+            if rev:
+                want = want[:, ::-1]
+            np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6,
+                                       err_msg=f"excl={excl} rev={rev}")
+
+
+def test_topk_smallest(rng):
+    x = rng.standard_normal((4, 9)).astype(F32)
+    ex = build(
+        [("TopK", ["x", "k"], ["v", "i"], {"axis": -1, "largest": 0})],
+        inits={"k": np.asarray([3], I64)},
+        inputs=[("x", F32, x.shape)],
+        outputs=[("v", F32, (4, 3)), ("i", np.int32, (4, 3))],
+    )
+    v, i = ex.run(None, {"x": x})
+    want = np.sort(x, axis=1)[:, :3]
+    np.testing.assert_allclose(v, want, rtol=1e-6)
+    np.testing.assert_allclose(np.take_along_axis(x, i.astype(np.int64), 1),
+                               want, rtol=1e-6)
+
+
+def test_scatter_elements_vs_torch(rng):
+    import torch
+
+    x = rng.standard_normal((4, 6)).astype(F32)
+    idx = rng.integers(0, 6, size=(4, 3)).astype(I64)
+    upd = rng.standard_normal((4, 3)).astype(F32)
+    for red in ("none", "add", "mul"):
+        ex = build(
+            [("ScatterElements", ["x", "idx", "upd"], ["y"],
+              {"axis": 1, "reduction": red})],
+            inits={"idx": idx, "upd": upd},
+            inputs=[("x", F32, x.shape)], outputs=[("y", F32, x.shape)],
+        )
+        got = run1(ex, x=x)
+        t = torch.from_numpy(x.copy())
+        if red == "none":
+            want = t.scatter(1, torch.from_numpy(idx), torch.from_numpy(upd))
+        else:
+            want = t.scatter_reduce(
+                1, torch.from_numpy(idx), torch.from_numpy(upd),
+                {"add": "sum", "mul": "prod"}[red])
+        np.testing.assert_allclose(got, want.numpy(), rtol=1e-5, atol=1e-6,
+                                   err_msg=red)
+
+
+def test_gathernd_batch_dims(rng):
+    x = rng.standard_normal((3, 5, 7)).astype(F32)
+    idx = rng.integers(-5, 5, size=(3, 4, 1)).astype(I64)
+    ex = build(
+        [("GatherND", ["x", "idx"], ["y"], {"batch_dims": 1})],
+        inits={"idx": idx},
+        inputs=[("x", F32, x.shape)], outputs=[("y", F32, (3, 4, 7))],
+    )
+    got = run1(ex, x=x)
+    want = np.stack([x[b][idx[b, :, 0]] for b in range(3)])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_lp_and_mvn_normalization(rng):
+    x = rng.standard_normal((2, 3, 4, 5)).astype(F32)
+    got = _one("LpNormalization", x, {"axis": 1, "p": 2})
+    want = x / np.sqrt((x ** 2).sum(1, keepdims=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    got = _one("MeanVarianceNormalization", x, {"axes": [0, 2, 3]})
+    m = x.mean((0, 2, 3), keepdims=True)
+    v = (x ** 2).mean((0, 2, 3), keepdims=True) - m ** 2
+    np.testing.assert_allclose(got, (x - m) / np.sqrt(v + 1e-9),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pool_ceil_mode_vs_torch(rng):
+    import torch
+    import torch.nn.functional as tF
+
+    x = rng.standard_normal((2, 3, 13)).astype(F32)
+    t = torch.from_numpy(x)
+    for kernel, stride, pad in [(3, 2, 0), (4, 3, 1), (2, 2, 1)]:
+        attrs = {"kernel_shape": [kernel], "strides": [stride],
+                 "pads": [pad, pad], "ceil_mode": 1}
+        got = _one("MaxPool", x, attrs)
+        want = tF.max_pool1d(t, kernel, stride, pad, ceil_mode=True).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-6,
+                                   err_msg=f"max k{kernel}s{stride}p{pad}")
+        for cip in (0, 1):
+            attrs_avg = dict(attrs, count_include_pad=cip)
+            got = _one("AveragePool", x, attrs_avg)
+            want = tF.avg_pool1d(t, kernel, stride, pad, ceil_mode=True,
+                                 count_include_pad=bool(cip)).numpy()
+            np.testing.assert_allclose(
+                got, want, rtol=1e-5, atol=1e-6,
+                err_msg=f"avg k{kernel}s{stride}p{pad}cip{cip}")
