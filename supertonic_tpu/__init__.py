@@ -64,6 +64,7 @@ class TTS:
             from .utils.logging import default_logger as log
 
             fused = os.environ.get("TTS_ONNX_FUSED", "1") != "0"
+            backend = pipeline = None
             try:
                 if fused:
                     from .assets import load_onnx_backend
@@ -72,25 +73,34 @@ class TTS:
                           == "f32" else "default")
                     backend = load_onnx_backend(graphs_dir, self.cfg,
                                                 matmul_precision=mp)
-                    self.engine = SynthesisEngine(
-                        backend.params, self.cfg, self.assets.processor,
-                        precision=precision, seed=seed,
-                        egress_format=egress_format, backend=backend,
-                    )
-                    log.info("serving_onnx_fused_backend", dir=graphs_dir)
                 else:
                     from .assets import load_onnx_pipeline
-                    from .engine.onnx_adapter import OnnxEngineAdapter
 
                     pipeline = load_onnx_pipeline(graphs_dir, seed=seed,
                                                   bucketed=True)
-                    self.engine = OnnxEngineAdapter(pipeline, self.cfg)
-                    log.info("serving_onnx_executor_backend", dir=graphs_dir)
             except (OSError, ValueError, KeyError) as e:
+                from .assets.onnx_backend import ContractMismatch
+
+                if isinstance(e, ContractMismatch):
+                    # structurally-wrong graphs: serving random-init native
+                    # weights instead would hide a real model bug — fail
+                    raise
                 # unreadable/corrupt graphs (e.g. an interrupted fetch):
                 # fall back to the native engine rather than failing startup
                 log.warning("onnx_backend_unloadable", dir=graphs_dir,
                             error=f"{type(e).__name__}: {e}")
+            if backend is not None:
+                self.engine = SynthesisEngine(
+                    backend.params, self.cfg, self.assets.processor,
+                    precision=precision, seed=seed,
+                    egress_format=egress_format, backend=backend,
+                )
+                log.info("serving_onnx_fused_backend", dir=graphs_dir)
+            elif pipeline is not None:
+                from .engine.onnx_adapter import OnnxEngineAdapter
+
+                self.engine = OnnxEngineAdapter(pipeline, self.cfg)
+                log.info("serving_onnx_executor_backend", dir=graphs_dir)
         if self.engine is None:
             if self.assets.params is None:  # graph load failed above
                 from .models import init_all

@@ -27,7 +27,6 @@ free relayout for XLA, not a host copy.
 
 from __future__ import annotations
 
-import os
 from typing import Callable
 
 import jax
@@ -35,9 +34,15 @@ import jax.numpy as jnp
 
 from ..config import TTSConfig
 from .onnx_exec import OnnxExecutor
-from .onnx_reader import load_onnx
 
-__all__ = ["OnnxStageBackend", "load_onnx_backend"]
+__all__ = ["ContractMismatch", "OnnxStageBackend", "load_onnx_backend"]
+
+
+class ContractMismatch(ValueError):
+    """Graph inputs deviate from the §2.2 reference contract. Deliberately
+    NOT an asset-corruption error: callers that degrade gracefully on
+    unreadable fetches must still fail LOUDLY on this (serving random-init
+    weights instead of a structurally different model hides a real bug)."""
 
 # §2.2 I/O contract (reference cpp/helper.cpp:512-664, go/helper.go:873-892)
 _CONTRACT = {
@@ -55,7 +60,7 @@ def _caller(name: str, exe: OnnxExecutor) -> Callable:
     declared = set(exe.input_names)
     expected = set(_CONTRACT[name])
     if declared != expected:
-        raise ValueError(
+        raise ContractMismatch(
             f"{name}.onnx inputs {sorted(declared)} do not match the "
             f"reference contract {sorted(expected)} (SURVEY.md §2.2)"
         )
@@ -122,9 +127,12 @@ class OnnxStageBackend:
 
         xt = jax.lax.fori_loop(0, total_step, body, x0)
         (wav,) = self._call["vocoder"](params["vocoder"], latent=xt)
+        return self._fit_wav(wav, lmask.shape[1])
+
+    def _fit_wav(self, wav, t_frames: int):
         # contract: wav [B, T*chunk] (§2.2 padded output) — normalize width
         # defensively so the engine's egress slicing math always holds
-        want = lmask.shape[1] * self.cfg.chunk_size
+        want = t_frames * self.cfg.chunk_size
         if wav.shape[1] < want:
             wav = jnp.pad(wav, ((0, 0), (0, want - wav.shape[1])))
         elif wav.shape[1] > want:
@@ -176,7 +184,7 @@ class OnnxStageBackend:
         def _voc(params, x):
             (wav,) = self._call["vocoder"](
                 params["vocoder"], latent=jnp.transpose(x, (0, 2, 1)))
-            return wav.astype(jnp.float32)
+            return self._fit_wav(wav, x.shape[1])
 
         return None, jax.jit(_step), jax.jit(_voc)
 
@@ -189,9 +197,7 @@ def load_onnx_backend(onnx_dir: str, cfg: TTSConfig, *,
     ``matmul_precision``: "float32" for ORT-parity-strict matmuls (SURVEY.md
     §7.3 hard part 2), "default" for the bf16-pass TPU fast path.
     """
-    execs = {}
-    for name in _CONTRACT:
-        path = os.path.join(onnx_dir, f"{name}.onnx")
-        execs[name] = OnnxExecutor(load_onnx(path),
-                                   matmul_precision=matmul_precision)
-    return OnnxStageBackend(execs, cfg)
+    from .onnx_pipeline import load_executors
+
+    return OnnxStageBackend(
+        load_executors(onnx_dir, matmul_precision=matmul_precision), cfg)

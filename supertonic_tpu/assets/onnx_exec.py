@@ -131,7 +131,17 @@ _simple("Softplus", lambda c, x: jax.nn.softplus(x))
 _simple("Softsign", lambda c, x: x / (1 + c.xp.abs(x)))
 _simple("Not", lambda c, x: c.xp.logical_not(x), static_ok=True)
 _simple("IsNaN", lambda c, x: c.xp.isnan(x))
-_simple("IsInf", lambda c, x: c.xp.isinf(x))
+@op("IsInf")
+def op_isinf(ctx: Ctx, x):
+    neg = ctx.attr("detect_negative", 1)
+    pos = ctx.attr("detect_positive", 1)
+    if neg and pos:
+        return ctx.xp.isinf(x)
+    if pos:
+        return ctx.xp.isposinf(x) if ctx.xp is np else jnp.isposinf(x)
+    if neg:
+        return ctx.xp.isneginf(x) if ctx.xp is np else jnp.isneginf(x)
+    return ctx.xp.zeros_like(x, dtype=bool)
 _simple("Sinh", lambda c, x: c.xp.sinh(x))
 _simple("Cosh", lambda c, x: c.xp.cosh(x))
 _simple("Asin", lambda c, x: c.xp.arcsin(x))
@@ -1029,9 +1039,9 @@ def op_topk(ctx: Ctx, x, k):
     moved = jnp.moveaxis(xa, axis, -1)
     if largest:
         vals, idx = jax.lax.top_k(moved, kk)
-    else:  # smallest-k: negate, top_k, negate back (ascending order)
-        vals, idx = jax.lax.top_k(-moved, kk)
-        vals = -vals
+    else:  # smallest-k ascending: argsort (negation breaks uint/INT_MIN)
+        idx = jnp.argsort(moved, axis=-1, stable=True)[..., :kk]
+        vals = jnp.take_along_axis(moved, idx, axis=-1)
     return (jnp.moveaxis(vals, -1, axis),
             jnp.moveaxis(idx, -1, axis).astype(jnp.int32))
 

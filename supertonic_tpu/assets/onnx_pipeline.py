@@ -31,6 +31,19 @@ MODEL_FILES = ("duration_predictor", "text_encoder",
                "vector_estimator", "vocoder")
 
 
+def load_executors(onnx_dir: str, *, matmul_precision: str = "float32"
+                   ) -> dict[str, OnnxExecutor]:
+    """The four graphs from a reference-layout directory
+    (py/helper.py:289-306), one jitted executor each. Shared by the
+    per-call pipeline below and the fused engine backend (onnx_backend)."""
+    execs = {}
+    for name in MODEL_FILES:
+        path = os.path.join(onnx_dir, f"{name}.onnx")
+        execs[name] = OnnxExecutor(load_onnx(path),
+                                   matmul_precision=matmul_precision)
+    return execs
+
+
 class OnnxPipeline:
     """Mirror of the reference TextToSpeech (py/helper.py:140-254) with the
     four ORT sessions replaced by jitted JAX graph executors."""
@@ -198,11 +211,7 @@ def load_onnx_pipeline(onnx_dir: str, *, seed: int = 0,
     ``bucketed=True`` pads (L, T) up the default runtime ladders so the
     number of compiled programs stays bounded in serving (the reference
     accepts arbitrary shapes because ONNX Runtime does not trace-compile)."""
-    execs = {}
-    for name in MODEL_FILES:
-        path = os.path.join(onnx_dir, f"{name}.onnx")
-        execs[name] = OnnxExecutor(load_onnx(path),
-                                   matmul_precision=matmul_precision)
+    execs = load_executors(onnx_dir, matmul_precision=matmul_precision)
     with open(os.path.join(onnx_dir, "tts.json")) as f:
         cfgs = json.load(f)
     with open(os.path.join(onnx_dir, "unicode_indexer.json")) as f:

@@ -43,7 +43,7 @@ def build_native(force: bool = False) -> str | None:
 
 def load_native():
     """Returns the loaded ctypes library, building if needed, else None."""
-    global _lib
+    global _lib, _build_failed
     if _lib is not None:
         return _lib
     if _build_failed:
@@ -56,6 +56,13 @@ def load_native():
         if build_native(force=True) is None:
             return None
         lib = ctypes.CDLL(_LIB_PATH)
+        if not hasattr(lib, "stpu_chunk_text"):
+            # dlopen dedups by pathname, so the stale mapping can survive
+            # the rebuild within this process — degrade to the Python
+            # fallback instead of raising AttributeError out of load_native
+            # (a fresh process picks up the rebuilt library)
+            _build_failed = True
+            return None
     lib.stpu_preprocess.restype = ctypes.c_int
     lib.stpu_preprocess.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
@@ -104,7 +111,10 @@ def native_chunk_text(text: str, max_len: int = 300) -> list[str]:
     if lib is None:
         raise RuntimeError("native frontend unavailable")
     raw = text.encode("utf-8")
-    out_cap = len(raw) + 64
+    # packing may INSERT a space per piece (comma fallback splits "a,b"
+    # with no whitespace to consume), so output can exceed the input; one
+    # inserted space per >=1-char piece bounds it at 2x + slack
+    out_cap = 2 * len(raw) + 64
     # worst case one chunk per codepoint (pathological max_len=1 inputs)
     off_cap = len(text) + 2
     out = ctypes.create_string_buffer(out_cap)

@@ -217,6 +217,18 @@ def test_chunker_parity_fuzz():
         )
 
 
+def test_chunker_comma_dense_grows_output(monkeypatch):
+    """The comma fallback INSERTS a space per comma with no following
+    whitespace, so output exceeds input length — must not overflow the
+    native output buffer (regression: out_cap was len+64)."""
+    from supertonic_tpu.frontend.chunker import _chunk_text_py
+    from supertonic_tpu.frontend.native import native_chunk_text
+
+    text = ",".join(str(i) for i in range(400)) + "."
+    for max_len in (30, 120, 300):
+        assert native_chunk_text(text, max_len) == _chunk_text_py(text, max_len)
+
+
 def test_chunk_text_env_dispatch(monkeypatch):
     """TTS_NATIVE_FRONTEND=1 routes frontend.chunk_text through the C++
     twin (same opt-in as the native normalizer) with identical output."""

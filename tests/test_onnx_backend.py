@@ -189,3 +189,8 @@ def test_backend_contract_name_mismatch_raises(onnx_dir, tmp_path):  # noqa: F81
     cfg = load_tts_json(str(d / "tts.json"))
     with pytest.raises(ValueError, match="contract"):
         load_onnx_backend(str(d), cfg)
+
+    # ...and TTS() must NOT swallow it into a random-init fallback (serving
+    # random weights for structurally-wrong graphs hides a real bug)
+    with pytest.raises(ValueError, match="contract"):
+        TTS(str(d))

@@ -225,9 +225,10 @@ def main(argv=None) -> int:
                     help="only run the fused-backend self-check")
     args = ap.parse_args(argv)
 
-    from supertonic_tpu.utils.jaxenv import force_cpu
+    from supertonic_tpu.utils.jaxenv import force_cpu, setup_compilation_cache
 
     force_cpu()  # ORT oracle is CPU; compare like-for-like f32
+    setup_compilation_cache()  # executor jits persist across gate runs
 
     all_ok = True
     rows: list[dict] = []
