@@ -14,9 +14,17 @@ import numpy as np
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="TTS inference on TPU (JAX/XLA)")
-    p.add_argument("--assets-dir", type=str, default=None,
-                   help="Asset bundle dir (params.npz, tts.json, ...); "
-                        "random-init fallback when absent")
+    p.add_argument("--assets-dir", "--onnx-dir", dest="assets_dir",
+                   type=str, default=None,
+                   help="Asset bundle dir (params.npz or the four .onnx "
+                        "graphs + tts.json, ...); --onnx-dir is the "
+                        "reference's name for the same flag "
+                        "(py/example_onnx.py:9-70); random-init fallback "
+                        "when absent")
+    p.add_argument("--use-gpu", action="store_true",
+                   help="Accepted for reference flag parity; the "
+                        "accelerator here is the TPU (the reference also "
+                        "rejects GPU, py/helper.py:324-325)")
     p.add_argument("--precision", type=str, default=None,
                    choices=["bf16", "f32", "int8"], help="Compute precision "
                    "(int8 = W8A8 estimator matmuls, bf16 elsewhere)")
@@ -54,6 +62,11 @@ def main(argv=None):
 
     print("=== TTS Inference on TPU (supertonic_tpu) ===\n")
     args = parse_args(argv)
+    if args.use_gpu:
+        # reference behavior: warn and continue on the supported device
+        # (py/helper.py:324-325 prints the same for CUDA)
+        print("Warning: GPU execution is not supported; using the "
+              "TPU/CPU backend.")
     if args.platform == "cpu":
         from ..utils.jaxenv import force_cpu
 

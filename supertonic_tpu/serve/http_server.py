@@ -407,7 +407,9 @@ def main():
     from .. import TTS
 
     tts = TTS(
-        os.getenv("TTS_ASSETS_DIR") or None,
+        # TTS_ONNX_DIR is the reference service's name for the same env
+        # (py/service.py:20); TTS_USE_GPU is accepted-and-ignored likewise
+        os.getenv("TTS_ASSETS_DIR") or os.getenv("TTS_ONNX_DIR") or None,
         precision=os.getenv("TTS_PRECISION") or None,
         # "mulaw" halves device->host bytes at G.711 speech quality — the
         # latency-serving choice when the host link is the bottleneck
