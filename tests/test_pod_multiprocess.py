@@ -1,0 +1,115 @@
+"""True pod-shaped serving: router over HTTP backends in SEPARATE OS
+processes (tests/test_router.py covers the in-process thread variant; this
+is the deployment shape — one server process per host, graph-executor
+backend, router front door with failover)."""
+
+import os
+import socket
+import subprocess
+import sys
+import threading
+import time
+
+import httpx
+import pytest
+
+from test_onnx_pipeline import onnx_dir  # noqa: F401  (module-scoped fixture)
+
+from supertonic_tpu.serve.router import Router, make_router_server
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _spawn_backend(onnx_dir: str, port: int) -> subprocess.Popen:
+    env = dict(os.environ)
+    env.update(TTS_PLATFORM="cpu", TTS_ASSETS_DIR=onnx_dir,
+               TTS_HOST="127.0.0.1", TTS_PORT=str(port), TTS_BATCHER="1")
+    return subprocess.Popen(
+        [sys.executable, "-m", "supertonic_tpu.serve.http_server"],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+
+
+def _wait_healthy(url: str, proc: subprocess.Popen, timeout_s: float = 120):
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        if proc.poll() is not None:
+            raise RuntimeError(f"backend died rc={proc.returncode}")
+        try:
+            if httpx.get(f"{url}/health", timeout=2).status_code == 200:
+                return
+        except httpx.HTTPError:
+            time.sleep(0.5)
+    raise TimeoutError(f"backend at {url} never became healthy")
+
+
+@pytest.fixture(scope="module")
+def pod_procs(onnx_dir):  # noqa: F811
+    ports = [_free_port(), _free_port()]
+    procs = [_spawn_backend(onnx_dir, p) for p in ports]
+    urls = [f"http://127.0.0.1:{p}" for p in ports]
+    try:
+        for u, pr in zip(urls, procs):
+            _wait_healthy(u, pr)
+        router = Router(urls, health_interval_s=0.2, failure_threshold=1)
+        router.check_health()
+        front = make_router_server(router, "127.0.0.1", 0)
+        threading.Thread(target=front.serve_forever, daemon=True).start()
+        front_url = f"http://127.0.0.1:{front.server_address[1]}"
+        yield front_url, router, procs, urls
+        front.shutdown()
+        router.close()
+    finally:
+        for pr in procs:
+            pr.terminate()
+        for pr in procs:
+            try:
+                pr.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                pr.kill()
+
+
+def test_pod_serves_through_real_processes(pod_procs):
+    front_url, router, procs, urls = pod_procs
+    code, agg = router.health()
+    assert code == 200 and agg["status"] == "ok"
+    assert sum(b["healthy"] for b in agg["backends"].values()) == 2
+
+    ok = 0
+    for i in range(6):
+        r = httpx.post(f"{front_url}/tts",
+                       json={"text": f"Pod request number {i}.",
+                             "total_step": 2}, timeout=120)
+        assert r.status_code == 200, r.text
+        assert r.headers["content-type"].startswith("audio/wav")
+        assert len(r.content) > 44
+        ok += 1
+    assert ok == 6
+    # every request landed on a real backend process
+    total = sum(httpx.get(f"{u}/metrics", timeout=10).json()["requests"]
+                for u in urls)
+    assert total == 6
+
+
+def test_pod_failover_on_process_death(pod_procs):
+    front_url, router, procs, urls = pod_procs
+    procs[0].terminate()
+    procs[0].wait(timeout=10)
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        agg = router.health()[1]
+        if sum(b["healthy"] for b in agg["backends"].values()) == 1:
+            break
+        time.sleep(0.2)
+    # the router keeps serving from the survivor (retry path covers the
+    # window where the dead backend is still marked healthy)
+    r = httpx.post(f"{front_url}/tts",
+                   json={"text": "After a host loss.", "total_step": 2},
+                   timeout=120)
+    assert r.status_code == 200
