@@ -284,7 +284,26 @@ class TTSService:
         out = self.tts.engine.profiler.summary()
         if self.batcher is not None:
             out["batcher"] = dict(self.batcher.stats)
+        hbm = _device_memory_stats()
+        if hbm:
+            out["device_memory"] = hbm
         return out
+
+
+def _device_memory_stats() -> dict | None:
+    """Live accelerator memory (bytes) for capacity planning — params +
+    style cache + in-flight batches are all device-resident; OOM on a
+    production host shows up here long before it kills a request."""
+    try:
+        import jax
+
+        stats = jax.devices()[0].memory_stats()
+    except Exception:  # CPU backend / tunnel without stats support
+        return None
+    if not stats:
+        return None
+    keep = ("bytes_in_use", "peak_bytes_in_use", "bytes_limit")
+    return {k: stats[k] for k in keep if k in stats}
 
 
 def make_server(tts, host: str = "0.0.0.0", port: int = 8000,
