@@ -19,7 +19,7 @@ import io
 import os
 from typing import List, Union
 
-from .http_server import TTSService, ValidationError
+from .http_server import TTSService, ValidationError, _MAX_BODY_BYTES
 
 
 def create_app(tts=None, *, use_batcher: bool = True):
@@ -33,13 +33,23 @@ def create_app(tts=None, *, use_batcher: bool = True):
         from .. import TTS
 
         tts = TTS(
-            os.getenv("TTS_ASSETS_DIR") or None,
+            # TTS_ONNX_DIR: the reference service's env name (py/service.py:20)
+            os.getenv("TTS_ASSETS_DIR") or os.getenv("TTS_ONNX_DIR") or None,
             precision=os.getenv("TTS_PRECISION") or None,
         )
 
     service = TTSService(tts, use_batcher=use_batcher)
     app = FastAPI(title="Supertonic-TPU TTS Service")
     app.state.service = service
+
+    @app.middleware("http")
+    async def limit_body(request, call_next):  # same 413 as the stdlib server
+        cl = request.headers.get("content-length")
+        if cl and cl.isdigit() and int(cl) > _MAX_BODY_BYTES:
+            return JSONResponse(
+                {"detail": f"request body exceeds {_MAX_BODY_BYTES} bytes"},
+                status_code=413)
+        return await call_next(request)
 
     class TTSRequest(BaseModel):
         text: Union[str, List[str]] = Field(..., description="Text to synthesize.")

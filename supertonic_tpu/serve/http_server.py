@@ -34,6 +34,11 @@ from ..config import AVAILABLE_LANGS
 from ..utils import sanitize_filename, wav_bytes
 from ..utils.logging import default_logger as log
 
+# largest accepted request body (JSON text batches; ~100x the longest
+# sane long-form request). Bodies above this are refused with 413 before
+# any buffering.
+_MAX_BODY_BYTES = 8 * 1024 * 1024
+
 
 class ValidationError(Exception):
     def __init__(self, status: int, detail: str):
@@ -361,6 +366,14 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000,
             t0 = time.perf_counter()
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length > _MAX_BODY_BYTES:
+                    # refuse to buffer an arbitrarily large request body (a
+                    # 1 GB Content-Length would be read into memory before
+                    # any validation ran)
+                    self._send_json(413, {
+                        "detail": f"request body exceeds "
+                                  f"{_MAX_BODY_BYTES} bytes"})
+                    return
                 body = json.loads(self.rfile.read(length) or b"{}")
                 req = _parse_request(body)
                 if self.path == "/tts/stream":

@@ -252,3 +252,13 @@ def test_structured_request_logging(base_url, capfd):
 
     rec = _json.loads(buf.getvalue())
     assert rec["event"] == "hello" and rec["n"] == 3 and rec["level"] == "info"
+
+
+def test_oversized_body_413(base_url):
+    # a huge Content-Length must be refused before buffering, not OOM the
+    # handler thread
+    big = b'{"text": "' + b"a" * (9 * 1024 * 1024) + b'"}'
+    r = httpx.post(f"{base_url}/tts", content=big,
+                   headers={"content-type": "application/json"}, timeout=30)
+    assert r.status_code == 413
+    assert "exceeds" in r.json()["detail"]
