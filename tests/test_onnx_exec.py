@@ -903,3 +903,63 @@ def test_resize_coordinate_modes_vs_torch(rng):
     w = np.clip(src - lo, 0.0, 1.0)
     want = x[:, :, lo] * (1 - w) + x[:, :, hi] * w
     np.testing.assert_allclose(got, want.astype(F32), rtol=1e-5, atol=1e-6)
+
+
+def test_static_vs_traced_path_fuzz(rng):
+    """Every static_ok op has TWO implementations (numpy partial-eval at
+    trace time vs traced jnp) — random op chains must produce identical
+    results whether inputs arrive as initializers (all-static evaluation)
+    or as runtime feeds (traced). Catches np/jnp semantic drift."""
+    unary = [("Abs", None), ("Neg", None), ("Floor", None), ("Ceil", None)]
+    binary = [("Add", None), ("Sub", None), ("Mul", None),
+              ("Min", None), ("Max", None)]
+    for trial in range(25):
+        r = np.random.default_rng(trial)
+        n_nodes = int(r.integers(3, 10))
+        vals = {"x0": r.standard_normal((4, 6)).astype(F32) * 3,
+                "x1": r.standard_normal((4, 6)).astype(F32) * 3}
+        names = ["x0", "x1"]
+        nodes = []
+        for i in range(n_nodes):
+            out = f"v{i}"
+            kind = r.integers(0, 4)
+            if kind == 0:
+                op_name, attrs = unary[r.integers(0, len(unary))]
+                nodes.append((op_name, [str(r.choice(names))], [out], attrs))
+            elif kind == 1:
+                op_name, attrs = binary[r.integers(0, len(binary))]
+                nodes.append((op_name,
+                              [str(r.choice(names)), str(r.choice(names))],
+                              [out], attrs))
+            elif kind == 2:  # Where over a comparison
+                a, b = str(r.choice(names)), str(r.choice(names))
+                nodes.append(("Greater", [a, b], [f"c{i}"], None))
+                nodes.append(("Where", [f"c{i}", a, b], [out], None))
+            else:  # transpose round-trip (layout ops stay shape-stable)
+                nodes.append(("Transpose", [str(r.choice(names))], [f"t{i}"],
+                              {"perm": [1, 0]}))
+                nodes.append(("Transpose", [f"t{i}"], [out],
+                              {"perm": [1, 0]}))
+            names.append(out)
+        final = names[-1]
+
+        ex_traced = build(
+            nodes, inits={},
+            inputs=[("x0", F32, (4, 6)), ("x1", F32, (4, 6))],
+            outputs=[(final, F32, (4, 6))],
+        )
+        got_traced = run1(ex_traced, x0=vals["x0"], x1=vals["x1"])
+
+        ex_static = build(
+            nodes, inits={"x0": vals["x0"], "x1": vals["x1"]},
+            inputs=[], outputs=[(final, F32, (4, 6))],
+        )
+        got_static = ex_static.run(None, {})[0]
+        # tight allclose, not bit-equal: XLA contracts mul+add chains into
+        # FMAs (e.g. a - b*a), shifting float results by ~1 ULP vs numpy's
+        # per-op rounding; semantic drift (wrong op/broadcast/rounding
+        # RULE) is orders of magnitude larger and still caught
+        np.testing.assert_allclose(
+            np.asarray(got_traced), np.asarray(got_static),
+            rtol=2e-6, atol=1e-5,
+            err_msg=f"trial {trial}: static/traced drift in {nodes}")
