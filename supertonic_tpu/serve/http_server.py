@@ -456,10 +456,15 @@ def main():
         # (first-shape compiles otherwise land on live requests)
         rt = tts.cfg.runtime
         bss = tuple(b for b in rt.batch_buckets if b <= max_batch)
-        n = tts.engine.warmup(
-            batch_sizes=bss,
-            progress=lambda i, total: print(f"warmup {i}/{total}"))
-        print(f"warmed {n} program shapes")
+        try:
+            n = tts.engine.warmup(
+                batch_sizes=bss,
+                progress=lambda i, total: print(f"warmup {i}/{total}"))
+            print(f"warmed {n} program shapes")
+        except Exception as e:  # warmup is an optimization, not a gate:
+            # a bundle whose tts.json lacks style dims (synthetic-style
+            # warmup inputs then mismatch the graphs) must not kill serving
+            log.warning("warmup_failed", error=f"{type(e).__name__}: {e}")
     server = make_server(tts, host, port, use_batcher=use_batcher,
                          max_batch=max_batch)
     print(f"Serving Supertonic-TPU TTS on {host}:{port} "
