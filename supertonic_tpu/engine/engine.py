@@ -59,6 +59,21 @@ class VoiceStyle:
         assert self.batch == 1
         return VoiceStyle(np.repeat(self.ttl, n, 0), np.repeat(self.dp, n, 0))
 
+    def blend(self, other: "VoiceStyle", t: float) -> "VoiceStyle":
+        """Linear interpolation in style-embedding space: t=0 -> self,
+        t=1 -> other. Styles are precomputed speaker embeddings (reference
+        §2.6), so convex blends yield intermediate voices — a capability
+        the reference's fixed-preset loading never exposes."""
+        if self.ttl.shape != other.ttl.shape or self.dp.shape != other.dp.shape:
+            raise ValueError(
+                f"style shapes differ: {self.ttl.shape}/{self.dp.shape} vs "
+                f"{other.ttl.shape}/{other.dp.shape}")
+        t = float(t)
+        return VoiceStyle(
+            ((1.0 - t) * self.ttl + t * other.ttl).astype(np.float32),
+            ((1.0 - t) * self.dp + t * other.dp).astype(np.float32),
+        )
+
     def take(self, idx) -> "VoiceStyle":
         return VoiceStyle(self.ttl[idx], self.dp[idx])
 

@@ -291,3 +291,32 @@ def test_overflow_exhaustion_raises(tiny_config, monkeypatch):
         eng.infer_batch(["An overflow that cannot fit."], ["en"], style,
                         total_step=2)
     assert eng.profiler.counters["bucket_overflow_exhausted"] == 1
+
+
+class TestVoiceStyleBlend:
+    def test_blend_endpoints_and_midpoint(self):
+        from supertonic_tpu.engine import VoiceStyle
+
+        rng = np.random.default_rng(0)
+        a = VoiceStyle(rng.standard_normal((1, 2, 4)).astype(np.float32),
+                       rng.standard_normal((1, 2, 4)).astype(np.float32))
+        b = VoiceStyle(rng.standard_normal((1, 2, 4)).astype(np.float32),
+                       rng.standard_normal((1, 2, 4)).astype(np.float32))
+        np.testing.assert_array_equal(a.blend(b, 0.0).ttl, a.ttl)
+        np.testing.assert_array_equal(a.blend(b, 1.0).dp, b.dp)
+        mid = a.blend(b, 0.5)
+        np.testing.assert_allclose(mid.ttl, (a.ttl + b.ttl) / 2, rtol=1e-6)
+        assert mid.ttl.dtype == np.float32
+        # distinct content => distinct device-style cache keys
+        assert mid.fingerprint() != a.fingerprint() != b.fingerprint()
+
+    def test_blend_shape_mismatch_raises(self):
+        from supertonic_tpu.engine import VoiceStyle
+
+        rng = np.random.default_rng(1)
+        a = VoiceStyle(rng.standard_normal((1, 2, 4)).astype(np.float32),
+                       rng.standard_normal((1, 2, 4)).astype(np.float32))
+        c = VoiceStyle(rng.standard_normal((1, 3, 4)).astype(np.float32),
+                       rng.standard_normal((1, 2, 4)).astype(np.float32))
+        with pytest.raises(ValueError, match="differ"):
+            a.blend(c, 0.5)
