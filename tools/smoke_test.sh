@@ -29,6 +29,28 @@ into its usual calm."
 run "long-form mode" python -m supertonic_tpu.serve.cli \
     --text "$LONG" --n-test 1 --total-step 2 --save-dir "$OUT/longform"
 
+# 4th mode (ours): the ONNX graph-executor serving path over a synthetic
+# contract bundle — exercises the real-weights day-one flow with no assets
+BUNDLE=$(python - <<'PY'
+import pathlib, sys, tempfile
+sys.path.insert(0, "tests")
+import test_onnx_pipeline as T
+class F:
+    def mktemp(self, name):
+        return pathlib.Path(tempfile.mkdtemp(prefix=name))
+print(T.onnx_dir.__wrapped__(F()))
+PY
+)
+run "onnx-bundle mode" python -m supertonic_tpu.serve.cli \
+    --onnx-dir "$BUNDLE" --n-test 1 --total-step 2 \
+    --text "Graph bundle smoke." --save-dir "$OUT/onnx"
+rm -rf "$BUNDLE"
+# the synthetic bundle emits tiny (sr=80) wavs; exempt from the size gate
+for f in "$OUT"/onnx/*.wav; do
+  [ -s "$f" ] || { echo "FAIL: $f empty"; exit 1; }
+done
+rm -rf "$OUT/onnx"
+
 total=0
 for f in "$OUT"/*/*.wav; do
   size=$(stat -c %s "$f")
