@@ -986,10 +986,12 @@ def op_resize(ctx: Ctx, x, roi=None, scales=None, sizes=None):
                           for i in range(x.ndim))
     x = jnp.asarray(x)
     int_scales = all(abs(s - round(s)) < 1e-9 and s >= 1 for s in scale_vals)
-    if mode == "nearest" and int_scales and coord in (
-            "asymmetric", "half_pixel") and nearest_mode in (
-            "floor", "round_prefer_floor"):
-        # integer upsample (torch nn.Upsample(nearest) export): exact repeat
+    if mode == "nearest" and int_scales and (
+            (coord, nearest_mode) in (("asymmetric", "floor"),
+                                      ("half_pixel", "round_prefer_floor"))):
+        # integer upsample (torch nn.Upsample(nearest) export): element
+        # repeat is index-exact ONLY for these two combos — e.g.
+        # half_pixel+floor at scale 2 is [0,0,0,1,1,2,2,3], not a repeat
         out = x
         for ax, s in enumerate(scale_vals):
             r = round(s)
@@ -1004,7 +1006,10 @@ def op_resize(ctx: Ctx, x, roi=None, scales=None, sizes=None):
     # exact per-axis nearest/linear for every ONNX coordinate mode
     out = x
     for ax in range(x.ndim):
-        if out_shape[ax] == out.shape[ax]:
+        if (out_shape[ax] == out.shape[ax]
+                and abs(scale_vals[ax] - 1.0) < 1e-9):
+            # identity axis; a non-unit scale with floor(in*s) == in still
+            # RESAMPLES per spec (e.g. s=1.2 on dim 3 -> indices [0,0,1])
             continue
         src = _resize_src_coords(out_shape[ax], out.shape[ax],
                                  scale_vals[ax], coord)

@@ -44,11 +44,19 @@ def create_app(tts=None, *, use_batcher: bool = True):
 
     @app.middleware("http")
     async def limit_body(request, call_next):  # same 413 as the stdlib server
-        cl = request.headers.get("content-length")
-        if cl and cl.isdigit() and int(cl) > _MAX_BODY_BYTES:
-            return JSONResponse(
-                {"detail": f"request body exceeds {_MAX_BODY_BYTES} bytes"},
-                status_code=413)
+        if request.method == "POST":
+            cl = request.headers.get("content-length")
+            if cl is None:
+                # chunked transfer has no Content-Length and would bypass
+                # the cap entirely; these JSON requests are tiny — require
+                # a declared length (411 Length Required)
+                return JSONResponse(
+                    {"detail": "Content-Length required"}, status_code=411)
+            if cl.isdigit() and int(cl) > _MAX_BODY_BYTES:
+                return JSONResponse(
+                    {"detail": f"request body exceeds "
+                               f"{_MAX_BODY_BYTES} bytes"},
+                    status_code=413)
         return await call_next(request)
 
     class TTSRequest(BaseModel):

@@ -298,17 +298,28 @@ class TTSService:
 def _device_memory_stats() -> dict | None:
     """Live accelerator memory (bytes) for capacity planning — params +
     style cache + in-flight batches are all device-resident; OOM on a
-    production host shows up here long before it kills a request."""
+    production host shows up here long before it kills a request. Reports
+    EVERY local device (a sharded engine can pressure chip k while chip 0
+    sits idle) plus the worst in-use/limit ratio across them."""
     try:
         import jax
 
-        stats = jax.devices()[0].memory_stats()
+        per_dev = [d.memory_stats() for d in jax.local_devices()]
     except Exception:  # CPU backend / tunnel without stats support
         return None
-    if not stats:
-        return None
     keep = ("bytes_in_use", "peak_bytes_in_use", "bytes_limit")
-    return {k: stats[k] for k in keep if k in stats}
+    rows = [{k: s[k] for k in keep if k in s} for s in per_dev if s]
+    if not rows:
+        return None
+    worst = max(
+        (r["bytes_in_use"] / r["bytes_limit"]
+         for r in rows if r.get("bytes_limit")),
+        default=None,
+    )
+    out: dict = {"devices": rows}
+    if worst is not None:
+        out["worst_in_use_frac"] = round(worst, 4)
+    return out
 
 
 def make_server(tts, host: str = "0.0.0.0", port: int = 8000,
@@ -369,10 +380,19 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000,
                 if length > _MAX_BODY_BYTES:
                     # refuse to buffer an arbitrarily large request body (a
                     # 1 GB Content-Length would be read into memory before
-                    # any validation ran)
+                    # any validation ran). Drain a bounded amount first:
+                    # closing with unread bytes in the kernel buffer sends
+                    # a TCP RST that can destroy the 413 before the client
+                    # reads it; truly abusive sizes get the RST.
                     self._send_json(413, {
                         "detail": f"request body exceeds "
                                   f"{_MAX_BODY_BYTES} bytes"})
+                    remaining = min(length, 4 * _MAX_BODY_BYTES)
+                    while remaining > 0:
+                        chunk = self.rfile.read(min(remaining, 1 << 20))
+                        if not chunk:
+                            break
+                        remaining -= len(chunk)
                     return
                 body = json.loads(self.rfile.read(length) or b"{}")
                 req = _parse_request(body)

@@ -963,3 +963,54 @@ def test_static_vs_traced_path_fuzz(rng):
             np.asarray(got_traced), np.asarray(got_static),
             rtol=2e-6, atol=1e-5,
             err_msg=f"trial {trial}: static/traced drift in {nodes}")
+
+
+def test_resize_nearest_repeat_combos_exact(rng):
+    """Integer-scale nearest: element repeat is index-exact ONLY for
+    (asymmetric, floor) and (half_pixel, round_prefer_floor); the other
+    combos must go through the exact per-axis gather (e.g. half_pixel+floor
+    at scale 2 is [0,0,0,1,1,2,2,3], NOT a repeat)."""
+    x = rng.standard_normal((1, 2, 4)).astype(F32)
+
+    def run_resize(coord, nearest):
+        ex = build(
+            [("Resize", ["x", "", "s"], ["y"],
+              {"mode": "nearest", "coordinate_transformation_mode": coord,
+               "nearest_mode": nearest})],
+            inits={"s": np.asarray([1, 1, 2.0], F32)},
+            inputs=[("x", F32, x.shape)], outputs=[("y", F32, ("B", "C", "W"))],
+        )
+        return np.asarray(run1(ex, x=x))
+
+    def spec_idx(coord, nearest):
+        src = (np.arange(8, dtype=np.float32) + 0.5) / 2 - 0.5 \
+            if coord == "half_pixel" else np.arange(8, dtype=np.float32) / 2
+        if nearest == "floor":
+            idx = np.floor(src)
+        else:  # round_prefer_floor
+            idx = np.ceil(src - 0.5)
+        return np.clip(idx, 0, 3).astype(int)
+
+    for coord in ("asymmetric", "half_pixel"):
+        for nearest in ("floor", "round_prefer_floor"):
+            got = run_resize(coord, nearest)
+            want = x[:, :, spec_idx(coord, nearest)]
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"{coord}/{nearest}")
+
+
+def test_resize_same_dim_nonunit_scale_resamples(rng):
+    """floor(in*scale) == in does NOT mean identity: scale=1.2 on dim 3
+    keeps the length but the spec still resamples (indices [0,0,1])."""
+    x = rng.standard_normal((1, 2, 3)).astype(F32)
+    ex = build(
+        [("Resize", ["x", "", "s"], ["y"],
+          {"mode": "nearest", "coordinate_transformation_mode": "asymmetric",
+           "nearest_mode": "floor"})],
+        inits={"s": np.asarray([1, 1, 1.2], F32)},
+        inputs=[("x", F32, x.shape)], outputs=[("y", F32, ("B", "C", "W"))],
+    )
+    got = np.asarray(run1(ex, x=x))
+    src = np.arange(3, dtype=np.float32) / np.float32(1.2)
+    want = x[:, :, np.floor(src).astype(int)]
+    np.testing.assert_array_equal(got, want)

@@ -94,7 +94,12 @@ def main(argv=None) -> int:
     speedup = adapter["p50_ms"] / fused["p50_ms"]
     print(json.dumps({"adapter": adapter, "fused": fused,
                       "speedup_p50": round(speedup, 2),
-                      "total_step": args.total_step, "n": args.n}))
+                      "total_step": args.total_step, "n": args.n,
+                      # both arms pay the same waveform egress (the adapter
+                      # has no device-resident output mode), so this
+                      # constant adder UNDERSTATES the pure dispatch-mode
+                      # ratio on slow device links
+                      "note": "latency includes waveform egress"}))
     return 0
 
 

@@ -31,13 +31,14 @@ run "long-form mode" python -m supertonic_tpu.serve.cli \
 
 # 4th mode (ours): the ONNX graph-executor serving path over a synthetic
 # contract bundle — exercises the real-weights day-one flow with no assets
-BUNDLE=$(python - <<'PY'
-import pathlib, sys, tempfile
+BUNDLE=$(OUT="$OUT" python - <<'PY'
+import os, pathlib, sys, tempfile
 sys.path.insert(0, "tests")
 import test_onnx_pipeline as T
 class F:
-    def mktemp(self, name):
-        return pathlib.Path(tempfile.mkdtemp(prefix=name))
+    def mktemp(self, name):  # inside $OUT so the EXIT trap cleans it up
+        return pathlib.Path(tempfile.mkdtemp(prefix=name,
+                                             dir=os.environ["OUT"]))
 print(T.onnx_dir.__wrapped__(F()))
 PY
 )
