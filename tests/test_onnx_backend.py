@@ -194,3 +194,25 @@ def test_backend_contract_name_mismatch_raises(onnx_dir, tmp_path):  # noqa: F81
     # random weights for structurally-wrong graphs hides a real bug)
     with pytest.raises(ValueError, match="contract"):
         TTS(str(d))
+
+
+def test_backend_bucket_discipline_bounds_compiles(onnx_dir):  # noqa: F811
+    """The fused executor program must honor the same (B, L, T) bucket
+    ladders as the native engine: same-bucket requests reuse one compiled
+    program (tests/test_recompile.py twin for the graph backend)."""
+    eng = _engine(onnx_dir)
+    rng = np.random.default_rng(17)
+    style = _style(rng)
+    # all three land in the same (L=64, B=1, T, steps) bucket cell
+    eng.infer_batch(["First warm sentence right here."], ["en"], style,
+                    total_step=2)
+    n0 = eng._fused_fn._cache_size()
+    # same text bucket, same batch bucket, same steps -> zero new compiles
+    eng.infer_batch(["Second warm sentence goes here."], ["en"], style,
+                    total_step=2)
+    eng.infer_batch(["Third warm sentence lives here!"], ["en"], style,
+                    total_step=2)
+    assert eng._fused_fn._cache_size() == n0
+    # different step count -> exactly the new static config compiles
+    eng.infer_batch(["Different steps now."], ["en"], style, total_step=3)
+    assert eng._fused_fn._cache_size() > n0
