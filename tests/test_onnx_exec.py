@@ -872,17 +872,20 @@ def test_resize_coordinate_modes_vs_torch(rng):
         )
         return run1(ex, x=x)
 
-    # linear + align_corners == torch interpolate(align_corners=True)
+    # linear + align_corners == torch interpolate(align_corners=True).
+    # atol 5e-6: the persistent XLA compile cache is shared across
+    # heterogeneous CPU hosts, and a program compiled elsewhere may pick
+    # different FMA contractions (~2e-6 wobble on the lerp)
     got = run_resize([1, 1, 2.5], "linear", "align_corners")
     want = tF.interpolate(t, scale_factor=2.5, mode="linear",
                           align_corners=True).numpy()
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=5e-6)
 
     # linear + half_pixel == torch interpolate(align_corners=False)
     got = run_resize([1, 1, 3.0], "linear", "half_pixel")
     want = tF.interpolate(t, scale_factor=3.0, mode="linear",
                           align_corners=False).numpy()
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=5e-6)
 
     # nearest + asymmetric + floor: ONNX-spec indices are floor(i / scale)
     # (torch's runtime nearest uses floor(i * in / out), a known
@@ -902,7 +905,7 @@ def test_resize_coordinate_modes_vs_torch(rng):
     hi = np.clip(lo + 1, 0, 10)
     w = np.clip(src - lo, 0.0, 1.0)
     want = x[:, :, lo] * (1 - w) + x[:, :, hi] * w
-    np.testing.assert_allclose(got, want.astype(F32), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got, want.astype(F32), rtol=1e-5, atol=5e-6)
 
 
 def test_static_vs_traced_path_fuzz(rng):
