@@ -111,3 +111,58 @@ def test_soak_concurrent_mixed_requests(engine, tiny_config):
         assert batcher.stats["batches"] < 40  # real coalescing happened
     finally:
         batcher.shutdown()
+
+
+class TestFaultInjection:
+    """SURVEY.md §5 failure-handling row: an engine failure mid-batch must
+    fail exactly that batch's futures with the real exception and leave the
+    batcher serving — not deadlock waiters or kill the dispatch thread."""
+
+    def test_dispatch_failure_fails_futures_then_recovers(
+            self, engine, tiny_config):
+        real_begin = engine.infer_batch_begin
+        boom = {"armed": True}
+
+        def flaky_begin(*a, **kw):
+            if boom.pop("armed", False):
+                raise RuntimeError("injected dispatch failure")
+            return real_begin(*a, **kw)
+
+        engine.infer_batch_begin = flaky_begin
+        batcher = ContinuousBatcher(engine, max_batch=4, max_wait_ms=10.0)
+        style = _style(tiny_config)
+        try:
+            f = batcher.submit("Doomed request.", "en", style, total_step=2)
+            with pytest.raises(RuntimeError, match="injected dispatch"):
+                f.result(timeout=300)
+            # batcher thread survived: the next request succeeds
+            f2 = batcher.submit("Recovered request.", "en", style,
+                                total_step=2)
+            wav, dur = f2.result(timeout=300)
+            assert dur > 0 and np.isfinite(wav).all()
+        finally:
+            batcher.shutdown()
+
+    def test_resolve_failure_fails_futures_then_recovers(
+            self, engine, tiny_config):
+        real_end = engine.infer_batch_end
+        boom = {"armed": True}
+
+        def flaky_end(pending):
+            if boom.pop("armed", False):
+                raise RuntimeError("injected resolve failure")
+            return real_end(pending)
+
+        engine.infer_batch_end = flaky_end
+        batcher = ContinuousBatcher(engine, max_batch=4, max_wait_ms=10.0)
+        style = _style(tiny_config)
+        try:
+            f = batcher.submit("Doomed at resolve.", "en", style,
+                               total_step=2)
+            with pytest.raises(RuntimeError, match="injected resolve"):
+                f.result(timeout=300)
+            f2 = batcher.submit("Still serving.", "en", style, total_step=2)
+            wav, dur = f2.result(timeout=300)
+            assert dur > 0
+        finally:
+            batcher.shutdown()
