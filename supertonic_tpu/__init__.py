@@ -73,7 +73,23 @@ class TTS:
                           == "f32" else "default")
                     backend = load_onnx_backend(graphs_dir, self.cfg,
                                                 matmul_precision=mp)
-                else:
+                    try:
+                        # abstract trace (no compile): graphs that can't
+                        # compose into the fused programs — e.g. an
+                        # estimator whose output shape breaks the
+                        # fori_loop invariant — surface HERE, and serving
+                        # degrades to the per-call adapter instead of
+                        # 500ing the first live request
+                        backend.validate()
+                    except Exception as e:
+                        log.warning(
+                            "onnx_fused_backend_untraceable",
+                            dir=graphs_dir,
+                            error=f"{type(e).__name__}: {e}",
+                            fallback="per-call adapter")
+                        backend = None
+                        fused = False
+                if not fused or backend is None:
                     from .assets import load_onnx_pipeline
 
                     pipeline = load_onnx_pipeline(graphs_dir, seed=seed,

@@ -161,6 +161,30 @@ class OnnxStageBackend:
             wav = S._mulaw_encode(wav)
         return wav, dur
 
+    def validate(self, *, total_step: int = 2, t_pad: int = 32,
+                 l_pad: int = 16) -> None:
+        """Abstractly trace the fused program on tiny shapes
+        (jax.eval_shape: no XLA compile, milliseconds). Raises the
+        UnsupportedOp/ValueError a real graph would otherwise throw on the
+        FIRST live request — callers can fall back to the per-call adapter
+        at startup instead of serving 500s."""
+        cfg = self.cfg
+        S = jax.ShapeDtypeStruct
+        ids = S((1, l_pad), jnp.int32)
+        mask = S((1, l_pad), jnp.float32)
+        sdp = S((1, cfg.dp.style.n_style, cfg.dp.style.style_value_dim),
+                jnp.float32)
+        sttl = S((1, cfg.ttl.style.n_style, cfg.ttl.style.style_value_dim),
+                 jnp.float32)
+        key = jax.random.key(0)
+
+        def run(params, i, m, a, b):
+            return self.fused_fn(params, i, m, a, b, key,
+                                 jnp.float32(1.05), total_step, t_pad,
+                                 "int16")
+
+        jax.eval_shape(run, self.params, ids, mask, sdp, sttl)
+
     # -- step-at-a-time programs for engine.infer_with_progress ------------
 
     def progress_fns(self):

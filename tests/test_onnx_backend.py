@@ -216,3 +216,44 @@ def test_backend_bucket_discipline_bounds_compiles(onnx_dir):  # noqa: F811
     # different step count -> exactly the new static config compiles
     eng.infer_batch(["Different steps now."], ["en"], style, total_step=3)
     assert eng._fused_fn._cache_size() > n0
+
+
+def test_untraceable_fused_backend_falls_back_to_adapter(
+        onnx_dir, tmp_path, monkeypatch):  # noqa: F811
+    """A graph set that can't compose into the fused programs (estimator
+    output grows T by one — breaks the fori_loop shape invariant) must be
+    caught by the startup eval_shape validation, and TTS() degrades to the
+    per-call adapter instead of 500ing the first request."""
+    import shutil
+
+    from supertonic_tpu.assets import onnx_reader as R
+    from supertonic_tpu.engine.onnx_adapter import OnnxEngineAdapter
+
+    d = tmp_path / "loopbreaker"
+    shutil.copytree(onnx_dir, d)
+    w = np.load(os.path.join(onnx_dir, "weights.npy"),
+                allow_pickle=True).item()
+    C = CCF * 3
+    nodes = [R.encode_node("Conv", ["noisy_latent", "w_conv"], ["cv"],
+                           name="n0",
+                           attrs={"pads": [1, 1], "kernel_shape": [3]}),
+             R.encode_node("Pad", ["cv", "pads"], ["denoised_latent"],
+                           name="n1")]
+    inits = [R.encode_tensor("w_conv", w["w_conv"]),
+             R.encode_tensor("pads", np.asarray([0, 0, 0, 0, 0, 1],
+                                                np.int64))]
+    vis_in = [R.encode_value_info("noisy_latent", np.float32, ("B", C, "T")),
+              R.encode_value_info("text_emb", np.float32, ("B", 5, "L")),
+              R.encode_value_info("style_ttl", np.float32, ("B", 2, 4)),
+              R.encode_value_info("text_mask", np.float32, ("B", 1, "L")),
+              R.encode_value_info("latent_mask", np.float32, ("B", 1, "T")),
+              R.encode_value_info("current_step", np.float32, ("B",)),
+              R.encode_value_info("total_step", np.float32, ("B",))]
+    vis_out = [R.encode_value_info("denoised_latent", np.float32,
+                                   ("B", C, "T1"))]
+    (d / "vector_estimator.onnx").write_bytes(
+        R.encode_model("g", nodes, inits, vis_in, vis_out))
+
+    monkeypatch.delenv("TTS_ONNX_FUSED", raising=False)
+    tts = TTS(str(d))
+    assert isinstance(tts.engine, OnnxEngineAdapter)
