@@ -77,6 +77,10 @@ def create_app(tts=None, *, use_batcher: bool = True):
     def metrics():
         return JSONResponse(service.metrics())
 
+    @app.get("/voices")
+    def voices():
+        return JSONResponse(service.voices())
+
     @app.post("/tts")
     def synthesize(req: TTSRequest):
         try:

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import threading
 import time
 import zipfile
@@ -285,6 +286,23 @@ class TTSService:
 
         return body()
 
+    def voices(self) -> dict:
+        """Available voice-style presets. The reference leaves clients to
+        hardcode the 10 names (web/index.html:31-41); with a mounted
+        voice_styles/ dir this reflects what is actually loadable."""
+        import glob
+
+        sd = getattr(getattr(self.tts, "assets", None), "style_dir", None)
+        if sd:
+            names = sorted(
+                os.path.splitext(os.path.basename(p))[0]
+                for p in glob.glob(os.path.join(sd, "*.json")))
+            if names:
+                return {"voices": names, "source": "style_dir"}
+        from ..config import VOICE_PRESETS
+
+        return {"voices": list(VOICE_PRESETS), "source": "presets"}
+
     def metrics(self) -> dict:
         out = self.tts.engine.profiler.summary()
         if self.batcher is not None:
@@ -347,6 +365,8 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000,
                 self._send_json(200, {"status": "ok"})
             elif self.path == "/metrics":
                 self._send_json(200, service.metrics())
+            elif self.path == "/voices":
+                self._send_json(200, service.voices())
             else:
                 self._send_json(404, {"detail": "not found"})
 

@@ -262,3 +262,11 @@ def test_oversized_body_413(base_url):
                    headers={"content-type": "application/json"}, timeout=30)
     assert r.status_code == 413
     assert "exceeds" in r.json()["detail"]
+
+
+def test_voices_endpoint(base_url):
+    r = httpx.get(f"{base_url}/voices")
+    assert r.status_code == 200
+    body = r.json()
+    assert body["voices"] and "M1" in body["voices"]
+    assert body["source"] in ("presets", "style_dir")
