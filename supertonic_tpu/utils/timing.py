@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import contextlib
 import time
-from collections import defaultdict
+from collections import defaultdict, deque
 from dataclasses import dataclass, field
 
 
@@ -38,8 +38,14 @@ class StageProfiler:
     stages: dict = field(default_factory=lambda: defaultdict(float))
     counts: dict = field(default_factory=lambda: defaultdict(int))
     counters: dict = field(default_factory=lambda: defaultdict(int))
-    latencies_s: list = field(default_factory=list)
-    ttfa_s: list = field(default_factory=list)
+    # percentile windows are BOUNDED (sliding window of the most recent
+    # samples): an unbounded list leaks memory in a long-lived server and
+    # makes np.percentile cost grow with uptime. Totals keep counting in
+    # n_requests / n_streams.
+    latencies_s: object = field(default_factory=lambda: deque(maxlen=10000))
+    ttfa_s: object = field(default_factory=lambda: deque(maxlen=10000))
+    n_requests: int = 0
+    n_streams: int = 0
     audio_seconds: float = 0.0
     chars: int = 0
     synth_seconds: float = 0.0
@@ -79,16 +85,19 @@ class StageProfiler:
         self.record_throughput(audio_seconds, chars, synth_seconds)
         with self._lock:
             self.latencies_s.append(synth_seconds)
+            self.n_requests += 1
 
     def record_request_latency(self, latency_s: float):
         """Per-request end-to-end latency (submit → trimmed audio on host)."""
         with self._lock:
             self.latencies_s.append(latency_s)
+            self.n_requests += 1
 
     def record_ttfa(self, seconds: float):
         """Time-to-first-audio for a streaming response."""
         with self._lock:
             self.ttfa_s.append(seconds)
+            self.n_streams += 1
 
     @staticmethod
     def _percentile(values: list, pct: float) -> float:
@@ -96,7 +105,7 @@ class StageProfiler:
             return 0.0
         import numpy as np
 
-        return float(np.percentile(np.asarray(values), pct))
+        return float(np.percentile(np.asarray(list(values)), pct))
 
     def latency_percentile(self, pct: float) -> float:
         return self._percentile(self.latencies_s, pct)
@@ -122,10 +131,10 @@ class StageProfiler:
             "audio_sec_per_sec": self.audio_sec_per_sec,
             "audio_seconds": self.audio_seconds,
             "synth_seconds": self.synth_seconds,
-            "requests": len(self.latencies_s),
+            "requests": self.n_requests,
             "latency_p50_s": self.latency_percentile(50),
             "latency_p95_s": self.latency_percentile(95),
-            "streams": len(self.ttfa_s),
+            "streams": self.n_streams,
             "ttfa_p50_s": self._percentile(self.ttfa_s, 50),
             "ttfa_p95_s": self._percentile(self.ttfa_s, 95),
         }

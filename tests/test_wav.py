@@ -30,3 +30,20 @@ def test_clipping():
     data = wav_bytes(np.array([2.0, -2.0], dtype=np.float32), 8000)
     out, _ = read_wav(io.BytesIO(data))
     np.testing.assert_allclose(out, [1.0, -1.0], atol=1e-4)
+
+
+def test_profiler_windows_bounded():
+    """Percentile sample windows must not grow with uptime (a long-lived
+    server would otherwise leak ~8 bytes/request forever); totals keep
+    counting past the window."""
+    from supertonic_tpu.utils.timing import StageProfiler
+
+    p = StageProfiler()
+    for i in range(25_000):
+        p.record_request_latency(float(i % 7))
+    p.record_ttfa(0.1)
+    s = p.summary()
+    assert s["requests"] == 25_000          # total keeps counting
+    assert len(p.latencies_s) == 10_000     # window stays bounded
+    assert s["streams"] == 1
+    assert s["latency_p50_s"] >= 0.0
