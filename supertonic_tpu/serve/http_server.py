@@ -108,11 +108,19 @@ class TTSService:
             self.batcher = None
 
     def get_style(self, name: str):
+        # HTTP callers select styles by NAME (presets or style_dir
+        # entries). Path separators would turn this into load-any-JSON-on-
+        # disk; the CLI keeps full-path freedom for local users.
+        if "/" in name or "\\" in name or name.startswith("."):
+            raise ValidationError(400, f"Unknown voice style: {name!r}")
         if name not in self._style_cache:
             try:
-                self._style_cache[name] = self.tts.assets.get_voice_style(name)
+                style = self.tts.assets.get_voice_style(name)
             except FileNotFoundError as e:
                 raise ValidationError(400, str(e))
+            while len(self._style_cache) >= 64:  # bound long-uptime growth
+                self._style_cache.pop(next(iter(self._style_cache)))
+            self._style_cache[name] = style
         return self._style_cache[name]
 
     # ------------------------------------------------------------------

@@ -270,3 +270,12 @@ def test_voices_endpoint(base_url):
     body = r.json()
     assert body["voices"] and "M1" in body["voices"]
     assert body["source"] in ("presets", "style_dir")
+
+
+def test_style_path_rejected_over_http(base_url, tmp_path):
+    """voice_style over HTTP is a NAME, not a path — a path would let any
+    readable JSON on the host be loaded as a style."""
+    for bad in ("../styles/M1", "/tmp/anything.json", ".hidden"):
+        r = httpx.post(f"{base_url}/tts",
+                       json={"text": "x", "voice_style": bad}, timeout=60)
+        assert r.status_code == 400, (bad, r.status_code)
