@@ -464,7 +464,33 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000,
         # stdlib default backlog is 5: concurrent client bursts get their
         # connections refused before a handler thread ever spawns
         request_queue_size = 128
-        daemon_threads = True
+        daemon_threads = True  # abrupt interpreter exit must never hang
+
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self._active: set = set()
+            self._active_lock = threading.Lock()
+
+        def process_request_thread(self, request, client_address):
+            t = threading.current_thread()
+            with self._active_lock:
+                self._active.add(t)
+            try:
+                super().process_request_thread(request, client_address)
+            finally:
+                with self._active_lock:
+                    self._active.discard(t)
+
+        def join_handlers(self, timeout: float = 65.0) -> bool:
+            """Wait for in-flight handlers after shutdown() (graceful
+            drain); daemon_threads means the stdlib won't. True = drained."""
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                with self._active_lock:
+                    if not self._active:
+                        return True
+                time.sleep(0.05)
+            return False
 
     server = Server((host, port), Handler)
     server.service = service  # expose for tests / graceful shutdown
@@ -517,7 +543,21 @@ def main():
                          max_batch=max_batch)
     print(f"Serving Supertonic-TPU TTS on {host}:{port} "
           f"(batcher={'on' if use_batcher else 'off'})")
+
+    # graceful drain on SIGTERM (pod rollouts / host maintenance): stop
+    # accepting, let in-flight handlers finish (bounded by the 60 s handler
+    # timeout), then shut the batcher down
+    import signal
+
+    def _graceful(signum, frame):
+        log.info("sigterm_draining")
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _graceful)
     server.serve_forever()
+    server.join_handlers()
+    server.service.close()
+    log.info("drained_exit")
 
 
 if __name__ == "__main__":

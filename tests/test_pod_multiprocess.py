@@ -113,3 +113,36 @@ def test_pod_failover_on_process_death(pod_procs):
                    json={"text": "After a host loss.", "total_step": 2},
                    timeout=120)
     assert r.status_code == 200
+
+
+def test_graceful_sigterm_drain(onnx_dir):  # noqa: F811
+    """SIGTERM mid-request: the in-flight response completes (200 + audio),
+    the batcher shuts down, and the process exits 0 after draining."""
+    import signal
+
+    port = _free_port()
+    proc = _spawn_backend(onnx_dir, port)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        _wait_healthy(base, proc)
+        result = {}
+
+        def long_req():
+            text = ("A fairly long sentence for the drain test, with "
+                    "words. " * 12)
+            r = httpx.post(f"{base}/tts",
+                           json={"text": text, "total_step": 5}, timeout=120)
+            result["status"] = r.status_code
+            result["bytes"] = len(r.content)
+
+        t = threading.Thread(target=long_req)
+        t.start()
+        time.sleep(0.25)  # request now in flight
+        proc.send_signal(signal.SIGTERM)
+        t.join(timeout=90)
+        rc = proc.wait(timeout=90)
+        assert result.get("status") == 200 and result.get("bytes", 0) > 44
+        assert rc == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
