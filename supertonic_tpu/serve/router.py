@@ -31,6 +31,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import urlsplit
 
 from ..utils.logging import default_logger as log
+from .http_server import _MAX_BODY_BYTES
 
 
 @dataclass
@@ -247,6 +248,18 @@ def make_router_server(router: Router, host: str = "0.0.0.0",
                 return
             t0 = time.perf_counter()
             length = int(self.headers.get("Content-Length", 0))
+            if length > _MAX_BODY_BYTES:
+                # same cap as the backends (http_server): don't buffer an
+                # arbitrarily large body before forwarding
+                self._send_json(413, {
+                    "detail": f"request body exceeds {_MAX_BODY_BYTES} bytes"})
+                remaining = min(length, 4 * _MAX_BODY_BYTES)
+                while remaining > 0:
+                    chunk = self.rfile.read(min(remaining, 1 << 20))
+                    if not chunk:
+                        break
+                    remaining -= len(chunk)
+                return
             body = self.rfile.read(length)
             try:
                 status, hdrs, payload, backend = router.forward(
@@ -291,7 +304,18 @@ def main():
     port = int(os.getenv("TTS_ROUTER_PORT", "8080"))
     server = make_router_server(router, host, port)
     print(f"Routing /tts over {len(urls)} backends on {host}:{port}")
+
+    import signal
+    import threading
+
+    def _graceful(signum, frame):
+        log.info("router_sigterm_draining")
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _graceful)
     server.serve_forever()
+    router.close()
+    log.info("router_drained_exit")
 
 
 if __name__ == "__main__":

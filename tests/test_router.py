@@ -154,3 +154,11 @@ def test_router_recovery(tiny_config):
     finally:
         server.shutdown()
         server.service.close()
+
+
+def test_router_oversized_body_413(pod):
+    front_url, router, servers, urls = pod
+    big = b'{"text": "' + b"a" * (9 * 1024 * 1024) + b'"}'
+    r = httpx.post(f"{front_url}/tts", content=big,
+                   headers={"content-type": "application/json"}, timeout=30)
+    assert r.status_code == 413
