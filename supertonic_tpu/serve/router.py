@@ -187,6 +187,66 @@ class Router:
         raise NoBackendAvailable(
             f"all backends failed after {len(tried)} attempts: {last_err}")
 
+    def forward_stream(self, method: str, path: str, body: bytes | None,
+                       headers: dict | None = None):
+        """Like forward() but yields the backend's response body
+        incrementally — /tts/stream keeps its time-to-first-audio through
+        the front door instead of being buffered whole. Returns (status,
+        headers, chunk_iterator, backend_url). Retries apply only until the
+        response headers arrive; once body bytes flow, a backend failure
+        truncates the stream (the client sees a short read)."""
+        tried: set[str] = set()
+        last_err: Exception | None = None
+        for attempt in range(self.max_attempts):
+            try:
+                backend = self.pick(exclude=tried)
+            except NoBackendAvailable:
+                break
+            tried.add(backend.url)
+            backend.acquire()
+            host, port = backend.hostport
+            conn = http.client.HTTPConnection(
+                host, port, timeout=self.request_timeout_s)
+            try:
+                conn.request(method, path, body=body, headers=headers or {})
+                resp = conn.getresponse()
+            except OSError as e:
+                conn.close()
+                backend.release()
+                last_err = e
+                backend.mark_failed(self.failure_threshold)
+                backend.retries_absorbed += 1
+                log.warning("backend_request_failed", backend=backend.url,
+                            error=str(e), attempt=attempt + 1)
+                continue
+            if resp.status >= 500:
+                resp.read()
+                conn.close()
+                backend.release()
+                backend.mark_failed(self.failure_threshold)
+                backend.retries_absorbed += 1
+                last_err = RuntimeError(f"{backend.url} -> {resp.status}")
+                continue
+            backend.mark_ok()
+
+            def chunks(conn=conn, resp=resp, backend=backend):
+                try:
+                    while True:
+                        # read1: return as soon as ANY bytes arrive —
+                        # read(n) would block until n bytes or EOF,
+                        # buffering the whole stream and destroying TTFA
+                        piece = resp.read1(64 * 1024)
+                        if not piece:
+                            break
+                        yield piece
+                finally:  # also runs on client disconnect (GeneratorExit)
+                    conn.close()
+                    backend.release()
+
+            return resp.status, dict(resp.getheaders()), chunks(), backend.url
+        raise NoBackendAvailable(
+            f"all backends failed after {len(tried)} attempts: {last_err}")
+
     # --------------------------------------------------------------- status
     def health(self) -> tuple[int, dict]:
         healthy = [b for b in self.backends if b.healthy]
@@ -261,11 +321,37 @@ def make_router_server(router: Router, host: str = "0.0.0.0",
                     remaining -= len(chunk)
                 return
             body = self.rfile.read(length)
+            fwd_headers = {"Content-Type": "application/json",
+                           "Content-Length": str(len(body))}
+            if self.path == "/tts/stream":
+                # pass-through streaming: first audio bytes reach the
+                # client as the backend produces them (TTFA preserved
+                # through the front door)
+                try:
+                    status, hdrs, chunks, backend = router.forward_stream(
+                        "POST", self.path, body, headers=fwd_headers)
+                except NoBackendAvailable as e:
+                    self._send_json(503, {"detail": str(e)})
+                    return
+                self.send_response(status)
+                self.send_header("Content-Type",
+                                 hdrs.get("Content-Type", "audio/wav"))
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                try:
+                    for piece in chunks:
+                        self.wfile.write(f"{len(piece):X}\r\n".encode())
+                        self.wfile.write(piece)
+                        self.wfile.write(b"\r\n")
+                    self.wfile.write(b"0\r\n\r\n")
+                except (BrokenPipeError, ConnectionResetError):
+                    chunks.close()  # releases the backend slot
+                log.info("routed_stream", backend=backend, status=status,
+                         latency_s=round(time.perf_counter() - t0, 4))
+                return
             try:
                 status, hdrs, payload, backend = router.forward(
-                    "POST", self.path, body,
-                    headers={"Content-Type": "application/json",
-                             "Content-Length": str(len(body))},
+                    "POST", self.path, body, headers=fwd_headers,
                 )
             except NoBackendAvailable as e:
                 self._send_json(503, {"detail": str(e)})

