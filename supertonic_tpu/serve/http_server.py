@@ -47,6 +47,66 @@ class ValidationError(Exception):
         self.detail = detail
 
 
+def drain_body(handler, length: int,
+               cap: int = 4 * _MAX_BODY_BYTES) -> None:
+    """Read-and-discard up to ``cap`` bytes of an oversized request body
+    after refusing it: closing with unread bytes in the kernel buffer sends
+    a TCP RST that can destroy the refusal response before the client reads
+    it; truly abusive sizes get the RST."""
+    remaining = min(length, cap)
+    while remaining > 0:
+        chunk = handler.rfile.read(min(remaining, 1 << 20))
+        if not chunk:
+            break
+        remaining -= len(chunk)
+
+
+class GracefulThreadingServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer that can DRAIN: it tracks in-flight handler
+    threads (daemon_threads means the stdlib won't) so a SIGTERM path can
+    stop accepting, close the listener, and wait for active responses to
+    finish instead of cutting them with a TCP reset."""
+
+    # stdlib default backlog is 5: concurrent client bursts get their
+    # connections refused before a handler thread ever spawns
+    request_queue_size = 128
+    daemon_threads = True  # abrupt interpreter exit must never hang
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._active: set = set()
+        self._active_lock = threading.Lock()
+
+    def process_request_thread(self, request, client_address):
+        t = threading.current_thread()
+        with self._active_lock:
+            self._active.add(t)
+        try:
+            super().process_request_thread(request, client_address)
+        finally:
+            with self._active_lock:
+                self._active.discard(t)
+
+    def join_handlers(self, timeout: float = 65.0) -> bool:
+        """Wait for in-flight handlers after shutdown(). True = drained."""
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            with self._active_lock:
+                if not self._active:
+                    return True
+            time.sleep(0.05)
+        return False
+
+    def drain(self, close_cb=None) -> None:
+        """Full graceful-drain sequence for a main() exiting serve_forever:
+        refuse new connections immediately, wait for in-flight responses,
+        then run ``close_cb`` (batcher/router teardown)."""
+        self.server_close()  # new connections get refused, not queued
+        self.join_handlers()
+        if close_cb is not None:
+            close_cb()
+
+
 def _ensure_list(v):
     return v if isinstance(v, list) else [v]
 
@@ -94,6 +154,8 @@ class TTSService:
                  max_batch: int = 32, max_wait_ms: float = 10.0):
         self.tts = tts
         self._style_cache: dict[str, object] = {}
+        self._style_lock = threading.Lock()  # cache-only; _lock serializes
+        # non-batcher synthesis and CALLS get_style while held
         self._lock = threading.Lock()
         self.batcher = None
         if use_batcher:
@@ -113,15 +175,19 @@ class TTSService:
         # disk; the CLI keeps full-path freedom for local users.
         if "/" in name or "\\" in name or name.startswith("."):
             raise ValidationError(400, f"Unknown voice style: {name!r}")
-        if name not in self._style_cache:
-            try:
-                style = self.tts.assets.get_voice_style(name)
-            except FileNotFoundError as e:
-                raise ValidationError(400, str(e))
+        with self._style_lock:  # handler threads race on lookup/evict/insert
+            hit = self._style_cache.get(name)
+        if hit is not None:
+            return hit
+        try:
+            style = self.tts.assets.get_voice_style(name)
+        except FileNotFoundError as e:
+            raise ValidationError(400, str(e))
+        with self._style_lock:
             while len(self._style_cache) >= 64:  # bound long-uptime growth
                 self._style_cache.pop(next(iter(self._style_cache)))
             self._style_cache[name] = style
-        return self._style_cache[name]
+        return style
 
     # ------------------------------------------------------------------
     def _validate(self, req: dict) -> tuple[list, list, list]:
@@ -354,14 +420,25 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000,
     service = TTSService(tts, use_batcher=use_batcher, max_batch=max_batch)
 
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer (our /tts/stream framing) is HTTP/1.1-only; the
+        # stdlib default advertises HTTP/1.0, which tells strict clients /
+        # proxies to read the chunk framing as body bytes
+        protocol_version = "HTTP/1.1"
         # dead/stalled clients must not pin a handler thread forever
         timeout = 60
 
-        def _send_json(self, status: int, obj: dict):
+        def _send_json(self, status: int, obj: dict, *,
+                       close: bool = False):
             payload = json.dumps(obj).encode()
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(payload)))
+            if close:
+                # under HTTP/1.1 the client assumes keep-alive unless told
+                # otherwise; closing silently makes its NEXT request on
+                # this connection fail with a mid-air disconnect
+                self.send_header("Connection", "close")
+                self.close_connection = True
             self.end_headers()
             self.wfile.write(payload)
 
@@ -414,13 +491,8 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000,
                     # reads it; truly abusive sizes get the RST.
                     self._send_json(413, {
                         "detail": f"request body exceeds "
-                                  f"{_MAX_BODY_BYTES} bytes"})
-                    remaining = min(length, 4 * _MAX_BODY_BYTES)
-                    while remaining > 0:
-                        chunk = self.rfile.read(min(remaining, 1 << 20))
-                        if not chunk:
-                            break
-                        remaining -= len(chunk)
+                                  f"{_MAX_BODY_BYTES} bytes"}, close=True)
+                    drain_body(self, length)
                     return
                 body = json.loads(self.rfile.read(length) or b"{}")
                 req = _parse_request(body)
@@ -460,39 +532,7 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000,
             self.end_headers()
             self.wfile.write(payload)
 
-    class Server(ThreadingHTTPServer):
-        # stdlib default backlog is 5: concurrent client bursts get their
-        # connections refused before a handler thread ever spawns
-        request_queue_size = 128
-        daemon_threads = True  # abrupt interpreter exit must never hang
-
-        def __init__(self, *a, **kw):
-            super().__init__(*a, **kw)
-            self._active: set = set()
-            self._active_lock = threading.Lock()
-
-        def process_request_thread(self, request, client_address):
-            t = threading.current_thread()
-            with self._active_lock:
-                self._active.add(t)
-            try:
-                super().process_request_thread(request, client_address)
-            finally:
-                with self._active_lock:
-                    self._active.discard(t)
-
-        def join_handlers(self, timeout: float = 65.0) -> bool:
-            """Wait for in-flight handlers after shutdown() (graceful
-            drain); daemon_threads means the stdlib won't. True = drained."""
-            deadline = time.time() + timeout
-            while time.time() < deadline:
-                with self._active_lock:
-                    if not self._active:
-                        return True
-                time.sleep(0.05)
-            return False
-
-    server = Server((host, port), Handler)
+    server = GracefulThreadingServer((host, port), Handler)
     server.service = service  # expose for tests / graceful shutdown
     return server
 
@@ -555,8 +595,7 @@ def main():
 
     signal.signal(signal.SIGTERM, _graceful)
     server.serve_forever()
-    server.join_handlers()
-    server.service.close()
+    server.drain(close_cb=server.service.close)
     log.info("drained_exit")
 
 

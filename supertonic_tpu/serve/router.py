@@ -31,7 +31,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import urlsplit
 
 from ..utils.logging import default_logger as log
-from .http_server import _MAX_BODY_BYTES
+from .http_server import (GracefulThreadingServer, _MAX_BODY_BYTES, drain_body)
 
 
 @dataclass
@@ -69,6 +69,39 @@ class Backend:
                 log.warning("backend_unhealthy", backend=self.url,
                             failures=self.consecutive_failures)
             self.healthy = False
+
+
+class _StreamHandle:
+    """An in-flight streamed backend response. ``close()`` is idempotent
+    and safe at ANY point — including before the chunk generator is ever
+    started (closing an un-started generator would skip its finally, which
+    is how a header-write failure used to leak the backend's pending
+    slot)."""
+
+    def __init__(self, conn, resp, backend):
+        self._conn = conn
+        self._resp = resp
+        self._backend = backend
+        self._closed = False
+
+    def close(self):
+        if not self._closed:
+            self._closed = True
+            self._conn.close()
+            self._backend.release()
+
+    def chunks(self):
+        try:
+            while True:
+                # read1: return as soon as ANY bytes arrive — read(n)
+                # would block until n bytes or EOF, buffering the whole
+                # stream and destroying time-to-first-audio
+                piece = self._resp.read1(64 * 1024)
+                if not piece:
+                    break
+                yield piece
+        finally:
+            self.close()
 
 
 class NoBackendAvailable(Exception):
@@ -228,22 +261,8 @@ class Router:
                 last_err = RuntimeError(f"{backend.url} -> {resp.status}")
                 continue
             backend.mark_ok()
-
-            def chunks(conn=conn, resp=resp, backend=backend):
-                try:
-                    while True:
-                        # read1: return as soon as ANY bytes arrive —
-                        # read(n) would block until n bytes or EOF,
-                        # buffering the whole stream and destroying TTFA
-                        piece = resp.read1(64 * 1024)
-                        if not piece:
-                            break
-                        yield piece
-                finally:  # also runs on client disconnect (GeneratorExit)
-                    conn.close()
-                    backend.release()
-
-            return resp.status, dict(resp.getheaders()), chunks(), backend.url
+            handle = _StreamHandle(conn, resp, backend)
+            return resp.status, dict(resp.getheaders()), handle, backend.url
         raise NoBackendAvailable(
             f"all backends failed after {len(tried)} attempts: {last_err}")
 
@@ -280,16 +299,25 @@ class Router:
 def make_router_server(router: Router, host: str = "0.0.0.0",
                        port: int = 8080) -> ThreadingHTTPServer:
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer (streamed /tts/stream) is HTTP/1.1-only
+        protocol_version = "HTTP/1.1"
         timeout = 330
 
         def log_message(self, *args):
             pass
 
-        def _send_json(self, status: int, obj: dict):
+        def _send_json(self, status: int, obj: dict, *,
+                       close: bool = False):
             payload = json.dumps(obj).encode()
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(payload)))
+            if close:
+                # under HTTP/1.1 the client assumes keep-alive unless told
+                # otherwise; closing silently makes its NEXT request on
+                # this connection fail with a mid-air disconnect
+                self.send_header("Connection", "close")
+                self.close_connection = True
             self.end_headers()
             self.wfile.write(payload)
 
@@ -312,13 +340,9 @@ def make_router_server(router: Router, host: str = "0.0.0.0",
                 # same cap as the backends (http_server): don't buffer an
                 # arbitrarily large body before forwarding
                 self._send_json(413, {
-                    "detail": f"request body exceeds {_MAX_BODY_BYTES} bytes"})
-                remaining = min(length, 4 * _MAX_BODY_BYTES)
-                while remaining > 0:
-                    chunk = self.rfile.read(min(remaining, 1 << 20))
-                    if not chunk:
-                        break
-                    remaining -= len(chunk)
+                    "detail": f"request body exceeds "
+                              f"{_MAX_BODY_BYTES} bytes"}, close=True)
+                drain_body(self, length)
                 return
             body = self.rfile.read(length)
             fwd_headers = {"Content-Type": "application/json",
@@ -328,24 +352,26 @@ def make_router_server(router: Router, host: str = "0.0.0.0",
                 # client as the backend produces them (TTFA preserved
                 # through the front door)
                 try:
-                    status, hdrs, chunks, backend = router.forward_stream(
+                    status, hdrs, handle, backend = router.forward_stream(
                         "POST", self.path, body, headers=fwd_headers)
                 except NoBackendAvailable as e:
                     self._send_json(503, {"detail": str(e)})
                     return
-                self.send_response(status)
-                self.send_header("Content-Type",
-                                 hdrs.get("Content-Type", "audio/wav"))
-                self.send_header("Transfer-Encoding", "chunked")
-                self.end_headers()
                 try:
-                    for piece in chunks:
+                    self.send_response(status)
+                    self.send_header("Content-Type",
+                                     hdrs.get("Content-Type", "audio/wav"))
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                    for piece in handle.chunks():
                         self.wfile.write(f"{len(piece):X}\r\n".encode())
                         self.wfile.write(piece)
                         self.wfile.write(b"\r\n")
                     self.wfile.write(b"0\r\n\r\n")
                 except (BrokenPipeError, ConnectionResetError):
-                    chunks.close()  # releases the backend slot
+                    pass  # client went away; handle.close() below releases
+                finally:
+                    handle.close()
                 log.info("routed_stream", backend=backend, status=status,
                          latency_s=round(time.perf_counter() - t0, 4))
                 return
@@ -367,11 +393,7 @@ def make_router_server(router: Router, host: str = "0.0.0.0",
             self.end_headers()
             self.wfile.write(payload)
 
-    class Server(ThreadingHTTPServer):
-        request_queue_size = 128
-        daemon_threads = True
-
-    server = Server((host, port), Handler)
+    server = GracefulThreadingServer((host, port), Handler)
     server.router = router
     return server
 
@@ -400,7 +422,7 @@ def main():
 
     signal.signal(signal.SIGTERM, _graceful)
     server.serve_forever()
-    router.close()
+    server.drain(close_cb=router.close)
     log.info("router_drained_exit")
 
 

@@ -108,7 +108,9 @@ class StageProfiler:
         return float(np.percentile(np.asarray(list(values)), pct))
 
     def latency_percentile(self, pct: float) -> float:
-        return self._percentile(self.latencies_s, pct)
+        with self._lock:
+            snap = list(self.latencies_s)
+        return self._percentile(snap, pct)
 
     @property
     def rtf(self) -> float:
@@ -123,21 +125,25 @@ class StageProfiler:
         return self.audio_seconds / self.synth_seconds if self.synth_seconds else 0.0
 
     def summary(self) -> dict:
-        return {
-            "stages_s": dict(self.stages),
-            "counters": dict(self.counters),
-            "rtf": self.rtf,
-            "chars_per_sec": self.chars_per_sec,
-            "audio_sec_per_sec": self.audio_sec_per_sec,
-            "audio_seconds": self.audio_seconds,
-            "synth_seconds": self.synth_seconds,
-            "requests": self.n_requests,
-            "latency_p50_s": self.latency_percentile(50),
-            "latency_p95_s": self.latency_percentile(95),
-            "streams": self.n_streams,
-            "ttfa_p50_s": self._percentile(self.ttfa_s, 50),
-            "ttfa_p95_s": self._percentile(self.ttfa_s, 95),
-        }
+        with self._lock:  # deques raise if mutated during iteration
+            lat = list(self.latencies_s)
+            ttfa = list(self.ttfa_s)
+            out = {
+                "stages_s": dict(self.stages),
+                "counters": dict(self.counters),
+                "rtf": self.rtf,
+                "chars_per_sec": self.chars_per_sec,
+                "audio_sec_per_sec": self.audio_sec_per_sec,
+                "audio_seconds": self.audio_seconds,
+                "synth_seconds": self.synth_seconds,
+                "requests": self.n_requests,
+                "streams": self.n_streams,
+            }
+        out["latency_p50_s"] = self._percentile(lat, 50)
+        out["latency_p95_s"] = self._percentile(lat, 95)
+        out["ttfa_p50_s"] = self._percentile(ttfa, 50)
+        out["ttfa_p95_s"] = self._percentile(ttfa, 95)
+        return out
 
 
 @contextlib.contextmanager
