@@ -327,6 +327,20 @@ def make_router_server(router: Router, host: str = "0.0.0.0",
                 self._send_json(status, obj)
             elif self.path == "/metrics":
                 self._send_json(200, router.metrics())
+            elif self.path == "/voices":
+                # same surface as the backends: proxy from any healthy one
+                try:
+                    status, hdrs, payload, _b = router.forward(
+                        "GET", "/voices", None)
+                except NoBackendAvailable as e:
+                    self._send_json(503, {"detail": str(e)})
+                    return
+                self.send_response(status)
+                self.send_header("Content-Type",
+                                 hdrs.get("Content-Type", "application/json"))
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
             else:
                 self._send_json(404, {"detail": "not found"})
 

@@ -177,3 +177,10 @@ def test_router_streams_tts_chunked(pod):
         assert r.headers.get("transfer-encoding") == "chunked"
         routed = b"".join(r.iter_bytes())
     assert routed[:4] == b"RIFF" and len(routed) > 44
+
+
+def test_router_forwards_voices(pod):
+    front_url, router, servers, urls = pod
+    r = httpx.get(f"{front_url}/voices", timeout=30)
+    assert r.status_code == 200
+    assert "M1" in r.json()["voices"]
