@@ -6,6 +6,11 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # repo root
 
+if os.getenv("TTS_PLATFORM") == "cpu":  # same env the CLI/server honor
+    from supertonic_tpu.utils.jaxenv import force_cpu
+
+    force_cpu()
+
 from supertonic_tpu import TTS
 
 # Without an assets dir this runs deterministic random-init weights —
