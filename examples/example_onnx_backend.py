@@ -38,20 +38,13 @@ style_path = os.path.join(onnx_dir, "voice_styles", "M1.json")
 if os.path.exists(style_path):
     style = load_voice_style([style_path])
 else:  # bundle without styles (e.g. a synthetic contract bundle):
-    # deterministic random style with the bundle's tts.json dims
-    import json as _json
-
+    from supertonic_tpu.assets.store import synthesize_default_styles
     from supertonic_tpu.config import load_tts_json
-    from supertonic_tpu.engine import VoiceStyle
 
     cfg = load_tts_json(os.path.join(onnx_dir, "tts.json"))
-    rng = np.random.default_rng(0)
-    style = VoiceStyle(
-        rng.standard_normal((1, cfg.ttl.style.n_style,
-                             cfg.ttl.style.style_value_dim)).astype(np.float32),
-        rng.standard_normal((1, cfg.dp.style.n_style,
-                             cfg.dp.style.style_value_dim)).astype(np.float32))
-    print(f"note: {style_path} not found; using a deterministic random style")
+    style = synthesize_default_styles(cfg)["M1"]
+    print(f"note: {style_path} not found; using the deterministic "
+          f"stand-in style")
 
 text = "The quick brown fox jumps over the lazy dog near the river."
 wav, duration = tts(text, "en", style, total_step=5, speed=1.05)

@@ -149,7 +149,7 @@ class Router:
                 status, _hdrs, body = self._raw_request(
                     b, "GET", "/health", None, timeout=5.0)
                 ok = status == 200
-            except OSError:
+            except (OSError, http.client.HTTPException):
                 ok = False
             if ok:
                 if not b.healthy:
@@ -201,7 +201,7 @@ class Router:
             try:
                 status, hdrs, payload = self._raw_request(
                     backend, method, path, body, headers=headers)
-            except OSError as e:
+            except (OSError, http.client.HTTPException) as e:
                 last_err = e
                 backend.mark_failed(self.failure_threshold)
                 backend.retries_absorbed += 1
@@ -243,7 +243,7 @@ class Router:
             try:
                 conn.request(method, path, body=body, headers=headers or {})
                 resp = conn.getresponse()
-            except OSError as e:
+            except (OSError, http.client.HTTPException) as e:
                 conn.close()
                 backend.release()
                 last_err = e
@@ -291,7 +291,7 @@ class Router:
                     b, "GET", "/metrics", None, timeout=5.0)
                 if status == 200:
                     out[b.url] = json.loads(body)
-            except (OSError, ValueError):
+            except (OSError, ValueError, http.client.HTTPException):
                 pass
         return out
 
@@ -321,6 +321,19 @@ def make_router_server(router: Router, host: str = "0.0.0.0",
             self.end_headers()
             self.wfile.write(payload)
 
+        def _send_forwarded(self, status, hdrs, payload,
+                            default_ctype="application/json"):
+            lower = {k.lower(): v for k, v in hdrs.items()}
+            self.send_response(status)
+            self.send_header("Content-Type",
+                             lower.get("content-type", default_ctype))
+            if "content-disposition" in lower:
+                self.send_header("Content-Disposition",
+                                 lower["content-disposition"])
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
         def do_GET(self):
             if self.path == "/health":
                 status, obj = router.health()
@@ -335,12 +348,7 @@ def make_router_server(router: Router, host: str = "0.0.0.0",
                 except NoBackendAvailable as e:
                     self._send_json(503, {"detail": str(e)})
                     return
-                self.send_response(status)
-                self.send_header("Content-Type",
-                                 hdrs.get("Content-Type", "application/json"))
-                self.send_header("Content-Length", str(len(payload)))
-                self.end_headers()
-                self.wfile.write(payload)
+                self._send_forwarded(status, hdrs, payload)
             else:
                 self._send_json(404, {"detail": "not found"})
 
@@ -399,13 +407,8 @@ def make_router_server(router: Router, host: str = "0.0.0.0",
             log.info("routed", path=self.path, backend=backend,
                      status=status,
                      latency_s=round(time.perf_counter() - t0, 4))
-            self.send_response(status)
-            for k in ("Content-Type", "Content-Disposition"):
-                if k in hdrs:
-                    self.send_header(k, hdrs[k])
-            self.send_header("Content-Length", str(len(payload)))
-            self.end_headers()
-            self.wfile.write(payload)
+            self._send_forwarded(status, hdrs, payload,
+                                 default_ctype="audio/wav")
 
     server = GracefulThreadingServer((host, port), Handler)
     server.router = router
