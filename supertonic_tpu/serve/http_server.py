@@ -5,6 +5,7 @@ our optional FastAPI app (app.py — used when fastapi is installed):
 
     GET  /health      -> 200 {"status": "ok"}
     GET  /metrics     -> 200 JSON profiler counters + batcher stats
+    GET  /voices      -> 200 {"voices": [...]} (loadable style presets)
     POST /tts         -> single: audio/wav stream; batch: application/zip
                          400 on validation errors {"detail": ...}
                          422 on schema/bounds errors (pydantic-compatible)
