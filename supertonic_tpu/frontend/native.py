@@ -41,28 +41,8 @@ def build_native(force: bool = False) -> str | None:
         return None
 
 
-def load_native():
-    """Returns the loaded ctypes library, building if needed, else None."""
-    global _lib, _build_failed
-    if _lib is not None:
-        return _lib
-    if _build_failed:
-        return None
-    path = build_native()
-    if path is None:
-        return None
-    lib = ctypes.CDLL(path)
-    if not hasattr(lib, "stpu_chunk_text"):  # stale pre-v2 .so: rebuild
-        if build_native(force=True) is None:
-            return None
-        lib = ctypes.CDLL(_LIB_PATH)
-        if not hasattr(lib, "stpu_chunk_text"):
-            # dlopen dedups by pathname, so the stale mapping can survive
-            # the rebuild within this process — degrade to the Python
-            # fallback instead of raising AttributeError out of load_native
-            # (a fresh process picks up the rebuilt library)
-            _build_failed = True
-            return None
+def _bind(lib) -> None:
+    """Declare the C ABI (all entry points)."""
     lib.stpu_preprocess.restype = ctypes.c_int
     lib.stpu_preprocess.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
@@ -84,6 +64,48 @@ def load_native():
         ctypes.POINTER(ctypes.c_long),
         ctypes.c_long,
     ]
+    lib.stpu_frontend_batch.restype = ctypes.c_long
+    lib.stpu_frontend_batch.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_longlong),
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_longlong),
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long),
+    ]
+
+
+# the newest required C entry point — a library missing it is a stale
+# build from an earlier repo revision and gets rebuilt once
+_NEWEST_SYMBOL = "stpu_frontend_batch"
+
+
+def load_native():
+    """Returns the loaded ctypes library, building if needed, else None."""
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    path = build_native()
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    if not hasattr(lib, _NEWEST_SYMBOL):  # stale .so: rebuild once
+        if build_native(force=True) is None:
+            _build_failed = True
+            return None
+        lib = ctypes.CDLL(_LIB_PATH)
+        if not hasattr(lib, _NEWEST_SYMBOL):
+            # dlopen dedups by pathname, so the stale mapping can survive
+            # the rebuild within this process — degrade to the Python
+            # fallback instead of raising AttributeError out of load_native
+            # (a fresh process picks up the rebuilt library)
+            _build_failed = True
+            return None
+    _bind(lib)
     _lib = lib
     return lib
 
@@ -139,6 +161,52 @@ class NativeUnicodeProcessor:
             ctypes.POINTER(ctypes.c_longlong)
         )
 
+    def _rows(self, text_list, lang_list):
+        """All rows' token ids in ONE native call (preprocess + tokenize
+        fused): per-utterance ctypes calls are so fine-grained that the
+        GIL-held Python overhead around them dominates — threaded feeders
+        measured 0.32x scaling at 4 threads. The whole-batch call keeps
+        the GIL released for essentially all of the work."""
+        if any("\x00" in t for t in text_list):
+            # NUL can't cross the C string boundary at all (every native
+            # entry point truncates there) — use the pure-Python frontend
+            # for these rare rows; char-exact by definition
+            from .normalize import UnicodeProcessor, preprocess_text
+
+            py = UnicodeProcessor(self.indexer)
+            rows = [py.tokenize(preprocess_text(t, g))
+                    for t, g in zip(text_list, lang_list)]
+            return rows, np.array([len(r) for r in rows], np.int64)
+        lib = load_native()
+        n = len(text_list)
+        texts_blob = b"\x00".join(t.encode("utf-8") for t in text_list) \
+            + b"\x00"
+        langs_blob = b"\x00".join(g.encode() for g in lang_list) + b"\x00"
+        # preprocessing can expand text (e.g. "e.g.," -> "for example, ",
+        # "@" -> " at ") plus lang tags; 4x codepoints + slack bounds it
+        cap = 4 * sum(len(t) for t in text_list) + 32 * n + 64
+        for _attempt in range(2):
+            ids = np.empty(cap, np.int64)
+            lens = (ctypes.c_long * n)()
+            total = lib.stpu_frontend_batch(
+                texts_blob, langs_blob, n,
+                self._indexer_ptr, len(self.indexer),
+                ids.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+                cap, lens)
+            if total != -2:
+                break
+            cap *= 4  # pathological NFKD expansion: retry bigger once
+        if total == -1:
+            bad = [g for g in lang_list
+                   if g not in ("en", "ko", "es", "pt", "fr")]
+            raise ValueError(f"Invalid language: {bad[0] if bad else '?'}")
+        if total < 0:
+            raise RuntimeError(f"native frontend batch error {total}")
+        lengths = np.array(list(lens), np.int64)
+        offs = np.concatenate([[0], np.cumsum(lengths)])
+        rows = [ids[offs[i]: offs[i + 1]] for i in range(n)]
+        return rows, lengths
+
     def tokenize_text(self, text: str) -> np.ndarray:
         lib = load_native()
         raw = text.encode("utf-8")
@@ -158,15 +226,13 @@ class NativeUnicodeProcessor:
         lang_list: list[str],
         max_len: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        texts = [native_preprocess(t, g) for t, g in zip(text_list, lang_list)]
-        token_rows = [self.tokenize_text(t) for t in texts]
-        lengths = np.array([len(r) for r in token_rows], dtype=np.int64)
+        token_rows, lengths = self._rows(text_list, lang_list)
         pad_to = int(max_len if max_len is not None else lengths.max())
         if pad_to < int(lengths.max()):
             raise ValueError(
                 f"max_len={pad_to} is smaller than longest text {int(lengths.max())}"
             )
-        ids = np.zeros((len(texts), pad_to), dtype=np.int64)
+        ids = np.zeros((len(text_list), pad_to), dtype=np.int64)
         for i, row in enumerate(token_rows):
             ids[i, : len(row)] = row
         return ids, length_to_mask(lengths, pad_to)

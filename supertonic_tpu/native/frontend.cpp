@@ -525,6 +525,37 @@ long stpu_tokenize(const char* utf8, const long long* indexer, long table_len,
   return static_cast<long>(cps.size());
 }
 
+// Whole-batch frontend: preprocess + tokenize ALL rows in ONE call.
+// ``texts``/``langs``: n NUL-terminated UTF-8 strings back to back. Writes
+// token ids row-major into out_ids and per-row lengths into out_lens.
+// Returns total ids written, -1 invalid lang, -2 ids_cap too small.
+// Rationale: per-utterance ctypes calls are too fine-grained — the
+// GIL-holding Python overhead around each call dominates and threaded
+// feeders scale WORSE than pure Python (measured 0.32x at 4 threads).
+// One call per batch keeps the GIL released for the whole batch's work.
+long stpu_frontend_batch(const char* texts, const char* langs, long n,
+                         const long long* indexer, long table_len,
+                         long long* out_ids, long ids_cap, long* out_lens) {
+  const char* tp = texts;
+  const char* lp = langs;
+  long pos = 0;
+  for (long i = 0; i < n; ++i) {
+    std::string lang(lp);
+    lp += lang.size() + 1;
+    if (!ValidLang(lang)) return -1;
+    u32string processed = Preprocess(DecodeUtf8(tp), lang);
+    tp += std::strlen(tp) + 1;
+    if (pos + static_cast<long>(processed.size()) > ids_cap) return -2;
+    for (char32_t cp : processed)
+      out_ids[pos++] =
+          (static_cast<uint32_t>(cp) < static_cast<uint32_t>(table_len))
+              ? indexer[static_cast<uint32_t>(cp)]
+              : 0;
+    out_lens[i] = static_cast<long>(processed.size());
+  }
+  return pos;
+}
+
 // Long-form chunking (see ChunkText above). Writes the chunks' UTF-8 bytes
 // concatenated into ``out`` and their byte offsets into ``offsets``
 // (n_chunks + 1 entries: chunk k spans [offsets[k], offsets[k+1])).
@@ -547,6 +578,6 @@ long stpu_chunk_text(const char* utf8, long max_len, char* out, long out_cap,
   return static_cast<long>(chunks.size());
 }
 
-int stpu_version() { return 2; }
+int stpu_version() { return 3; }
 
 }  // extern "C"

@@ -16,6 +16,9 @@ long stpu_tokenize(const char* utf8, const long long* indexer, long table_len,
                    long long* out_ids, long cap);
 long stpu_chunk_text(const char* utf8, long max_len, char* out, long out_cap,
                      long* offsets, long offsets_cap);
+long stpu_frontend_batch(const char* texts, const char* langs, long n,
+                         const long long* indexer, long table_len,
+                         long long* out_ids, long ids_cap, long* out_lens);
 int stpu_version();
 }
 
@@ -35,7 +38,7 @@ static int check(const char* text, const char* lang, const char* expect) {
 
 int main() {
   int fails = 0;
-  assert(stpu_version() == 2);
+  assert(stpu_version() == 3);
 
   fails += check("Hello world", "en", "<en>Hello world.</en>");
   fails += check("what ?", "en", "<en>what?</en>");
@@ -130,6 +133,34 @@ int main() {
                          char(0xC3), 0};
     if (stpu_chunk_text(badc, 10, cbuf, sizeof cbuf, offs, 64) < 0) {
       std::printf("FAIL chunker bad utf8\n");
+      ++fails;
+    }
+  }
+
+  // whole-batch frontend: two rows, mixed langs, capacity + lang guards
+  {
+    long long table[256];
+    for (int i = 0; i < 256; ++i) table[i] = i;
+    const char texts[] = "Hi there.\0caf\xc3\xa9.\0";
+    const char langs[] = "en\0fr\0";
+    long long ids[256];
+    long lens[2];
+    long total = stpu_frontend_batch(texts, langs, 2, table, 256, ids, 256,
+                                     lens);
+    if (total <= 0 || lens[0] <= 0 || lens[1] <= 0 ||
+        total != lens[0] + lens[1]) {
+      std::printf("FAIL frontend_batch: total=%ld\n", total);
+      ++fails;
+    }
+    if (stpu_frontend_batch(texts, langs, 2, table, 256, ids, 3, lens)
+        != -2) {
+      std::printf("FAIL frontend_batch cap\n");
+      ++fails;
+    }
+    const char badlang[] = "en\0de\0";
+    if (stpu_frontend_batch(texts, badlang, 2, table, 256, ids, 256, lens)
+        != -1) {
+      std::printf("FAIL frontend_batch lang\n");
       ++fails;
     }
   }

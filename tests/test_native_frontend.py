@@ -241,3 +241,35 @@ def test_chunk_text_env_dispatch(monkeypatch):
     monkeypatch.delenv("TTS_NATIVE_FRONTEND")
     assert native == _chunk_text_py(text, max_len=80)
     assert len(native) > 3
+
+
+def test_batch_frontend_thread_safety():
+    """The whole-batch native call is used by concurrent feeder threads;
+    results under contention must be identical to single-threaded ones
+    (no shared mutable state in the C++ path)."""
+    import concurrent.futures
+
+    proc = NativeUnicodeProcessor(build_default_indexer())
+    texts = ["Thread safety check sentence number %d." % i for i in range(16)]
+    langs = ["en"] * 16
+    want_ids, want_mask = proc(texts, langs)
+
+    def run(_):
+        ids, mask = proc(texts, langs)
+        return np.array_equal(ids, want_ids) and np.array_equal(mask, want_mask)
+
+    with concurrent.futures.ThreadPoolExecutor(4) as pool:
+        results = list(pool.map(run, range(64)))
+    assert all(results)
+
+
+def test_batch_frontend_nul_fallback():
+    """Embedded NUL can't ride the NUL-separated blob; the processor must
+    fall back to the per-call path and still match Python."""
+    proc = NativeUnicodeProcessor(build_default_indexer())
+    py = UnicodeProcessor(build_default_indexer())
+    texts = ["has a \x00 nul", "normal text"]
+    ids_n, mask_n = proc(texts, ["en", "en"])
+    ids_p, mask_p = py(texts, ["en", "en"])
+    np.testing.assert_array_equal(ids_n, ids_p)
+    np.testing.assert_array_equal(mask_n, mask_p)
