@@ -273,3 +273,31 @@ def test_batch_frontend_nul_fallback():
     ids_p, mask_p = py(texts, ["en", "en"])
     np.testing.assert_array_equal(ids_n, ids_p)
     np.testing.assert_array_equal(mask_n, mask_p)
+
+
+def test_batch_frontend_fuzz_parity():
+    """Random unicode through the whole-batch native path vs the Python
+    processor — ids AND masks bit-equal (the per-call fuzz above doesn't
+    exercise stpu_frontend_batch)."""
+    rng = np.random.default_rng(3)
+    idx = build_default_indexer()
+    py_proc = UnicodeProcessor(idx)
+    cc_proc = NativeUnicodeProcessor(idx)
+    pools = (
+        list(range(0x20, 0x7F))
+        + list(range(0xA0, 0x100))
+        + list(range(0xAC00, 0xAC80))
+        + list(range(0x2010, 0x2030))
+        + [0x1F600, 0x2764, 0x2026]
+    )
+    langs5 = ["en", "ko", "es", "pt", "fr"]
+    for _ in range(30):
+        n = int(rng.integers(1, 9))
+        texts = ["".join(chr(int(c))
+                         for c in rng.choice(pools, int(rng.integers(1, 60))))
+                 for _ in range(n)]
+        langs = [str(rng.choice(langs5)) for _ in range(n)]
+        ids_p, mask_p = py_proc(texts, langs)
+        ids_c, mask_c = cc_proc(texts, langs)
+        np.testing.assert_array_equal(ids_p, ids_c, err_msg=repr(texts))
+        np.testing.assert_array_equal(mask_p, mask_c)
