@@ -167,7 +167,12 @@ class NativeUnicodeProcessor:
         GIL-held Python overhead around them dominates — threaded feeders
         measured 0.32x scaling at 4 threads. The whole-batch call keeps
         the GIL released for essentially all of the work."""
-        if any("\x00" in t for t in text_list):
+        # mirror UnicodeProcessor's zip semantics (extra rows truncated)
+        n_rows = min(len(text_list), len(lang_list))
+        text_list = list(text_list[:n_rows])
+        lang_list = list(lang_list[:n_rows])
+        if any("\x00" in t for t in text_list) or any(
+                "\x00" in g for g in lang_list):
             # NUL can't cross the C string boundary at all (every native
             # entry point truncates there) — use the pure-Python frontend
             # for these rare rows; char-exact by definition
@@ -197,8 +202,9 @@ class NativeUnicodeProcessor:
                 break
             cap *= 4  # pathological NFKD expansion: retry bigger once
         if total == -1:
-            bad = [g for g in lang_list
-                   if g not in ("en", "ko", "es", "pt", "fr")]
+            from ..config import AVAILABLE_LANGS
+
+            bad = [g for g in lang_list if g not in AVAILABLE_LANGS]
             raise ValueError(f"Invalid language: {bad[0] if bad else '?'}")
         if total < 0:
             raise RuntimeError(f"native frontend batch error {total}")
@@ -232,7 +238,7 @@ class NativeUnicodeProcessor:
             raise ValueError(
                 f"max_len={pad_to} is smaller than longest text {int(lengths.max())}"
             )
-        ids = np.zeros((len(text_list), pad_to), dtype=np.int64)
+        ids = np.zeros((len(token_rows), pad_to), dtype=np.int64)
         for i, row in enumerate(token_rows):
             ids[i, : len(row)] = row
         return ids, length_to_mask(lengths, pad_to)

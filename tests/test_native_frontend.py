@@ -301,3 +301,22 @@ def test_batch_frontend_fuzz_parity():
         ids_c, mask_c = cc_proc(texts, langs)
         np.testing.assert_array_equal(ids_p, ids_c, err_msg=repr(texts))
         np.testing.assert_array_equal(mask_p, mask_c)
+
+
+def test_batch_frontend_matches_python_contract_edges():
+    """Zip truncation on mismatched lengths and NUL-in-lang must behave
+    exactly like the Python processor (raise or truncate, never silently
+    misalign the NUL-separated blobs)."""
+    idx = build_default_indexer()
+    py_proc = UnicodeProcessor(idx)
+    cc_proc = NativeUnicodeProcessor(idx)
+    # extra texts truncated by zip
+    ids_p, mask_p = py_proc(["a.", "b.", "c."], ["en", "en"])
+    ids_c, mask_c = cc_proc(["a.", "b.", "c."], ["en", "en"])
+    np.testing.assert_array_equal(ids_p, ids_c)
+    np.testing.assert_array_equal(mask_p, mask_c)
+    # NUL inside a lang: must raise like Python, not misalign rows
+    with pytest.raises(ValueError):
+        py_proc(["a.", "b."], ["en\x00ko", "fr"])
+    with pytest.raises(ValueError):
+        cc_proc(["a.", "b."], ["en\x00ko", "fr"])

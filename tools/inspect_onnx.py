@@ -91,7 +91,9 @@ def main(argv=None) -> int:
         out[name] = report(path)
     if args.json:
         print(json.dumps(out))
-        return 0
+        return 0 if out else 1
+    if not out:
+        return 1  # wrong --assets-dir must not look like success
     for name, r in out.items():
         print(f"\n== {name} ==")
         print(f"  nodes: {r['nodes']}   float params: "
