@@ -163,10 +163,15 @@ def parse_tensor(buf: bytes) -> OnnxTensor:
             else:
                 float_data.append(struct.unpack("<f", val)[0])
         elif field == 5:
+            # int32_data carries int32/int16/int8/uint8/uint16/bool/float16;
+            # negative values arrive as 64-bit two's-complement varints and
+            # must be sign-extended before the narrowing astype below.
             if wt == 2:
-                int_data.extend(_packed_varints(val))
+                int_data.extend(
+                    _zigzag_to_signed(v) for v in _packed_varints(val)
+                )
             else:
-                int_data.append(val)
+                int_data.append(_zigzag_to_signed(val))
         elif field == 7:
             if wt == 2:
                 int_data.extend(
@@ -192,7 +197,11 @@ def parse_tensor(buf: bytes) -> OnnxTensor:
     elif double_data:
         arr = np.array(double_data, np.float64).reshape(shape)
     elif int_data:
-        arr = np.array(int_data, np.int64).astype(np_dtype).reshape(shape)
+        if np_dtype == np.float16:
+            # float16 typed data is stored bitwise in int32_data
+            arr = np.array(int_data, np.uint16).view(np.float16).reshape(shape)
+        else:
+            arr = np.array(int_data, np.int64).astype(np_dtype).reshape(shape)
     else:
         arr = np.zeros(shape, np_dtype)
     return OnnxTensor(name, shape, np_dtype, arr)

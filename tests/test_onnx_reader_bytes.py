@@ -1,0 +1,172 @@
+"""Writer-independent ONNX reader tests: hand-assembled protobuf bytes.
+
+Every other onnx_reader/onnx_exec test builds its fixtures with the repo's
+own ``encode_*`` writer, so a bug mirrored in both encoder and decoder would
+be invisible. These fixtures are literal wire bytes derived field-by-field
+from the onnx.proto3 spec (field numbers cited inline), exercising exactly
+the encodings real exporters emit that the in-repo writer never does:
+typed ``float_data``/``int32_data`` tensors (the writer always uses
+``raw_data``) and unpacked repeated attribute ints.
+"""
+
+import struct
+
+import numpy as np
+
+from supertonic_tpu.assets.onnx_exec import OnnxExecutor
+from supertonic_tpu.assets.onnx_reader import parse_model, parse_tensor
+
+
+def _ld(tag_byte: bytes, payload: bytes) -> bytes:
+    """length-delimited field: tag ++ varint(len) ++ payload (len < 128)."""
+    assert len(payload) < 128
+    return tag_byte + bytes([len(payload)]) + payload
+
+
+def _hand_model() -> bytes:
+    """ModelProto for  y = Add(x, w)  with initializer w = [1.5, -2.0] f32.
+
+    Field numbers (onnx.proto3): ModelProto.ir_version=1, .graph=7,
+    .opset_import=8; GraphProto.node=1, .name=2, .initializer=5, .input=11,
+    .output=12; NodeProto.input=1, .output=2, .name=3, .op_type=4;
+    TensorProto.dims=1, .data_type=2, .name=8, .raw_data=9;
+    ValueInfoProto.name=1, .type=2; TypeProto.tensor_type=1;
+    TypeProto.Tensor.elem_type=1, .shape=2; TensorShapeProto.dim=1;
+    Dimension.dim_value=1.
+    """
+    # NodeProto: input "x", input "w", output "y", name "n0", op_type "Add"
+    node = (b"\x0a\x01x"        # 1:LD "x"     (tag 0x0a = field 1, wire 2)
+            b"\x0a\x01w"        # 1:LD "w"
+            b"\x12\x01y"        # 2:LD "y"
+            b"\x1a\x02n0"       # 3:LD "n0"
+            b"\x22\x03Add")     # 4:LD "Add"
+
+    # TensorProto: dims=[2], data_type=1 (FLOAT), name "w", raw_data
+    tensor = (b"\x08\x02"       # 1:varint dims = 2
+              b"\x10\x01"       # 2:varint data_type = FLOAT
+              b"\x42\x01w"      # 8:LD name = "w"
+              + _ld(b"\x4a", struct.pack("<2f", 1.5, -2.0)))  # 9:LD raw_data
+
+    def value_info(name: bytes) -> bytes:
+        dim = b"\x08\x02"                      # Dimension.dim_value = 2
+        shape = _ld(b"\x0a", dim)              # TensorShapeProto.dim
+        tt = b"\x08\x01" + _ld(b"\x12", shape)  # elem_type=FLOAT, shape
+        tp = _ld(b"\x0a", tt)                  # TypeProto.tensor_type
+        return _ld(b"\x0a", name) + _ld(b"\x12", tp)
+
+    graph = (_ld(b"\x0a", node)            # GraphProto.node
+             + b"\x12\x01g"                # GraphProto.name = "g"
+             + _ld(b"\x2a", tensor)        # GraphProto.initializer
+             + _ld(b"\x5a", value_info(b"x"))   # GraphProto.input
+             + _ld(b"\x62", value_info(b"y")))  # GraphProto.output
+
+    opset = b"\x10\x11"                    # OperatorSetId.version = 17
+    return (b"\x08\x08"                    # ModelProto.ir_version = 8
+            + _ld(b"\x3a", graph)          # ModelProto.graph
+            + _ld(b"\x42", opset))         # ModelProto.opset_import
+
+
+def test_hand_assembled_model_parses():
+    g = parse_model(_hand_model())
+    assert g.name == "g"
+    (n,) = g.nodes
+    assert n.op_type == "Add"
+    assert n.inputs == ["x", "w"]
+    assert n.outputs == ["y"]
+    np.testing.assert_array_equal(
+        g.initializers["w"].data, np.array([1.5, -2.0], np.float32))
+    assert [vi.name for vi in g.inputs] == ["x"]
+    assert g.inputs[0].elem_type == 1 and g.inputs[0].shape == (2,)
+    assert [vi.name for vi in g.outputs] == ["y"]
+
+
+def test_hand_assembled_model_executes():
+    ex = OnnxExecutor(parse_model(_hand_model()))
+    x = np.array([10.0, 20.0], np.float32)
+    (y,) = ex.run(None, {"x": x})
+    np.testing.assert_allclose(y, [11.5, 18.0])
+
+
+def test_tensor_typed_float_data():
+    # TensorProto.float_data (field 4, packed) — the in-repo writer never
+    # emits typed data, only raw_data.
+    payload = struct.pack("<3f", 0.5, -1.0, 2.25)
+    t = (b"\x08\x03"            # dims = 3
+         b"\x10\x01"            # data_type = FLOAT
+         b"\x42\x01v"           # name = "v"
+         + _ld(b"\x22", payload))  # 4:LD packed float_data
+    parsed = parse_tensor(t)
+    assert parsed.name == "v"
+    np.testing.assert_array_equal(
+        parsed.data, np.array([0.5, -1.0, 2.25], np.float32))
+
+
+def test_tensor_int32_data_negative():
+    # TensorProto.int32_data (field 5, packed): negative int32 values are
+    # 64-bit two's-complement varints and must be sign-extended.
+    neg1 = b"\xff" * 9 + b"\x01"   # varint(2**64 - 1) == -1
+    t = (b"\x08\x02"            # dims = 2
+         b"\x10\x06"            # data_type = INT32
+         b"\x42\x01n"           # name = "n"
+         + _ld(b"\x2a", neg1 + b"\x02"))  # 5:LD packed int32_data [-1, 2]
+    parsed = parse_tensor(t)
+    assert parsed.data.dtype == np.int32
+    np.testing.assert_array_equal(parsed.data, np.array([-1, 2], np.int32))
+
+
+def test_tensor_int32_data_unpacked_negative():
+    # Same field emitted unpacked (one varint per tag) — legal protobuf.
+    neg2 = b"\xfe" + b"\xff" * 8 + b"\x01"  # varint(2**64 - 2) == -2
+    t = (b"\x08\x01" b"\x10\x06" b"\x42\x01n"
+         + b"\x28" + neg2)      # 5:varint (unpacked) int32_data = -2
+    np.testing.assert_array_equal(
+        parse_tensor(t).data, np.array([-2], np.int32))
+
+
+def test_tensor_float16_typed_data():
+    # float16 typed data rides int32_data as raw bit patterns.
+    bits = np.array([0.5, -1.25], np.float16).view(np.uint16)
+
+    # varint-encode the two uint16 bit patterns by hand
+    def varint(v: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+    payload = varint(int(bits[0])) + varint(int(bits[1]))
+    t = (b"\x08\x02" b"\x10\x0a" b"\x42\x01h"   # dims=2, FLOAT16, name "h"
+         + _ld(b"\x2a", payload))
+    np.testing.assert_array_equal(
+        parse_tensor(t).data, np.array([0.5, -1.25], np.float16))
+
+
+def test_unpacked_repeated_attribute_ints():
+    # AttributeProto.ints (field 8) emitted unpacked: perm = [1, 0] for a
+    # Transpose node, executed end-to-end.
+    attr = (b"\x0a\x04perm"     # AttributeProto.name = "perm"
+            b"\x40\x01"         # 8:varint ints = 1   (tag 0x40)
+            b"\x40\x00")        # 8:varint ints = 0
+    node = (b"\x0a\x01x" b"\x12\x01y" b"\x1a\x02n0"
+            b"\x22\x09Transpose"
+            + _ld(b"\x2a", attr))  # NodeProto.attribute (field 5)
+
+    def value_info(name: bytes, d0: int, d1: int) -> bytes:
+        dims = bytes([0x0a, 2, 0x08, d0]) + bytes([0x0a, 2, 0x08, d1])
+        tt = b"\x08\x01" + _ld(b"\x12", dims)
+        return _ld(b"\x0a", name) + _ld(b"\x12", _ld(b"\x0a", tt))
+
+    graph = (_ld(b"\x0a", node) + b"\x12\x01g"
+             + _ld(b"\x5a", value_info(b"x", 2, 3))
+             + _ld(b"\x62", value_info(b"y", 3, 2)))
+    model = b"\x08\x08" + _ld(b"\x3a", graph) + _ld(b"\x42", b"\x10\x11")
+
+    g = parse_model(model)
+    assert g.nodes[0].attrs["perm"] == [1, 0]
+    x = np.arange(6, dtype=np.float32).reshape(2, 3)
+    (y,) = OnnxExecutor(g).run(None, {"x": x})
+    np.testing.assert_array_equal(y, x.T)
