@@ -112,6 +112,11 @@ class OnnxTensor:
     dims: tuple[int, ...]
     dtype: Any
     data: np.ndarray
+    # TensorProto.external_data entries ({location, offset, length, ...});
+    # non-None until resolved against the model's directory — accessing
+    # ``data`` before that would silently yield zeros, so parse_model /
+    # load_onnx resolve or raise.
+    external: dict[str, str] | None = None
 
 
 @dataclasses.dataclass
@@ -147,6 +152,7 @@ def parse_tensor(buf: bytes) -> OnnxTensor:
     float_data: list[float] = []
     int_data: list[int] = []
     double_data: list[float] = []
+    external: dict[str, str] = {}
     for field, wt, val in iter_fields(buf):
         if field == 1:
             if wt == 0:
@@ -183,6 +189,14 @@ def parse_tensor(buf: bytes) -> OnnxTensor:
             name = val.decode()
         elif field == 9:
             raw = bytes(val)
+        elif field == 13:  # external_data: StringStringEntryProto k/v pairs
+            k = v = ""
+            for f2, _w2, v2 in iter_fields(val):
+                if f2 == 1:
+                    k = v2.decode()
+                elif f2 == 2:
+                    v = v2.decode()
+            external[k] = v
         elif field == 10:
             if wt == 2:
                 double_data.extend(struct.unpack(f"<{len(val) // 8}d", val))
@@ -190,6 +204,9 @@ def parse_tensor(buf: bytes) -> OnnxTensor:
                 double_data.append(struct.unpack("<d", val)[0])
     np_dtype = DTYPE_MAP.get(data_type, np.float32)
     shape = tuple(dims)
+    if external:
+        return OnnxTensor(name, shape, np_dtype,
+                          np.zeros(shape, np_dtype), external)
     if raw is not None:
         arr = np.frombuffer(raw, dtype=np_dtype).reshape(shape)
     elif float_data:
@@ -309,17 +326,73 @@ def parse_graph(buf: bytes) -> OnnxGraph:
     return OnnxGraph(name, nodes, inits, inputs, outputs)
 
 
-def parse_model(data: bytes) -> OnnxGraph:
-    """Parse a serialized ModelProto, returning its graph."""
+def _walk_graphs(g: OnnxGraph) -> Iterator[OnnxGraph]:
+    yield g
+    for node in g.nodes:
+        for v in node.attrs.values():
+            if isinstance(v, OnnxGraph):
+                yield from _walk_graphs(v)
+
+
+def _resolve_external(g: OnnxGraph, base_dir: str | None) -> None:
+    """Load externally-stored tensor payloads (TensorProto.external_data)
+    from files next to the model. Raises instead of silently serving the
+    zero placeholders parse_tensor leaves behind."""
+    import os
+
+    pending = [t for sub in _walk_graphs(g)
+               for t in sub.initializers.values() if t.external]
+    if not pending:
+        return
+    if base_dir is None:
+        raise ValueError(
+            "model stores tensor data in external files "
+            f"({', '.join(sorted(t.name for t in pending)[:5])}…) — parse it "
+            "with parse_model(data, base_dir=...) or load_onnx(path) so the "
+            "sidecar files can be located"
+        )
+    for t in pending:
+        loc = t.external.get("location", "")
+        path = os.path.normpath(os.path.join(base_dir, loc))
+        if not loc or os.path.isabs(loc) or not path.startswith(
+                os.path.normpath(base_dir) + os.sep):
+            raise ValueError(
+                f"tensor {t.name!r}: unsafe external data location {loc!r}")
+        offset = int(t.external.get("offset", 0) or 0)
+        length = t.external.get("length")
+        n_bytes = int(np.prod(t.dims, dtype=np.int64)) * np.dtype(t.dtype).itemsize
+        if length is not None and int(length) != n_bytes:
+            raise ValueError(
+                f"tensor {t.name!r}: external length {length} != "
+                f"expected {n_bytes} bytes for {t.dims} {np.dtype(t.dtype)}")
+        with open(path, "rb") as f:
+            f.seek(offset)
+            raw = f.read(n_bytes)
+        if len(raw) != n_bytes:
+            raise ValueError(
+                f"tensor {t.name!r}: external file {path} too short "
+                f"({len(raw)} < {n_bytes} bytes at offset {offset})")
+        t.data = np.frombuffer(raw, dtype=t.dtype).reshape(t.dims)
+        t.external = None
+
+
+def parse_model(data: bytes, base_dir: str | None = None) -> OnnxGraph:
+    """Parse a serialized ModelProto, returning its graph. ``base_dir``
+    locates external-data sidecar files (required if the model uses any)."""
     for field, _wt, val in iter_fields(data):
         if field == 7:
-            return parse_graph(val)
+            g = parse_graph(val)
+            _resolve_external(g, base_dir)
+            return g
     raise ValueError("no graph found in model")
 
 
 def load_onnx(path: str) -> OnnxGraph:
+    import os
+
     with open(path, "rb") as f:
-        return parse_model(f.read())
+        return parse_model(f.read(), base_dir=os.path.dirname(
+            os.path.abspath(path)))
 
 
 # ---------------------------------------------------------------------------

@@ -145,6 +145,111 @@ def test_tensor_float16_typed_data():
         parse_tensor(t).data, np.array([0.5, -1.25], np.float16))
 
 
+def _kv(key: bytes, value: bytes) -> bytes:
+    # StringStringEntryProto: key=1, value=2
+    return _ld(b"\x0a", key) + _ld(b"\x12", value)
+
+
+def _external_tensor(name: bytes, loc: bytes, offset: int | None = None,
+                     length: int | None = None) -> bytes:
+    # float32 [3] tensor whose payload lives in an external sidecar file
+    # (TensorProto.external_data = field 13, tag 0x6a)
+    t = b"\x08\x03" b"\x10\x01" + _ld(b"\x42", name)
+    t += _ld(b"\x6a", _kv(b"location", loc))
+    if offset is not None:
+        t += _ld(b"\x6a", _kv(b"offset", str(offset).encode()))
+    if length is not None:
+        t += _ld(b"\x6a", _kv(b"length", str(length).encode()))
+    return t
+
+
+def _model_with_initializer(tensor: bytes) -> bytes:
+    graph = b"\x12\x01g" + _ld(b"\x2a", tensor)
+    return b"\x08\x08" + _ld(b"\x3a", graph) + _ld(b"\x42", b"\x10\x11")
+
+
+def test_external_data_resolved(tmp_path):
+    payload = np.array([1.0, -2.0, 3.5], np.float32)
+    (tmp_path / "weights.bin").write_bytes(b"\x00" * 4 + payload.tobytes())
+    model = _model_with_initializer(
+        _external_tensor(b"w", b"weights.bin", offset=4, length=12))
+    g = parse_model(model, base_dir=str(tmp_path))
+    t = g.initializers["w"]
+    assert t.external is None
+    np.testing.assert_array_equal(t.data, payload)
+
+
+def test_external_data_without_base_dir_raises(tmp_path):
+    model = _model_with_initializer(_external_tensor(b"w", b"weights.bin"))
+    try:
+        parse_model(model)
+    except ValueError as e:
+        assert "external" in str(e)
+    else:
+        raise AssertionError("zero placeholder served silently")
+
+
+def test_external_data_path_escape_rejected(tmp_path):
+    model = _model_with_initializer(
+        _external_tensor(b"w", b"../escape.bin"))
+    try:
+        parse_model(model, base_dir=str(tmp_path))
+    except ValueError as e:
+        assert "unsafe" in str(e)
+    else:
+        raise AssertionError("path escape accepted")
+
+
+def test_external_data_length_mismatch_rejected(tmp_path):
+    (tmp_path / "weights.bin").write_bytes(b"\x00" * 12)
+    model = _model_with_initializer(
+        _external_tensor(b"w", b"weights.bin", length=8))  # expect 12
+    try:
+        parse_model(model, base_dir=str(tmp_path))
+    except ValueError as e:
+        assert "length" in str(e)
+    else:
+        raise AssertionError("length mismatch accepted")
+
+
+def test_external_data_short_file_rejected(tmp_path):
+    (tmp_path / "weights.bin").write_bytes(b"\x00" * 8)  # need 12
+    model = _model_with_initializer(
+        _external_tensor(b"w", b"weights.bin"))
+    try:
+        parse_model(model, base_dir=str(tmp_path))
+    except ValueError as e:
+        assert "too short" in str(e)
+    else:
+        raise AssertionError("truncated sidecar accepted")
+
+
+def test_external_data_executes_via_load_onnx(tmp_path):
+    # Full path: y = Add(x, w) where w's payload lives in a sidecar file,
+    # loaded through load_onnx (which supplies base_dir) and executed.
+    payload = np.array([1.5, -2.0], np.float32)
+    (tmp_path / "w.bin").write_bytes(payload.tobytes())
+    node = (b"\x0a\x01x" b"\x0a\x01w" b"\x12\x01y" b"\x1a\x02n0"
+            b"\x22\x03Add")
+    tensor = (b"\x08\x02" b"\x10\x01" b"\x42\x01w"
+              + _ld(b"\x6a", _kv(b"location", b"w.bin")))
+
+    def value_info(name: bytes) -> bytes:
+        tt = b"\x08\x01" + _ld(b"\x12", _ld(b"\x0a", b"\x08\x02"))
+        return _ld(b"\x0a", name) + _ld(b"\x12", _ld(b"\x0a", tt))
+
+    graph = (_ld(b"\x0a", node) + b"\x12\x01g" + _ld(b"\x2a", tensor)
+             + _ld(b"\x5a", value_info(b"x"))
+             + _ld(b"\x62", value_info(b"y")))
+    model = b"\x08\x08" + _ld(b"\x3a", graph) + _ld(b"\x42", b"\x10\x11")
+    (tmp_path / "m.onnx").write_bytes(model)
+
+    from supertonic_tpu.assets.onnx_reader import load_onnx
+    ex = OnnxExecutor(load_onnx(str(tmp_path / "m.onnx")))
+    (y,) = ex.run(None, {"x": np.array([10.0, 20.0], np.float32)})
+    np.testing.assert_allclose(y, [11.5, 18.0])
+
+
 def test_unpacked_repeated_attribute_ints():
     # AttributeProto.ints (field 8) emitted unpacked: perm = [1, 0] for a
     # Transpose node, executed end-to-end.
