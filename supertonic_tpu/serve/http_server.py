@@ -457,6 +457,11 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000,
                 self._send_json(404, {"detail": "not found"})
 
         def _write_chunk(self, data: bytes):
+            if not data:
+                # a zero-length chunk IS the chunked-transfer terminator;
+                # emitting one mid-stream would end the response early and
+                # desync keep-alive framing
+                return
             self.wfile.write(f"{len(data):X}\r\n".encode())
             self.wfile.write(data)
             self.wfile.write(b"\r\n")
@@ -472,8 +477,20 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000,
             self.send_header("Content-Type", "audio/wav")
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
-            for data in body:
-                self._write_chunk(data)
+            try:
+                for data in body:
+                    self._write_chunk(data)
+            except (BrokenPipeError, ConnectionResetError):
+                self.close_connection = True
+                return
+            except Exception as e:  # noqa: BLE001 — headers already sent:
+                # a second (JSON 500) response here would be written into
+                # the middle of the chunked body; drop the connection
+                # without the terminator so the client sees a hard error
+                log.error("tts_stream_error",
+                          error=f"{type(e).__name__}: {e}")
+                self.close_connection = True
+                return
             self.wfile.write(b"0\r\n\r\n")
 
         def do_POST(self):
@@ -482,7 +499,13 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000,
                 return
             t0 = time.perf_counter()
             try:
-                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                except ValueError:
+                    self._send_json(
+                        400, {"detail": "malformed Content-Length"},
+                        close=True)
+                    return
                 if length > _MAX_BODY_BYTES:
                     # refuse to buffer an arbitrarily large request body (a
                     # 1 GB Content-Length would be read into memory before

@@ -279,3 +279,55 @@ def test_style_path_rejected_over_http(base_url, tmp_path):
         r = httpx.post(f"{base_url}/tts",
                        json={"text": "x", "voice_style": bad}, timeout=60)
         assert r.status_code == 400, (bad, r.status_code)
+
+
+def test_empty_stream_chunk_not_a_terminator(tts_server):
+    """A zero-length synthesized chunk must not emit the chunked-transfer
+    terminator mid-stream (0-length chunk == end-of-response in HTTP/1.1)."""
+    base_url, server = tts_server
+    orig = server.service.stream_wav_bytes
+    try:
+        server.service.stream_wav_bytes = lambda req: iter(
+            [b"HEAD", b"", b"TAIL"])
+        with httpx.stream("POST", f"{base_url}/tts/stream",
+                          json={"text": "x"}, timeout=30) as r:
+            assert r.status_code == 200
+            body = b"".join(r.iter_bytes())
+        assert body == b"HEADTAIL"
+    finally:
+        server.service.stream_wav_bytes = orig
+
+
+def test_stream_failure_after_headers_aborts_cleanly(tts_server):
+    """A synthesis error after the 200/chunked headers are out must abort
+    the connection, not write a JSON 500 into the body."""
+    base_url, server = tts_server
+
+    def boom(req):
+        yield b"PARTIAL"
+        raise RuntimeError("device fell over")
+
+    orig = server.service.stream_wav_bytes
+    try:
+        server.service.stream_wav_bytes = boom
+        got = bytearray()
+        with pytest.raises(httpx.HTTPError):
+            with httpx.stream("POST", f"{base_url}/tts/stream",
+                              json={"text": "x"}, timeout=30) as r:
+                for chunk in r.iter_bytes():
+                    got.extend(chunk)
+        assert b"500" not in got and b"detail" not in got
+    finally:
+        server.service.stream_wav_bytes = orig
+
+
+def test_malformed_content_length_400(base_url):
+    import socket
+    from urllib.parse import urlparse
+
+    u = urlparse(base_url)
+    with socket.create_connection((u.hostname, u.port), timeout=10) as s:
+        s.sendall(b"POST /tts HTTP/1.1\r\nHost: x\r\n"
+                  b"Content-Length: abc\r\n\r\n")
+        resp = s.recv(4096)
+    assert resp.startswith(b"HTTP/1.1 400")
