@@ -357,7 +357,12 @@ def make_router_server(router: Router, host: str = "0.0.0.0",
                 self._send_json(404, {"detail": "not found"})
                 return
             t0 = time.perf_counter()
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._send_json(400, {"detail": "malformed Content-Length"},
+                                close=True)
+                return
             if length > _MAX_BODY_BYTES:
                 # same cap as the backends (http_server): don't buffer an
                 # arbitrarily large body before forwarding
@@ -391,7 +396,14 @@ def make_router_server(router: Router, host: str = "0.0.0.0",
                         self.wfile.write(b"\r\n")
                     self.wfile.write(b"0\r\n\r\n")
                 except (BrokenPipeError, ConnectionResetError):
-                    pass  # client went away; handle.close() below releases
+                    self.close_connection = True  # client went away
+                except (OSError, http.client.HTTPException) as e:
+                    # backend died mid-stream: the terminator was never
+                    # sent, so the client sees a hard truncation; drop the
+                    # connection rather than let the exception escape the
+                    # handler (stderr traceback + ambiguous keep-alive)
+                    log.warning("routed_stream_truncated", error=str(e))
+                    self.close_connection = True
                 finally:
                     handle.close()
                 log.info("routed_stream", backend=backend, status=status,

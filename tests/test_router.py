@@ -184,3 +184,67 @@ def test_router_forwards_voices(pod):
     r = httpx.get(f"{front_url}/voices", timeout=30)
     assert r.status_code == 200
     assert "M1" in r.json()["voices"]
+
+
+def test_router_malformed_content_length_400(pod):
+    import socket
+    from urllib.parse import urlparse
+
+    u = urlparse(pod[0])
+    with socket.create_connection((u.hostname, u.port), timeout=10) as s:
+        s.sendall(b"POST /tts HTTP/1.1\r\nHost: x\r\n"
+                  b"Content-Length: oops\r\n\r\n")
+        resp = s.recv(4096)
+    assert resp.startswith(b"HTTP/1.1 400")
+
+
+def test_router_backend_dies_mid_stream_truncates(pod):
+    """A backend failure after stream headers must truncate the client's
+    chunked stream (no terminator), not crash the router handler thread."""
+    front_url, router, servers, urls = pod
+    fake_chunks = [b"PART1", b"PART2"]
+
+    class _FakeResp:
+        def __init__(self):
+            self._i = 0
+
+        def read1(self, n):
+            if self._i < len(fake_chunks):
+                self._i += 1
+                return fake_chunks[self._i - 1]
+            raise ConnectionResetError("backend gone")
+
+    class _FakeHandle:
+        def __init__(self, backend):
+            import supertonic_tpu.serve.router as rt
+            self._h = rt._StreamHandle(
+                type("C", (), {"close": lambda self: None})(),
+                _FakeResp(), backend)
+
+        def chunks(self):
+            return self._h.chunks()
+
+        def close(self):
+            self._h.close()
+
+    orig = router.forward_stream
+
+    def fake_forward_stream(method, path, body, headers=None):
+        b = router.backends[0]
+        b.acquire()
+        return 200, {"Content-Type": "audio/wav"}, _FakeHandle(b), b.url
+
+    try:
+        router.forward_stream = fake_forward_stream
+        got = bytearray()
+        with pytest.raises(httpx.HTTPError):
+            with httpx.stream("POST", f"{front_url}/tts/stream",
+                              json={"text": "x"}, timeout=30) as r:
+                assert r.status_code == 200
+                for chunk in r.iter_bytes():
+                    got.extend(chunk)
+        assert bytes(got).startswith(b"PART1")
+        # pending slot released despite the failure
+        assert router.backends[0].pending == 0
+    finally:
+        router.forward_stream = orig
