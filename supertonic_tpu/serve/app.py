@@ -25,7 +25,7 @@ from .http_server import TTSService, ValidationError, _MAX_BODY_BYTES
 def create_app(tts=None, *, use_batcher: bool = True):
     """Build the FastAPI app. ``tts`` defaults to a TTS() constructed from
     env config (TTS_ASSETS_DIR, TTS_PRECISION)."""
-    from fastapi import FastAPI, HTTPException
+    from fastapi import FastAPI, HTTPException, Request
     from fastapi.responses import JSONResponse, StreamingResponse
     from pydantic import BaseModel, Field
 
@@ -92,6 +92,20 @@ def create_app(tts=None, *, use_batcher: bool = True):
             media_type=ctype,
             headers={"Content-Disposition": f'attachment; filename="{fname}"'},
         )
+
+    @app.post("/v1/audio/speech")
+    async def speech(request: Request):
+        # OpenAI-compatible surface; schema validated by the shared service
+        # parser (voice-name mapping, response_format, speed bounds)
+        try:
+            body = await request.json()
+        except Exception:
+            raise HTTPException(status_code=422, detail="invalid JSON body")
+        try:
+            payload, ctype = service.speech(body)
+        except ValidationError as e:
+            raise HTTPException(status_code=e.status, detail=e.detail)
+        return StreamingResponse(io.BytesIO(payload), media_type=ctype)
 
     @app.post("/tts/stream")
     def synthesize_stream(req: TTSRequest):

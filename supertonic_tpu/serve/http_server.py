@@ -112,6 +112,50 @@ def _ensure_list(v):
     return v if isinstance(v, list) else [v]
 
 
+# OpenAI audio-speech voice names -> our presets, so off-the-shelf clients
+# of POST /v1/audio/speech work unmodified; our own preset names (M1..F5)
+# and style_dir entries are accepted directly.
+_OPENAI_VOICE_MAP = {
+    "alloy": "F1", "ash": "M4", "ballad": "M5", "coral": "F4",
+    "echo": "M1", "fable": "M2", "onyx": "M3", "nova": "F2",
+    "sage": "F5", "shimmer": "F3", "verse": "M2",
+}
+
+
+def _parse_speech_request(body: dict) -> dict:
+    """OpenAI-compatible POST /v1/audio/speech request: ``input`` (text),
+    ``voice``, optional ``response_format`` (wav|pcm), ``speed`` (0.25-4.0).
+    Extensions beyond the OpenAI schema: ``lang``, ``total_step``."""
+    if not isinstance(body, dict):
+        raise ValidationError(422, "request body must be a JSON object")
+    text = body.get("input")
+    if not isinstance(text, str) or not text:
+        raise ValidationError(422, "field 'input' must be a non-empty string")
+    voice = body.get("voice", "M1")
+    if not isinstance(voice, str):
+        raise ValidationError(422, "voice must be a string")
+    voice = _OPENAI_VOICE_MAP.get(voice.lower(), voice)
+    fmt = body.get("response_format", "wav")
+    if fmt not in ("wav", "pcm"):
+        raise ValidationError(
+            400, f"response_format {fmt!r} not supported (use 'wav' or "
+                 f"'pcm'; audio is mono PCM16 at the model's sample rate)")
+    speed = body.get("speed", 1.0)
+    if (not isinstance(speed, (int, float)) or isinstance(speed, bool)
+            or not (0.25 <= speed <= 4.0)):
+        raise ValidationError(422, "speed must be a number in [0.25, 4.0]")
+    ts = body.get("total_step", 5)
+    if not isinstance(ts, int) or isinstance(ts, bool) or not (1 <= ts <= 50):
+        raise ValidationError(422, "total_step must be an int in [1, 50]")
+    lang = body.get("lang", "en")
+    return {
+        "text": text, "lang": lang, "voice_style": voice,
+        "total_step": ts, "speed": float(speed), "batch": False,
+        "silence_duration": 0.3, "crossfade_duration": 0.0,
+        "response_format": fmt,
+    }
+
+
 def _parse_request(body: dict) -> dict:
     if not isinstance(body, dict):
         raise ValidationError(422, "request body must be a JSON object")
@@ -361,6 +405,18 @@ class TTSService:
 
         return body()
 
+    def speech(self, body: dict) -> tuple[bytes, str]:
+        """OpenAI-compatible speech synthesis: returns (payload, content
+        type). WAV by default; ``response_format: "pcm"`` returns raw mono
+        PCM16 at the model's sample rate."""
+        req = _parse_speech_request(body)
+        fmt = req.pop("response_format")
+        payload, ctype, _fname = self.synthesize(req)
+        if fmt == "pcm":
+            # strip the 44-byte RIFF header (synthesize emits PCM16 WAV)
+            return payload[44:], "audio/pcm"
+        return payload, ctype
+
     def voices(self) -> dict:
         """Available voice-style presets. The reference leaves clients to
         hardcode the 10 names (web/index.html:31-41); with a mounted
@@ -494,7 +550,7 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000,
             self.wfile.write(b"0\r\n\r\n")
 
         def do_POST(self):
-            if self.path not in ("/tts", "/tts/stream"):
+            if self.path not in ("/tts", "/tts/stream", "/v1/audio/speech"):
                 self._send_json(404, {"detail": "not found"})
                 return
             t0 = time.perf_counter()
@@ -519,13 +575,19 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000,
                     drain_body(self, length)
                     return
                 body = json.loads(self.rfile.read(length) or b"{}")
-                req = _parse_request(body)
-                if self.path == "/tts/stream":
-                    self._stream_tts(req)
-                    log.info("tts_stream", latency_s=round(
-                        time.perf_counter() - t0, 4))
-                    return
-                payload, ctype, fname = service.synthesize(req)
+                if self.path == "/v1/audio/speech":
+                    # OpenAI-compatible surface (maps its voice names onto
+                    # our presets); no Content-Disposition per that API
+                    payload, ctype = service.speech(body)
+                    fname = None
+                else:
+                    req = _parse_request(body)
+                    if self.path == "/tts/stream":
+                        self._stream_tts(req)
+                        log.info("tts_stream", latency_s=round(
+                            time.perf_counter() - t0, 4))
+                        return
+                    payload, ctype, fname = service.synthesize(req)
             except ValidationError as e:
                 log.warning("tts_rejected", status=e.status, detail=e.detail)
                 self._send_json(e.status, {"detail": e.detail})
@@ -543,16 +605,16 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000,
                     pass
                 return
             log.info(
-                "tts", batch=bool(req["batch"]),
-                total_step=req["total_step"], bytes=len(payload),
+                "tts", path=self.path, bytes=len(payload),
                 latency_s=round(time.perf_counter() - t0, 4),
             )
             self.send_response(200)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(payload)))
-            self.send_header(
-                "Content-Disposition", f'attachment; filename="{fname}"'
-            )
+            if fname is not None:
+                self.send_header(
+                    "Content-Disposition", f'attachment; filename="{fname}"'
+                )
             self.end_headers()
             self.wfile.write(payload)
 

@@ -353,7 +353,7 @@ def make_router_server(router: Router, host: str = "0.0.0.0",
                 self._send_json(404, {"detail": "not found"})
 
         def do_POST(self):
-            if self.path not in ("/tts", "/tts/stream"):
+            if self.path not in ("/tts", "/tts/stream", "/v1/audio/speech"):
                 self._send_json(404, {"detail": "not found"})
                 return
             t0 = time.perf_counter()

@@ -248,3 +248,11 @@ def test_router_backend_dies_mid_stream_truncates(pod):
         assert router.backends[0].pending == 0
     finally:
         router.forward_stream = orig
+
+
+def test_router_forwards_openai_speech(pod):
+    r = httpx.post(f"{pod[0]}/v1/audio/speech",
+                   json={"input": "Routed speech.", "voice": "echo",
+                         "total_step": 2}, timeout=120)
+    assert r.status_code == 200
+    assert r.content[:4] == b"RIFF"

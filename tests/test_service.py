@@ -331,3 +331,43 @@ def test_malformed_content_length_400(base_url):
                   b"Content-Length: abc\r\n\r\n")
         resp = s.recv(4096)
     assert resp.startswith(b"HTTP/1.1 400")
+
+
+def test_openai_speech_endpoint(base_url):
+    r = httpx.post(f"{base_url}/v1/audio/speech",
+                   json={"input": "Hello from the compatible surface.",
+                         "voice": "alloy", "total_step": 2}, timeout=120)
+    assert r.status_code == 200
+    assert r.headers["content-type"] == "audio/wav"
+    assert r.content[:4] == b"RIFF"
+    assert len(r.content) > 44 + 8000
+
+
+def test_openai_speech_pcm_format(base_url):
+    wav = httpx.post(f"{base_url}/v1/audio/speech",
+                     json={"input": "Same words twice.", "voice": "M1",
+                           "total_step": 2}, timeout=120)
+    pcm = httpx.post(f"{base_url}/v1/audio/speech",
+                     json={"input": "Same words twice.", "voice": "M1",
+                           "total_step": 2, "response_format": "pcm"},
+                     timeout=120)
+    assert pcm.status_code == 200
+    assert pcm.headers["content-type"] == "audio/pcm"
+    assert pcm.content[:4] != b"RIFF"
+    # pcm payload is exactly the wav payload minus the 44-byte RIFF header
+    assert len(pcm.content) == len(wav.content) - 44
+
+
+def test_openai_speech_validation(base_url):
+    cases = [
+        ({"voice": "M1"}, 422),                       # missing input
+        ({"input": ""}, 422),                         # empty input
+        ({"input": "x", "response_format": "mp3"}, 400),
+        ({"input": "x", "speed": 9.0}, 422),
+        ({"input": "x", "speed": 0.1}, 422),
+        ({"input": "x", "voice": "nope"}, 400),       # unknown preset
+        ({"input": "x", "lang": "zz"}, 400),          # bad lang extension
+    ]
+    for body, want in cases:
+        r = httpx.post(f"{base_url}/v1/audio/speech", json=body, timeout=60)
+        assert r.status_code == want, (body, r.status_code, r.text)
