@@ -88,8 +88,16 @@ def make_ops(base: str):
         except httpx.RequestError:
             pass  # RST after bounded drain is acceptable for abusive sizes
 
+    def openai_speech(c: httpx.Client, rng: random.Random):
+        r = c.post(f"{base}/v1/audio/speech",
+                   json={"input": f"Compat soak {rng.randrange(99)}.",
+                         "voice": rng.choice(["alloy", "M2", "onyx"]),
+                         "total_step": 2}, timeout=300)
+        assert r.status_code == 200, r.text
+        assert _check_wav(r.content)
+
     # weighted mix: mostly synthesis, steady control-plane checks
-    return ([single] * 5 + [batch_zip] * 2 + [stream] * 2
+    return ([single] * 5 + [batch_zip] * 2 + [stream] * 2 + [openai_speech]
             + [voices, metrics, bad_schema, bad_lang, oversized])
 
 
