@@ -784,16 +784,17 @@ def op_dropout(ctx: Ctx, x, ratio=None, training=None):
     return x, jnp.ones(x.shape, bool)
 
 
-def _conv_pads(ctx: Ctx, x, w, strides, dils) -> list[tuple[int, int]]:
-    nd = x.ndim - 2
+def _window_pads(ctx: Ctx, in_shape, k, strides, dils) -> list[tuple[int, int]]:
+    """Per-spatial-dim (lo, hi) padding honoring auto_pad (shared by Conv
+    and the pooling ops — SAME_* pooling is standard in TF-exported ONNX)."""
+    nd = len(in_shape) - 2
     auto = ctx.attr("auto_pad", "NOTSET")
-    k = w.shape[2:]
     if auto in ("SAME_UPPER", "SAME_LOWER"):
         out = []
         for i in range(nd):
-            o = -(-x.shape[2 + i] // strides[i])
+            o = -(-in_shape[2 + i] // strides[i])
             total = max(0, (o - 1) * strides[i]
-                        + (k[i] - 1) * dils[i] + 1 - x.shape[2 + i])
+                        + (k[i] - 1) * dils[i] + 1 - in_shape[2 + i])
             lo = total // 2
             hi = total - lo
             out.append((hi, lo) if auto == "SAME_LOWER" else (lo, hi))
@@ -804,6 +805,10 @@ def _conv_pads(ctx: Ctx, x, w, strides, dils) -> list[tuple[int, int]]:
     if isinstance(pads, int):
         pads = [pads] * (2 * nd)
     return [(pads[i], pads[i + nd]) for i in range(nd)]
+
+
+def _conv_pads(ctx: Ctx, x, w, strides, dils) -> list[tuple[int, int]]:
+    return _window_pads(ctx, x.shape, w.shape[2:], strides, dils)
 
 
 @op("Conv")
@@ -882,7 +887,7 @@ def _pool(ctx: Ctx, x, reducer, init, is_avg: bool):
     k = tuple(ctx.attr("kernel_shape"))
     strides = tuple(ctx.attr("strides", [1] * nd))
     dils = tuple(ctx.attr("dilations", [1] * nd))
-    pads = _conv_pads_pool(ctx, nd)
+    pads = _window_pads(ctx, jnp.asarray(x).shape, k, strides, dils)
     x = jnp.asarray(x)
     extra = [0] * nd
     if ctx.attr("ceil_mode", 0):
@@ -920,11 +925,6 @@ def _pool(ctx: Ctx, x, reducer, init, is_avg: bool):
                                    pad_full, window_dilation=wd)
         out = out / counts
     return out
-
-
-def _conv_pads_pool(ctx: Ctx, nd: int) -> list[tuple[int, int]]:
-    pads = ctx.attr("pads", [0] * (2 * nd))
-    return [(pads[i], pads[i + nd]) for i in range(nd)]
 
 
 @op("MaxPool")

@@ -522,6 +522,70 @@ def test_pooling_vs_torch(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_conv_auto_pad_vs_torch(rng):
+    # auto_pad SAME_UPPER/SAME_LOWER/VALID (TF-exported graphs use these;
+    # torch exports always use explicit pads). Torch reference: pad
+    # asymmetrically by hand, then conv with padding=0.
+    import torch
+    import torch.nn.functional as tF
+
+    x = rng.standard_normal((2, 3, 15)).astype(F32)
+    w = rng.standard_normal((4, 3, 3)).astype(F32)
+    xt, wt = torch.from_numpy(x), torch.from_numpy(w)
+    s, k = 2, 3
+    out = -(-15 // s)
+    total = max(0, (out - 1) * s + k - 15)
+    lo, hi = total // 2, total - total // 2
+
+    for mode, pads in (("SAME_UPPER", (lo, hi)), ("SAME_LOWER", (hi, lo)),
+                       ("VALID", (0, 0))):
+        ex = build([("Conv", ["x", "w"], ["y"],
+                     {"kernel_shape": [k], "strides": [s],
+                      "auto_pad": mode})],
+                   inits={"w": w}, inputs=[("x", F32, (2, 3, 15))],
+                   outputs=[("y", F32, (2, 4, "O"))])
+        ref = tF.conv1d(tF.pad(xt, pads), wt, stride=s).numpy()
+        np.testing.assert_allclose(run1(ex, x=x), ref, rtol=1e-4, atol=1e-5,
+                                   err_msg=mode)
+
+
+def test_pool_auto_pad_vs_torch(rng):
+    import torch
+    import torch.nn.functional as tF
+
+    x = rng.standard_normal((2, 3, 15)).astype(F32)
+    xt = torch.from_numpy(x)
+    s, k = 2, 3
+    out = -(-15 // s)
+    total = max(0, (out - 1) * s + k - 15)
+    lo, hi = total // 2, total - total // 2
+
+    ex = build([("MaxPool", ["x"], ["y"],
+                 {"kernel_shape": [k], "strides": [s],
+                  "auto_pad": "SAME_UPPER"})],
+               inputs=[("x", F32, (2, 3, 15))],
+               outputs=[("y", F32, (2, 3, out))])
+    ref = tF.max_pool1d(tF.pad(xt, (lo, hi), value=-torch.inf), k, s).numpy()
+    got = run1(ex, x=x)
+    assert got.shape == ref.shape == (2, 3, out)
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+    # AveragePool SAME excludes the pad cells from the divisor
+    # (count_include_pad=0 default): sum-pool over zero-padded input divided
+    # by a count-pool of ones
+    ex = build([("AveragePool", ["x"], ["y"],
+                 {"kernel_shape": [k], "strides": [s],
+                  "auto_pad": "SAME_UPPER"})],
+               inputs=[("x", F32, (2, 3, 15))],
+               outputs=[("y", F32, (2, 3, out))])
+    sums = tF.avg_pool1d(tF.pad(xt, (lo, hi)), k, s,
+                         count_include_pad=True) * k
+    counts = tF.avg_pool1d(tF.pad(torch.ones_like(xt), (lo, hi)), k, s,
+                           count_include_pad=True) * k
+    np.testing.assert_allclose(run1(ex, x=x), (sums / counts).numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # executor mechanics
 # ---------------------------------------------------------------------------
