@@ -565,6 +565,15 @@ def op_pad(ctx: Ctx, x, pads=None, cval=None, axes=None):
     width = [(0, 0)] * x.ndim
     for i, a in enumerate(ax):
         width[a] = (int(pads[i]), int(pads[i + n]))
+    if any(lo < 0 or hi < 0 for lo, hi in width):
+        # ONNX allows negative pads (cropping); np/jnp.pad do not — crop
+        # first, keep only the non-negative remainder to pad
+        sl = tuple(
+            slice(max(0, -lo), x.shape[d] - max(0, -hi))
+            for d, (lo, hi) in enumerate(width)
+        )
+        x = x[sl]
+        width = [(max(0, lo), max(0, hi)) for lo, hi in width]
     if mode == "constant":
         c = 0 if cval is None else np.asarray(cval).item() if _is_static(cval) else cval
         return ctx.xp.pad(x, width, mode="constant", constant_values=c)

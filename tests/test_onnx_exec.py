@@ -1081,3 +1081,15 @@ def test_resize_same_dim_nonunit_scale_resamples(rng):
     src = np.arange(3, dtype=np.float32) / np.float32(1.2)
     want = x[:, :, np.floor(src).astype(int)]
     np.testing.assert_array_equal(got, want)
+
+
+def test_pad_negative_crops(rng):
+    # ONNX negative pads crop; mixed crop+pad on different dims
+    x = rng.standard_normal((2, 5, 6)).astype(F32)
+    ex = build([("Pad", ["x", "p"], ["y"])],
+               inits={"p": np.array([0, -1, 2, 0, -2, -1], I64)},
+               inputs=[("x", F32, (2, 5, 6))],
+               outputs=[("y", F32, (2, 2, 7))])
+    got = run1(ex, x=x)
+    ref = np.pad(x[:, 1:-2, :-1], [(0, 0), (0, 0), (2, 0)])
+    np.testing.assert_array_equal(got, ref)
