@@ -601,6 +601,31 @@ def op_depthtospace(ctx: Ctx, x):
     return jnp.reshape(y, (n, c // (b * b), h * b, w * b))
 
 
+@op("SpaceToDepth")
+def op_spacetodepth(ctx: Ctx, x):
+    b = ctx.attr("blocksize")
+    n, c, h, w = x.shape
+    y = jnp.reshape(x, (n, c, h // b, b, w // b, b))
+    y = jnp.transpose(y, (0, 3, 5, 1, 2, 4))
+    return jnp.reshape(y, (n, c * b * b, h // b, w // b))
+
+
+@op("Upsample", static_ok=True)
+def op_upsample(ctx: Ctx, x, scales=None):
+    # deprecated opset-7/9 alias of Resize (mode nearest|linear, asymmetric
+    # coordinates per its spec); scales via attr (opset 7) or input (opset 9)
+    node = dataclasses.replace(
+        ctx.node, op_type="Resize",
+        attrs={"mode": ctx.attr("mode", "nearest"),
+               "coordinate_transformation_mode": "asymmetric",
+               "nearest_mode": "floor"},
+    )
+    sc = (np.asarray(ctx.attr("scales"), np.float32) if scales is None
+          else ctx.static(scales, "scales"))
+    return _REGISTRY["Resize"](
+        Ctx(ctx.xp, node.attrs, node, ctx.env), x, None, sc, None)
+
+
 # ---------------------------------------------------------------------------
 # constants / generators / casts
 # ---------------------------------------------------------------------------

@@ -1093,3 +1093,48 @@ def test_pad_negative_crops(rng):
     got = run1(ex, x=x)
     ref = np.pad(x[:, 1:-2, :-1], [(0, 0), (0, 0), (2, 0)])
     np.testing.assert_array_equal(got, ref)
+
+
+def test_spacetodepth_roundtrips_depthtospace(rng):
+    x = rng.standard_normal((2, 12, 4, 6)).astype(F32)
+    ex = build([("DepthToSpace", ["x"], ["u"], {"blocksize": 2}),
+                ("SpaceToDepth", ["u"], ["y"], {"blocksize": 2})],
+               inputs=[("x", F32, (2, 12, 4, 6))],
+               outputs=[("y", F32, (2, 12, 4, 6))])
+    np.testing.assert_array_equal(run1(ex, x=x), x)
+
+    # torch reference: pixel_unshuffle == SpaceToDepth (CRD-equivalent
+    # channel order for the DCR inverse above differs; check against the
+    # direct formula instead)
+    ex = build([("SpaceToDepth", ["x"], ["y"], {"blocksize": 2})],
+               inputs=[("x", F32, (2, 12, 4, 6))],
+               outputs=[("y", F32, (2, 48, 2, 3))])
+    n, c, h, w = x.shape
+    ref = (x.reshape(n, c, h // 2, 2, w // 2, 2)
+            .transpose(0, 3, 5, 1, 2, 4).reshape(n, c * 4, h // 2, w // 2))
+    np.testing.assert_array_equal(run1(ex, x=x), ref)
+
+
+def test_upsample_alias_vs_torch(rng):
+    import torch
+    import torch.nn.functional as tF
+
+    x = rng.standard_normal((1, 3, 5, 7)).astype(F32)
+    # opset-9 form: scales as input
+    ex = build([("Upsample", ["x", "s"], ["y"], {"mode": "nearest"})],
+               inits={"s": np.array([1, 1, 2, 2], F32)},
+               inputs=[("x", F32, (1, 3, 5, 7))],
+               outputs=[("y", F32, (1, 3, 10, 14))])
+    ref = tF.interpolate(torch.from_numpy(x), scale_factor=2,
+                         mode="nearest").numpy()
+    np.testing.assert_array_equal(run1(ex, x=x), ref)
+
+    # opset-7 form: scales as attribute, linear mode
+    ex = build([("Upsample", ["x"], ["y"],
+                 {"mode": "linear", "scales": [1.0, 1.0, 2.0, 2.0]})],
+               inputs=[("x", F32, (1, 3, 5, 7))],
+               outputs=[("y", F32, (1, 3, 10, 14))])
+    ref = tF.interpolate(torch.from_numpy(x), scale_factor=2,
+                         mode="bilinear", align_corners=False).numpy()
+    got = run1(ex, x=x)
+    assert got.shape == ref.shape
