@@ -1075,6 +1075,207 @@ def op_resize(ctx: Ctx, x, roi=None, scales=None, sizes=None):
 
 
 # ---------------------------------------------------------------------------
+# recurrent (GRU / LSTM / RNN) — lax.scan over time
+# ---------------------------------------------------------------------------
+
+def _rnn_prep(ctx: Ctx, x, seq_lens, initials: list):
+    """Common RNN-family plumbing. Returns (x [T,B,I], lens [B] | None,
+    init_states [(B,H)...] per direction list, directions, layout, finish).
+    ``finish(ys, hs)`` packs (Y [T,dirs,B,H], Y_h... per state)."""
+    if ctx.attr("activations") is not None:
+        # defaults only (Sigmoid/Tanh[/Tanh]); custom chains are vanishingly
+        # rare in practice and silently wrong results are worse than loud
+        raise UnsupportedOp(
+            f"{ctx.node.op_type}: custom activations are not supported")
+    layout = ctx.attr("layout", 0)
+    if layout == 1:  # [B, T, ...] -> [T, B, ...]
+        x = jnp.swapaxes(jnp.asarray(x), 0, 1)
+    x = jnp.asarray(x)
+    direction = ctx.attr("direction", "forward")
+    dirs = 2 if direction == "bidirectional" else 1
+    hidden = ctx.attr("hidden_size")
+    b = x.shape[1]
+    lens = None if seq_lens is None else jnp.asarray(seq_lens)
+    if lens is not None and direction != "forward":
+        raise UnsupportedOp(
+            f"{ctx.node.op_type}: sequence_lens with reverse/bidirectional "
+            f"directions is not supported")
+    inits = []
+    for init in initials:
+        if init is None:
+            inits.append(jnp.zeros((dirs, b, hidden), x.dtype))
+        else:
+            init = jnp.asarray(init)
+            if layout == 1:  # [B, dirs, H] -> [dirs, B, H]
+                init = jnp.swapaxes(init, 0, 1)
+            inits.append(init)
+
+    def finish(ys, final_states):
+        # ys: list per direction of [T, B, H]; final_states: list per state
+        # of list per direction of [B, H]
+        y = jnp.stack(ys, axis=1)  # [T, dirs, B, H]
+        outs = [jnp.stack(s, axis=0) for s in final_states]  # [dirs, B, H]
+        if layout == 1:
+            y = jnp.transpose(y, (2, 0, 1, 3))  # [B, T, dirs, H]
+            outs = [jnp.swapaxes(o, 0, 1) for o in outs]
+        return y, outs
+
+    return x, lens, inits, direction, ctx.attr("clip"), finish
+
+
+def _rnn_scan(x, lens, step, carry0, reverse: bool):
+    """Run ``step(carry, x_t) -> (carry, y_t)`` over time, masking updates
+    past each row's sequence length (Y zero-padded, states held — ORT
+    semantics)."""
+    t_idx = jnp.arange(x.shape[0])
+    if reverse:
+        x = jnp.flip(x, axis=0)
+
+    def body(carry, inp):
+        t, xt = inp
+        new_carry, y = step(carry, xt)
+        if lens is not None:
+            valid = (t < lens)[:, None]
+            new_carry = tuple(
+                jnp.where(valid, nc, c) for nc, c in zip(new_carry, carry))
+            y = jnp.where(valid, y, 0)
+        return new_carry, y
+
+    carry, ys = lax.scan(body, carry0, (t_idx, x))
+    if reverse:
+        ys = jnp.flip(ys, axis=0)
+    return carry, ys
+
+
+def _gates(w, r, b, n_gates, hidden):
+    """Split ONNX-packed weights for one direction into per-gate blocks:
+    W [n*H, I] -> n x [I, H] (transposed for x @ w), likewise R; bias
+    [2*n*H] -> n x [H] (Wb + Rb combined)."""
+    ws = [jnp.transpose(w[i * hidden:(i + 1) * hidden]) for i in range(n_gates)]
+    rs = [jnp.transpose(r[i * hidden:(i + 1) * hidden]) for i in range(n_gates)]
+    if b is None:
+        bs = [0.0] * n_gates
+        rbs = [0.0] * n_gates
+    else:
+        bs = [b[i * hidden:(i + 1) * hidden] for i in range(n_gates)]
+        rbs = [b[(n_gates + i) * hidden:(n_gates + i + 1) * hidden]
+               for i in range(n_gates)]
+    return ws, rs, bs, rbs
+
+
+def _maybe_clip(v, clip):
+    return v if clip is None else jnp.clip(v, -clip, clip)
+
+
+@op("GRU")
+def op_gru(ctx: Ctx, x, w, r, b=None, seq_lens=None, initial_h=None):
+    hidden = ctx.attr("hidden_size")
+    lbr = ctx.attr("linear_before_reset", 0)
+    x, lens, (h0,), direction, clip, finish = _rnn_prep(
+        ctx, x, seq_lens, [initial_h])
+    w, r = jnp.asarray(w), jnp.asarray(r)
+    b = None if b is None else jnp.asarray(b)
+
+    ys, hs = [], []
+    for d in range(w.shape[0]):
+        (wz, wr, wh), (rz, rr, rh), (bz, br, bh), (rbz, rbr, rbh) = _gates(
+            w[d], r[d], None if b is None else b[d], 3, hidden)
+
+        def step(carry, xt, wz=wz, wr=wr, wh=wh, rz=rz, rr=rr, rh=rh,
+                 bz=bz, br=br, bh=bh, rbz=rbz, rbr=rbr, rbh=rbh):
+            (h,) = carry
+            z = jax.nn.sigmoid(_maybe_clip(
+                xt @ wz + h @ rz + bz + rbz, clip))
+            rg = jax.nn.sigmoid(_maybe_clip(
+                xt @ wr + h @ rr + br + rbr, clip))
+            if lbr:
+                hh = jnp.tanh(_maybe_clip(
+                    xt @ wh + bh + rg * (h @ rh + rbh), clip))
+            else:
+                hh = jnp.tanh(_maybe_clip(
+                    xt @ wh + (rg * h) @ rh + bh + rbh, clip))
+            h_new = (1 - z) * hh + z * h
+            return (h_new,), h_new
+
+        reverse = (direction == "reverse") or (
+            direction == "bidirectional" and d == 1)
+        (h_fin,), y = _rnn_scan(x, lens, step, (h0[d],), reverse)
+        ys.append(y)
+        hs.append(h_fin)
+    y, (y_h,) = finish(ys, [hs])
+    return y, y_h
+
+
+@op("LSTM")
+def op_lstm(ctx: Ctx, x, w, r, b=None, seq_lens=None, initial_h=None,
+            initial_c=None, peepholes=None):
+    if peepholes is not None:
+        raise UnsupportedOp("LSTM: peephole connections are not supported")
+    hidden = ctx.attr("hidden_size")
+    input_forget = ctx.attr("input_forget", 0)
+    x, lens, (h0, c0), direction, clip, finish = _rnn_prep(
+        ctx, x, seq_lens, [initial_h, initial_c])
+    w, r = jnp.asarray(w), jnp.asarray(r)
+    b = None if b is None else jnp.asarray(b)
+
+    ys, hs, cs = [], [], []
+    for d in range(w.shape[0]):
+        # ONNX gate order: input, output, forget, cell
+        (wi, wo, wf, wc), (ri, ro, rf, rc), (bi, bo, bf, bc), \
+            (rbi, rbo, rbf, rbc) = _gates(
+                w[d], r[d], None if b is None else b[d], 4, hidden)
+
+        def step(carry, xt, wi=wi, wo=wo, wf=wf, wc=wc, ri=ri, ro=ro,
+                 rf=rf, rc=rc, bi=bi, bo=bo, bf=bf, bc=bc, rbi=rbi,
+                 rbo=rbo, rbf=rbf, rbc=rbc):
+            h, c = carry
+            i = jax.nn.sigmoid(_maybe_clip(xt @ wi + h @ ri + bi + rbi, clip))
+            f = (1.0 - i if input_forget else jax.nn.sigmoid(
+                _maybe_clip(xt @ wf + h @ rf + bf + rbf, clip)))
+            g = jnp.tanh(_maybe_clip(xt @ wc + h @ rc + bc + rbc, clip))
+            o = jax.nn.sigmoid(_maybe_clip(xt @ wo + h @ ro + bo + rbo, clip))
+            c_new = f * c + i * g
+            h_new = o * jnp.tanh(c_new)
+            return (h_new, c_new), h_new
+
+        reverse = (direction == "reverse") or (
+            direction == "bidirectional" and d == 1)
+        (h_fin, c_fin), y = _rnn_scan(x, lens, step, (h0[d], c0[d]), reverse)
+        ys.append(y)
+        hs.append(h_fin)
+        cs.append(c_fin)
+    y, (y_h, y_c) = finish(ys, [hs, cs])
+    return y, y_h, y_c
+
+
+@op("RNN")
+def op_rnn(ctx: Ctx, x, w, r, b=None, seq_lens=None, initial_h=None):
+    hidden = ctx.attr("hidden_size")
+    x, lens, (h0,), direction, clip, finish = _rnn_prep(
+        ctx, x, seq_lens, [initial_h])
+    w, r = jnp.asarray(w), jnp.asarray(r)
+    b = None if b is None else jnp.asarray(b)
+
+    ys, hs = [], []
+    for d in range(w.shape[0]):
+        (wx,), (rh,), (bx,), (rbx,) = _gates(
+            w[d], r[d], None if b is None else b[d], 1, hidden)
+
+        def step(carry, xt, wx=wx, rh=rh, bx=bx, rbx=rbx):
+            (h,) = carry
+            h_new = jnp.tanh(_maybe_clip(xt @ wx + h @ rh + bx + rbx, clip))
+            return (h_new,), h_new
+
+        reverse = (direction == "reverse") or (
+            direction == "bidirectional" and d == 1)
+        (h_fin,), y = _rnn_scan(x, lens, step, (h0[d],), reverse)
+        ys.append(y)
+        hs.append(h_fin)
+    y, (y_h,) = finish(ys, [hs])
+    return y, y_h
+
+
+# ---------------------------------------------------------------------------
 # scatter / gather-nd / topk / control flow
 # ---------------------------------------------------------------------------
 

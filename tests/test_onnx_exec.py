@@ -1138,3 +1138,170 @@ def test_upsample_alias_vs_torch(rng):
                          mode="bilinear", align_corners=False).numpy()
     got = run1(ex, x=x)
     assert got.shape == ref.shape
+
+
+# ---------------------------------------------------------------------------
+# recurrent ops vs torch (ONNX gate packing differs from torch's — the
+# remapping below IS the thing under test)
+# ---------------------------------------------------------------------------
+
+def _torch_gru_to_onnx(gru, layer=""):
+    """torch packs GRU gates r,z,n; ONNX packs z,r,h. B = [Wb*3, Rb*3]."""
+    import torch
+
+    def remap(m):  # [3H, ...] r,z,n -> z,r,n
+        h = m.shape[0] // 3
+        return torch.cat([m[h:2 * h], m[:h], m[2 * h:]], dim=0)
+
+    w = remap(getattr(gru, f"weight_ih_l0{layer}")).detach().numpy()
+    r = remap(getattr(gru, f"weight_hh_l0{layer}")).detach().numpy()
+    b = np.concatenate([
+        remap(getattr(gru, f"bias_ih_l0{layer}")).detach().numpy(),
+        remap(getattr(gru, f"bias_hh_l0{layer}")).detach().numpy()])
+    return w, r, b
+
+
+def _torch_lstm_to_onnx(lstm, layer=""):
+    """torch packs LSTM gates i,f,g,o; ONNX packs i,o,f,c."""
+    import torch
+
+    def remap(m):
+        h = m.shape[0] // 4
+        i, f, g, o = m[:h], m[h:2 * h], m[2 * h:3 * h], m[3 * h:]
+        return torch.cat([i, o, f, g], dim=0)
+
+    w = remap(getattr(lstm, f"weight_ih_l0{layer}")).detach().numpy()
+    r = remap(getattr(lstm, f"weight_hh_l0{layer}")).detach().numpy()
+    b = np.concatenate([
+        remap(getattr(lstm, f"bias_ih_l0{layer}")).detach().numpy(),
+        remap(getattr(lstm, f"bias_hh_l0{layer}")).detach().numpy()])
+    return w, r, b
+
+
+def test_gru_vs_torch(rng):
+    import torch
+
+    t_len, batch, d_in, hidden = 6, 3, 4, 5
+    x = rng.standard_normal((t_len, batch, d_in)).astype(F32)
+    torch.manual_seed(0)
+    gru = torch.nn.GRU(d_in, hidden)
+    w, r, b = _torch_gru_to_onnx(gru)
+    # torch GRU applies the reset gate AFTER the hidden linear -> lbr=1
+    ex = build([("GRU", ["x", "w", "r", "b"], ["y", "yh"],
+                 {"hidden_size": hidden, "linear_before_reset": 1})],
+               inits={"w": w[None], "r": r[None], "b": b[None]},
+               inputs=[("x", F32, (t_len, batch, d_in))],
+               outputs=[("y", F32, (t_len, 1, batch, hidden)),
+                        ("yh", F32, (1, batch, hidden))])
+    y, yh = ex.run(None, {"x": x})
+    with torch.no_grad():
+        ref_y, ref_h = gru(torch.from_numpy(x))
+    np.testing.assert_allclose(y[:, 0], ref_y.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(yh, ref_h.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_gru_bidirectional_vs_torch(rng):
+    import torch
+
+    t_len, batch, d_in, hidden = 5, 2, 3, 4
+    x = rng.standard_normal((t_len, batch, d_in)).astype(F32)
+    torch.manual_seed(1)
+    gru = torch.nn.GRU(d_in, hidden, bidirectional=True)
+    wf, rf, bf = _torch_gru_to_onnx(gru)
+    wr, rr, br = _torch_gru_to_onnx(gru, "_reverse")
+    ex = build([("GRU", ["x", "w", "r", "b"], ["y", "yh"],
+                 {"hidden_size": hidden, "linear_before_reset": 1,
+                  "direction": "bidirectional"})],
+               inits={"w": np.stack([wf, wr]), "r": np.stack([rf, rr]),
+                      "b": np.stack([bf, br])},
+               inputs=[("x", F32, (t_len, batch, d_in))],
+               outputs=[("y", F32, (t_len, 2, batch, hidden)),
+                        ("yh", F32, (2, batch, hidden))])
+    y, yh = ex.run(None, {"x": x})
+    with torch.no_grad():
+        ref_y, ref_h = gru(torch.from_numpy(x))
+    np.testing.assert_allclose(y[:, 0], ref_y[..., :hidden].numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(y[:, 1], ref_y[..., hidden:].numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(yh, ref_h.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_lstm_vs_torch(rng):
+    import torch
+
+    t_len, batch, d_in, hidden = 7, 2, 3, 4
+    x = rng.standard_normal((t_len, batch, d_in)).astype(F32)
+    h0 = rng.standard_normal((1, batch, hidden)).astype(F32)
+    c0 = rng.standard_normal((1, batch, hidden)).astype(F32)
+    torch.manual_seed(2)
+    lstm = torch.nn.LSTM(d_in, hidden)
+    w, r, b = _torch_lstm_to_onnx(lstm)
+    ex = build([("LSTM", ["x", "w", "r", "b", "", "h0", "c0"],
+                 ["y", "yh", "yc"], {"hidden_size": hidden})],
+               inits={"w": w[None], "r": r[None], "b": b[None],
+                      "h0": h0, "c0": c0},
+               inputs=[("x", F32, (t_len, batch, d_in))],
+               outputs=[("y", F32, (t_len, 1, batch, hidden)),
+                        ("yh", F32, (1, batch, hidden)),
+                        ("yc", F32, (1, batch, hidden))])
+    y, yh, yc = ex.run(None, {"x": x})
+    with torch.no_grad():
+        ref_y, (ref_h, ref_c) = lstm(
+            torch.from_numpy(x), (torch.from_numpy(h0), torch.from_numpy(c0)))
+    np.testing.assert_allclose(y[:, 0], ref_y.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(yh, ref_h.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(yc, ref_c.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_gru_sequence_lens(rng):
+    # ORT semantics: Y rows past a sequence's length are zero, Y_h holds the
+    # last valid step's state
+    t_len, batch, d_in, hidden = 6, 3, 4, 5
+    x = rng.standard_normal((t_len, batch, d_in)).astype(F32)
+    lens = np.array([6, 3, 1], np.int32)
+    w = (rng.standard_normal((1, 3 * hidden, d_in)) * 0.4).astype(F32)
+    r = (rng.standard_normal((1, 3 * hidden, hidden)) * 0.4).astype(F32)
+    ex = build([("GRU", ["x", "w", "r", "", "lens"], ["y", "yh"],
+                 {"hidden_size": hidden})],
+               inits={"w": w, "r": r, "lens": lens},
+               inputs=[("x", F32, (t_len, batch, d_in))],
+               outputs=[("y", F32, (t_len, 1, batch, hidden)),
+                        ("yh", F32, (1, batch, hidden))])
+    y, yh = ex.run(None, {"x": x})
+
+    # full-length reference run, then mask/hold manually
+    ex_full = build([("GRU", ["x", "w", "r"], ["y", "yh"],
+                      {"hidden_size": hidden})],
+                    inits={"w": w, "r": r},
+                    inputs=[("x", F32, (t_len, batch, d_in))],
+                    outputs=[("y", F32, (t_len, 1, batch, hidden)),
+                             ("yh", F32, (1, batch, hidden))])
+    y_full, _ = ex_full.run(None, {"x": x})
+    for bi, ln in enumerate(lens):
+        np.testing.assert_allclose(y[:ln, 0, bi], y_full[:ln, 0, bi],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(y[ln:, 0, bi], 0.0)
+        np.testing.assert_allclose(yh[0, bi], y_full[ln - 1, 0, bi],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_rnn_vs_manual(rng):
+    t_len, batch, d_in, hidden = 4, 2, 3, 4
+    x = rng.standard_normal((t_len, batch, d_in)).astype(F32)
+    w = (rng.standard_normal((1, hidden, d_in)) * 0.5).astype(F32)
+    r = (rng.standard_normal((1, hidden, hidden)) * 0.5).astype(F32)
+    b = (rng.standard_normal((1, 2 * hidden)) * 0.5).astype(F32)
+    ex = build([("RNN", ["x", "w", "r", "b"], ["y", "yh"],
+                 {"hidden_size": hidden})],
+               inits={"w": w, "r": r, "b": b},
+               inputs=[("x", F32, (t_len, batch, d_in))],
+               outputs=[("y", F32, (t_len, 1, batch, hidden)),
+                        ("yh", F32, (1, batch, hidden))])
+    y, yh = ex.run(None, {"x": x})
+    h = np.zeros((batch, hidden), np.float32)
+    for t in range(t_len):
+        h = np.tanh(x[t] @ w[0].T + h @ r[0].T + b[0, :hidden]
+                    + b[0, hidden:])
+        np.testing.assert_allclose(y[t, 0], h, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(yh[0], h, rtol=1e-4, atol=1e-5)
