@@ -1434,6 +1434,56 @@ def op_loop(ctx: Ctx, trip_count, cond, *carried):
     return outs if len(outs) > 1 else outs[0]
 
 
+@op("Scan")
+def op_scan(ctx: Ctx, *inputs):
+    """ONNX Scan: N carried states + M scan inputs iterated along an axis,
+    unrolled at trace time (sequence lengths are static under jit, so the
+    trip count always is too — unlike Loop there is no dynamic condition).
+
+    Body signature per spec: (state_1..N, scan_elem_1..M) ->
+    (state_1..N, scan_out_1..K); scan outputs stack along scan_output_axes.
+    """
+    body = ctx.attr("body")
+    if body is None:
+        raise UnsupportedOp("Scan: missing body subgraph")
+    m = ctx.attr("num_scan_inputs")
+    if not m:
+        raise UnsupportedOp("Scan: num_scan_inputs attribute is required")
+    n = len(inputs) - m
+    state = list(inputs[:n])
+    scans_in = [jnp.asarray(s) for s in inputs[n:]]
+    in_axes = ctx.attr("scan_input_axes", [0] * m)
+    in_dirs = ctx.attr("scan_input_directions", [0] * m)
+    in_names = [vi.name for vi in body.inputs]
+    out_names = [vi.name for vi in body.outputs]
+    k = len(out_names) - n
+    out_axes = ctx.attr("scan_output_axes", [0] * k)
+    out_dirs = ctx.attr("scan_output_directions", [0] * k)
+    ax0 = in_axes[0] % scans_in[0].ndim
+    t = scans_in[0].shape[ax0]
+    collect: list[list] = [[] for _ in range(k)]
+    for it in range(t):
+        sub_env = dict(ctx.env or {})
+        for name, tens in body.initializers.items():
+            sub_env[name] = np.asarray(tens.data)
+        for name, val in zip(in_names[:n], state):
+            sub_env[name] = val
+        for j, s in enumerate(scans_in):
+            ax = in_axes[j] % s.ndim
+            idx = t - 1 - it if in_dirs[j] else it
+            sub_env[in_names[n + j]] = jnp.take(s, idx, axis=ax)
+        _run_nodes(_toposort(body, set(sub_env)), sub_env)
+        state = [sub_env[nm] for nm in out_names[:n]]
+        for i, nm in enumerate(out_names[n:]):
+            collect[i].append(jnp.asarray(sub_env[nm]))
+    outs = list(state)
+    for i in range(k):
+        seq = collect[i][::-1] if out_dirs[i] else collect[i]
+        axis = out_axes[i] % (seq[0].ndim + 1)
+        outs.append(jnp.stack(seq, axis=axis))
+    return tuple(outs) if len(outs) > 1 else outs[0]
+
+
 def _run_nodes(nodes: list[OnnxNode], env: dict) -> None:
     """Evaluate nodes into ``env`` (shared by the executor and subgraphs)."""
     for node in nodes:

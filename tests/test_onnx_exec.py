@@ -1305,3 +1305,77 @@ def test_rnn_vs_manual(rng):
                     + b[0, hidden:])
         np.testing.assert_allclose(y[t, 0], h, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(yh[0], h, rtol=1e-4, atol=1e-5)
+
+
+def test_scan_cumsum_and_reverse(rng):
+    """Scan: running-sum state over axis 0, one scan output; plus a second
+    run with reversed input/output directions."""
+    x = rng.standard_normal((5, 3)).astype(F32)
+
+    body_nodes = [
+        R.encode_node("Add", ["s_in", "xe"], ["s_out"], name="b0"),
+        R.encode_node("Identity", ["s_out"], ["y_e"], name="b1"),
+    ]
+    body_ins = [R.encode_value_info("s_in", F32, (3,)),
+                R.encode_value_info("xe", F32, (3,))]
+    body_outs = [R.encode_value_info("s_out", F32, (3,)),
+                 R.encode_value_info("y_e", F32, (3,))]
+    body = R.SubgraphAttr(R.encode_graph("body", body_nodes, [],
+                                         body_ins, body_outs))
+
+    ex = build(
+        [("Scan", ["s0", "x"], ["s_fin", "y"],
+          {"body": body, "num_scan_inputs": 1})],
+        inits={"s0": np.zeros(3, F32)},
+        inputs=[("x", F32, (5, 3))],
+        outputs=[("s_fin", F32, (3,)), ("y", F32, (5, 3))],
+    )
+    s_fin, y = ex.run(None, {"x": x})
+    ref = np.cumsum(x, axis=0)
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(s_fin, x.sum(0), rtol=1e-5, atol=1e-6)
+
+    # reverse input direction + reverse output direction = suffix sums in
+    # original order
+    ex = build(
+        [("Scan", ["s0", "x"], ["s_fin", "y"],
+          {"body": body, "num_scan_inputs": 1,
+           "scan_input_directions": [1], "scan_output_directions": [1]})],
+        inits={"s0": np.zeros(3, F32)},
+        inputs=[("x", F32, (5, 3))],
+        outputs=[("s_fin", F32, (3,)), ("y", F32, (5, 3))],
+    )
+    s_fin, y = ex.run(None, {"x": x})
+    ref = np.cumsum(x[::-1], axis=0)[::-1]
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_scan_axis1_two_inputs(rng):
+    """Scan along axis 1 with TWO scan inputs and a non-zero output axis."""
+    a = rng.standard_normal((2, 4)).astype(F32)
+    b = rng.standard_normal((2, 4)).astype(F32)
+
+    body_nodes = [
+        R.encode_node("Mul", ["ae", "be"], ["prod"], name="b0"),
+        R.encode_node("Add", ["s_in", "prod"], ["s_out"], name="b1"),
+        R.encode_node("Identity", ["prod"], ["y_e"], name="b2"),
+    ]
+    body_ins = [R.encode_value_info("s_in", F32, (2,)),
+                R.encode_value_info("ae", F32, (2,)),
+                R.encode_value_info("be", F32, (2,))]
+    body_outs = [R.encode_value_info("s_out", F32, (2,)),
+                 R.encode_value_info("y_e", F32, (2,))]
+    body = R.SubgraphAttr(R.encode_graph("body", body_nodes, [],
+                                         body_ins, body_outs))
+
+    ex = build(
+        [("Scan", ["s0", "a", "b"], ["s_fin", "y"],
+          {"body": body, "num_scan_inputs": 2,
+           "scan_input_axes": [1, 1], "scan_output_axes": [1]})],
+        inits={"s0": np.zeros(2, F32)},
+        inputs=[("a", F32, (2, 4)), ("b", F32, (2, 4))],
+        outputs=[("s_fin", F32, (2,)), ("y", F32, (2, 4))],
+    )
+    s_fin, y = ex.run(None, {"a": a, "b": b})
+    np.testing.assert_allclose(y, a * b, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(s_fin, (a * b).sum(1), rtol=1e-5, atol=1e-6)
