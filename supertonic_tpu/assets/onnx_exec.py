@@ -1075,6 +1075,83 @@ def op_resize(ctx: Ctx, x, roi=None, scales=None, sizes=None):
 
 
 # ---------------------------------------------------------------------------
+# quantization (QDQ format: QuantizeLinear/DequantizeLinear around f32 ops)
+# ---------------------------------------------------------------------------
+
+def _qdq_broadcast(ctx: Ctx, x_ndim: int, v):
+    """Per-tensor (scalar) or per-axis (1-D along ``axis``) scale/zero-point
+    reshaped to broadcast against x."""
+    if ctx.attr("block_size"):
+        raise UnsupportedOp(
+            f"{ctx.node.op_type}: blocked quantization is not supported")
+    v = jnp.asarray(v)
+    if v.ndim == 0 or v.size == 1:
+        return jnp.reshape(v, ())
+    axis = ctx.attr("axis", 1) % x_ndim
+    shape = [1] * x_ndim
+    shape[axis] = v.shape[0]
+    return jnp.reshape(v, shape)
+
+
+@op("DequantizeLinear")
+def op_dequantizelinear(ctx: Ctx, x, scale, zp=None):
+    x = jnp.asarray(x)
+    s = _qdq_broadcast(ctx, x.ndim, scale).astype(jnp.float32)
+    y = x.astype(jnp.float32)
+    if zp is not None:
+        y = y - _qdq_broadcast(ctx, x.ndim, zp).astype(jnp.float32)
+    return y * s
+
+
+@op("QuantizeLinear")
+def op_quantizelinear(ctx: Ctx, x, scale, zp=None):
+    x = jnp.asarray(x).astype(jnp.float32)
+    s = _qdq_broadcast(ctx, x.ndim, scale).astype(jnp.float32)
+    if zp is not None:
+        zp_arr = jnp.asarray(zp)
+        out_dtype = zp_arr.dtype
+        z = _qdq_broadcast(ctx, x.ndim, zp_arr).astype(jnp.float32)
+    else:
+        out_dtype = jnp.uint8
+        z = 0.0
+    info = jnp.iinfo(out_dtype)
+    # spec: round half to even, then saturate to the zero-point dtype
+    q = jnp.round(x / s) + z
+    return jnp.clip(q, info.min, info.max).astype(out_dtype)
+
+
+@op("DynamicQuantizeLinear")
+def op_dynamicquantizelinear(ctx: Ctx, x):
+    """Per-spec uint8 dynamic quantization: scale from the (0-including)
+    min/max range, zero point rounded and saturated."""
+    x = jnp.asarray(x).astype(jnp.float32)
+    x_min = jnp.minimum(jnp.min(x), 0.0)
+    x_max = jnp.maximum(jnp.max(x), 0.0)
+    scale = (x_max - x_min) / 255.0
+    scale = jnp.where(scale == 0, jnp.float32(1.0), scale)
+    zp = jnp.clip(jnp.round(-x_min / scale), 0, 255)
+    y = jnp.clip(jnp.round(x / scale) + zp, 0, 255).astype(jnp.uint8)
+    return y, scale.astype(jnp.float32), zp.astype(jnp.uint8)
+
+
+@op("MatMulInteger")
+def op_matmulinteger(ctx: Ctx, a, b, a_zp=None, b_zp=None):
+    """int8/uint8 matmul accumulating in int32 (zero points subtracted
+    first, per spec)."""
+    a = jnp.asarray(a).astype(jnp.int32)
+    b = jnp.asarray(b).astype(jnp.int32)
+    if a_zp is not None:
+        z = jnp.asarray(a_zp).astype(jnp.int32)
+        # 1-D zero point is per-row of A -> broadcast along K
+        a = a - (z[..., :, None] if z.ndim else z)
+    if b_zp is not None:
+        z = jnp.asarray(b_zp).astype(jnp.int32)
+        # 1-D zero point is per-column of B -> broadcasts along the last dim
+        b = b - z
+    return jnp.matmul(a, b, preferred_element_type=jnp.int32)
+
+
+# ---------------------------------------------------------------------------
 # recurrent (GRU / LSTM / RNN) — lax.scan over time
 # ---------------------------------------------------------------------------
 

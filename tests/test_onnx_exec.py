@@ -1379,3 +1379,74 @@ def test_scan_axis1_two_inputs(rng):
     s_fin, y = ex.run(None, {"a": a, "b": b})
     np.testing.assert_allclose(y, a * b, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(s_fin, (a * b).sum(1), rtol=1e-5, atol=1e-6)
+
+
+def test_quantize_dequantize_linear(rng):
+    x = (rng.standard_normal((3, 4)) * 3).astype(F32)
+    scale = np.float32(0.05)
+    zp = np.uint8(128)
+    ex = build([("QuantizeLinear", ["x", "s", "z"], ["q"]),
+                ("DequantizeLinear", ["q", "s", "z"], ["y"])],
+               inits={"s": scale, "z": zp},
+               inputs=[("x", F32, (3, 4))], outputs=[("y", F32, (3, 4))])
+    y = run1(ex, x=x)
+    q_ref = np.clip(np.round(x / scale) + 128, 0, 255)
+    np.testing.assert_allclose(y, (q_ref - 128) * scale, rtol=1e-5, atol=1e-6)
+
+    # int8 per-axis (channel) scales, no explicit zero point on dequantize
+    w = (rng.standard_normal((4, 2)) * 2).astype(F32)
+    ws = np.array([0.1, 0.02], F32)
+    wq = np.clip(np.round(w / ws), -128, 127).astype(np.int8)
+    ex = build([("DequantizeLinear", ["wq", "ws"], ["wf"], {"axis": 1}),
+                ("MatMul", ["x", "wf"], ["y"])],
+               inits={"wq": wq, "ws": ws},
+               inputs=[("x", F32, (3, 4))], outputs=[("y", F32, (3, 2))])
+    y = run1(ex, x=x)
+    np.testing.assert_allclose(y, x @ (wq.astype(np.float32) * ws),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_qdq_saturation_and_default_uint8(rng):
+    x = np.array([[-100.0, 0.0, 100.0]], F32)
+    ex = build([("QuantizeLinear", ["x", "s"], ["q"])],
+               inits={"s": np.float32(1.0)},
+               inputs=[("x", F32, (1, 3))],
+               outputs=[("q", np.uint8, (1, 3))])
+    q = run1(ex, x=x)
+    assert q.dtype == np.uint8
+    np.testing.assert_array_equal(q, [[0, 0, 100]])
+
+
+def test_dynamic_quantized_matmul(rng):
+    """The ORT dynamic-quantization pattern: DynamicQuantizeLinear ->
+    MatMulInteger -> dequantize via scales. End-to-end vs f32 matmul."""
+    x = rng.standard_normal((3, 8)).astype(F32)
+    w = (rng.standard_normal((8, 4)) * 0.5).astype(F32)
+    ws = np.float32(0.01)
+    wq = np.clip(np.round(w / ws), -128, 127).astype(np.int8)
+
+    ex = build(
+        [("DynamicQuantizeLinear", ["x"], ["xq", "xs", "xz"]),
+         ("MatMulInteger", ["xq", "wq", "xz"], ["yi"]),
+         ("Cast", ["yi"], ["yf"], {"to": 1}),
+         ("Mul", ["xs", "ws"], ["s2"]),
+         ("Mul", ["yf", "s2"], ["y"])],
+        inits={"wq": wq, "ws": ws},
+        inputs=[("x", F32, (3, 8))], outputs=[("y", F32, (3, 4))],
+    )
+    y = run1(ex, x=x)
+    ref = x @ (wq.astype(np.float32) * ws)
+    # quantization error bound: |x| <= ~4, scale ~ 8/255
+    np.testing.assert_allclose(y, ref, atol=0.15)
+
+
+def test_matmulinteger_per_row_zero_point():
+    a = np.array([[1, 2], [3, 4]], np.uint8)
+    b = np.array([[1, 0], [0, 1]], np.int8)
+    a_zp = np.array([1, 2], np.uint8)  # per-row of A
+    ex = build([("MatMulInteger", ["a", "b", "az"], ["y"])],
+               inits={"a": a, "b": b, "az": a_zp},
+               inputs=[], outputs=[("y", np.int32, (2, 2))])
+    (y,) = ex.run(None, {})
+    ref = (a.astype(np.int32) - a_zp[:, None]) @ b.astype(np.int32)
+    np.testing.assert_array_equal(y, ref)
