@@ -1075,6 +1075,168 @@ def op_resize(ctx: Ctx, x, roi=None, scales=None, sizes=None):
 
 
 # ---------------------------------------------------------------------------
+# com.microsoft contrib ops (ORT graph-optimizer output). The registry keys
+# on op_type, which is exactly how these appear in optimized graphs — an
+# ORT-optimized export of the reference assets would otherwise hard-fail.
+# ---------------------------------------------------------------------------
+
+def _rms_norm(x, scale, eps):
+    x32 = x.astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+                        + eps)
+    return (x32 * inv * jnp.asarray(scale).astype(jnp.float32)).astype(x.dtype)
+
+
+@op("SimplifiedLayerNormalization")
+def op_simplifiedlayernorm(ctx: Ctx, x, scale):
+    # RMSNorm (axis must be the last — the only form ORT emits)
+    eps = ctx.attr("epsilon", 1e-5)
+    return _rms_norm(jnp.asarray(x), scale, eps)
+
+
+@op("SkipSimplifiedLayerNormalization")
+def op_skipsimplifiedlayernorm(ctx: Ctx, x, skip, scale, bias=None):
+    s = jnp.asarray(x) + jnp.asarray(skip)
+    if bias is not None:
+        s = s + jnp.asarray(bias)
+    y = _rms_norm(s, scale, ctx.attr("epsilon", 1e-5))
+    # outputs: (y, mean?, inv_std_var?, input_skip_bias_sum?) — ORT graphs
+    # consume y and sometimes the sum; zip-with-outputs drops the rest
+    return y, None, None, s
+
+
+def _ln(x, gamma, beta, eps):
+    x32 = jnp.asarray(x).astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    y = y * jnp.asarray(gamma).astype(jnp.float32)
+    if beta is not None:
+        y = y + jnp.asarray(beta).astype(jnp.float32)
+    return y
+
+
+@op("SkipLayerNormalization")
+def op_skiplayernorm(ctx: Ctx, x, skip, gamma, beta=None, bias=None):
+    s = jnp.asarray(x) + jnp.asarray(skip)
+    if bias is not None:
+        s = s + jnp.asarray(bias)
+    y = _ln(s, gamma, beta, ctx.attr("epsilon", 1e-5)).astype(
+        jnp.asarray(x).dtype)
+    return y, None, None, s
+
+
+@op("BiasGelu")
+def op_biasgelu(ctx: Ctx, x, bias):
+    return jax.nn.gelu(jnp.asarray(x) + jnp.asarray(bias), approximate=False)
+
+
+@op("FastGelu")
+def op_fastgelu(ctx: Ctx, x, bias=None):
+    x = jnp.asarray(x)
+    if bias is not None:
+        x = x + jnp.asarray(bias)
+    return jax.nn.gelu(x, approximate=True)
+
+
+@op("QuickGelu")
+def op_quickgelu(ctx: Ctx, x):
+    alpha = ctx.attr("alpha", 1.702)
+    x = jnp.asarray(x)
+    return x * jax.nn.sigmoid(alpha * x)
+
+
+@op("FusedMatMul")
+def op_fusedmatmul(ctx: Ctx, a, b):
+    if ctx.attr("transBatchA", 0) or ctx.attr("transBatchB", 0):
+        raise UnsupportedOp("FusedMatMul: transBatch* is not supported")
+    a, b = jnp.asarray(a), jnp.asarray(b)
+    if ctx.attr("transA", 0):
+        a = jnp.swapaxes(a, -1, -2)
+    if ctx.attr("transB", 0):
+        b = jnp.swapaxes(b, -1, -2)
+    return ctx.attr("alpha", 1.0) * jnp.matmul(a, b)
+
+
+@op("FusedConv")
+def op_fusedconv(ctx: Ctx, x, w, b=None, z=None):
+    """Conv + fused activation (+ optional residual add input z)."""
+    out = _REGISTRY["Conv"](ctx, x, w, b)  # same pads/strides attr names
+    if z is not None:
+        out = out + jnp.asarray(z)
+    act = ctx.attr("activation", "")
+    if not act:
+        return out
+    if act == "Relu":
+        return jnp.maximum(out, 0)
+    if act == "Tanh":
+        return jnp.tanh(out)
+    if act == "Sigmoid":
+        return jax.nn.sigmoid(out)
+    if act == "LeakyRelu":
+        alpha = (ctx.attr("activation_params") or [0.01])[0]
+        return jnp.where(out >= 0, out, alpha * out)
+    if act == "HardSigmoid":
+        p = ctx.attr("activation_params") or [0.2, 0.5]
+        return jnp.clip(p[0] * out + p[1], 0, 1)
+    raise UnsupportedOp(f"FusedConv: activation {act!r} not supported")
+
+
+@op("Attention")
+def op_attention(ctx: Ctx, x, weight, bias=None, mask_index=None,
+                 past=None, attention_bias=None, past_seq_len=None):
+    """com.microsoft.Attention, the common encoder subset: packed QKV
+    projection + multi-head attention. No past/present KV cache."""
+    if past is not None or past_seq_len is not None:
+        raise UnsupportedOp("Attention: past KV cache is not supported")
+    if ctx.attr("do_rotary", 0):
+        raise UnsupportedOp("Attention: do_rotary is not supported")
+    n_heads = ctx.attr("num_heads")
+    if not n_heads:
+        raise UnsupportedOp("Attention: num_heads attribute is required")
+    if ctx.attr("qkv_hidden_sizes") is not None:
+        q_sz, k_sz, v_sz = [int(v) for v in ctx.attr("qkv_hidden_sizes")]
+    else:
+        q_sz = k_sz = v_sz = jnp.asarray(weight).shape[1] // 3
+    x = jnp.asarray(x)
+    b, s, _ = x.shape
+    qkv = jnp.matmul(x, jnp.asarray(weight))
+    if bias is not None:
+        qkv = qkv + jnp.asarray(bias)
+    q = qkv[..., :q_sz]
+    k = qkv[..., q_sz:q_sz + k_sz]
+    v = qkv[..., q_sz + k_sz:]
+    dh = q_sz // n_heads
+
+    def split(t, sz):
+        return jnp.transpose(
+            jnp.reshape(t, (b, s, n_heads, sz // n_heads)), (0, 2, 1, 3))
+
+    q, k, v = split(q, q_sz), split(k, k_sz), split(v, v_sz)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+        jnp.float32(dh)).astype(q.dtype)
+    if attention_bias is not None:
+        logits = logits + jnp.asarray(attention_bias)
+    neg = jnp.asarray(-1e9, logits.dtype)
+    if mask_index is not None:
+        m = jnp.asarray(mask_index)
+        if m.ndim == 1:      # [B] right-side key lengths
+            valid = jnp.arange(s)[None, :] < m[:, None]
+        elif m.ndim == 2:    # [B, S_kv] padding mask (1 = keep)
+            valid = m.astype(bool)
+        else:
+            raise UnsupportedOp(
+                f"Attention: mask_index rank {m.ndim} not supported")
+        logits = jnp.where(valid[:, None, None, :], logits, neg)
+    if ctx.attr("unidirectional", 0):
+        causal = jnp.tril(jnp.ones((s, s), bool))
+        logits = jnp.where(causal[None, None], logits, neg)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    return jnp.reshape(jnp.transpose(out, (0, 2, 1, 3)), (b, s, v_sz))
+
+
+# ---------------------------------------------------------------------------
 # quantization (QDQ format: QuantizeLinear/DequantizeLinear around f32 ops)
 # ---------------------------------------------------------------------------
 

@@ -1450,3 +1450,106 @@ def test_matmulinteger_per_row_zero_point():
     (y,) = ex.run(None, {})
     ref = (a.astype(np.int32) - a_zp[:, None]) @ b.astype(np.int32)
     np.testing.assert_array_equal(y, ref)
+
+
+# ---------------------------------------------------------------------------
+# com.microsoft contrib ops (ORT graph-optimizer output)
+# ---------------------------------------------------------------------------
+
+def test_contrib_norms_and_gelus(rng):
+    x = rng.standard_normal((2, 5, 8)).astype(F32)
+    skip = rng.standard_normal((2, 5, 8)).astype(F32)
+    g = rng.standard_normal((8,)).astype(F32)
+    b = rng.standard_normal((8,)).astype(F32)
+
+    # SkipLayerNormalization == LN(x + skip)
+    ex = build([("SkipLayerNormalization", ["x", "sk", "g", "b"], ["y"],
+                 {"epsilon": 1e-5})],
+               inits={"g": g, "b": b},
+               inputs=[("x", F32, (2, 5, 8)), ("sk", F32, (2, 5, 8))],
+               outputs=[("y", F32, (2, 5, 8))])
+    s = x + skip
+    mu = s.mean(-1, keepdims=True)
+    var = ((s - mu) ** 2).mean(-1, keepdims=True)
+    ref = (s - mu) / np.sqrt(var + 1e-5) * g + b
+    np.testing.assert_allclose(run1(ex, x=x, sk=skip), ref,
+                               rtol=1e-4, atol=1e-5)
+
+    # SimplifiedLayerNormalization == RMSNorm
+    ex = build([("SimplifiedLayerNormalization", ["x", "g"], ["y"],
+                 {"epsilon": 1e-6})],
+               inits={"g": g},
+               inputs=[("x", F32, (2, 5, 8))], outputs=[("y", F32, (2, 5, 8))])
+    ref = x / np.sqrt((x ** 2).mean(-1, keepdims=True) + 1e-6) * g
+    np.testing.assert_allclose(run1(ex, x=x), ref, rtol=1e-4, atol=1e-5)
+
+    # BiasGelu / FastGelu / QuickGelu
+    import math
+    bias = rng.standard_normal((8,)).astype(F32)
+    ex = build([("BiasGelu", ["x", "bb"], ["y"])], inits={"bb": bias},
+               inputs=[("x", F32, (2, 5, 8))], outputs=[("y", F32, (2, 5, 8))])
+    xb = (x + bias).astype(np.float64)
+    ref = xb * 0.5 * (1 + np.vectorize(math.erf)(xb / np.sqrt(2)))
+    np.testing.assert_allclose(run1(ex, x=x), ref, rtol=1e-4, atol=1e-5)
+
+    ex = build([("QuickGelu", ["x"], ["y"])],
+               inputs=[("x", F32, (2, 5, 8))], outputs=[("y", F32, (2, 5, 8))])
+    ref = x / (1 + np.exp(-1.702 * x)) 
+    np.testing.assert_allclose(run1(ex, x=x), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_contrib_fusedmatmul(rng):
+    a = rng.standard_normal((3, 4)).astype(F32)
+    b = rng.standard_normal((5, 4)).astype(F32)
+    ex = build([("FusedMatMul", ["a", "b"], ["y"],
+                 {"alpha": 0.5, "transB": 1})],
+               inits={"b": b},
+               inputs=[("a", F32, (3, 4))], outputs=[("y", F32, (3, 5))])
+    np.testing.assert_allclose(run1(ex, a=a), 0.5 * (a @ b.T),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_contrib_attention_vs_manual(rng):
+    b, s, h, nh = 2, 6, 8, 2
+    x = rng.standard_normal((b, s, h)).astype(F32)
+    w = (rng.standard_normal((h, 3 * h)) * 0.3).astype(F32)
+    bias = (rng.standard_normal((3 * h,)) * 0.1).astype(F32)
+    lens = np.array([6, 3], np.int32)
+
+    ex = build([("Attention", ["x", "w", "bb", "mi"], ["y"],
+                 {"num_heads": nh})],
+               inits={"w": w, "bb": bias, "mi": lens},
+               inputs=[("x", F32, (b, s, h))], outputs=[("y", F32, (b, s, h))])
+    y = run1(ex, x=x)
+
+    qkv = x @ w + bias
+    q, k, v = qkv[..., :h], qkv[..., h:2 * h], qkv[..., 2 * h:]
+    dh = h // nh
+    ref = np.zeros_like(x)
+    for bi in range(b):
+        for hd in range(nh):
+            qs = q[bi, :, hd * dh:(hd + 1) * dh]
+            ks = k[bi, :, hd * dh:(hd + 1) * dh]
+            vs = v[bi, :, hd * dh:(hd + 1) * dh]
+            lg = qs @ ks.T / np.sqrt(dh)
+            lg[:, lens[bi]:] = -1e9
+            p = np.exp(lg - lg.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            ref[bi, :, hd * dh:(hd + 1) * dh] = p @ vs
+    np.testing.assert_allclose(y, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_contrib_fusedconv(rng):
+    import torch
+    import torch.nn.functional as tF
+
+    x = rng.standard_normal((1, 3, 10)).astype(F32)
+    w = rng.standard_normal((4, 3, 3)).astype(F32)
+    ex = build([("FusedConv", ["x", "w"], ["y"],
+                 {"kernel_shape": [3], "pads": [1, 1],
+                  "activation": "Relu"})],
+               inits={"w": w},
+               inputs=[("x", F32, (1, 3, 10))], outputs=[("y", F32, (1, 4, 10))])
+    ref = tF.relu(tF.conv1d(torch.from_numpy(x), torch.from_numpy(w),
+                            padding=1)).numpy()
+    np.testing.assert_allclose(run1(ex, x=x), ref, rtol=1e-4, atol=1e-5)
