@@ -1236,6 +1236,86 @@ def op_attention(ctx: Ctx, x, weight, bias=None, mask_index=None,
     return jnp.reshape(jnp.transpose(out, (0, 2, 1, 3)), (b, s, v_sz))
 
 
+@op("EmbedLayerNormalization")
+def op_embedlayernorm(ctx: Ctx, ids, seg_ids, word_emb, pos_emb,
+                      seg_emb=None, gamma=None, beta=None, mask=None,
+                      position_ids=None):
+    """com.microsoft.EmbedLayerNormalization (the ORT BERT-pattern fusion):
+    LN(word_emb[ids] + pos_emb + segment_emb[seg_ids]). Outputs
+    (y, mask_index, embedding_sum)."""
+    ids = jnp.asarray(ids)
+    b, s = ids.shape
+    emb = jnp.take(jnp.asarray(word_emb), ids, axis=0)
+    if position_ids is not None:
+        pos = jnp.take(jnp.asarray(pos_emb), jnp.asarray(position_ids), axis=0)
+    else:
+        pos = jnp.asarray(pos_emb)[None, :s, :]
+    emb = emb + pos
+    if seg_emb is not None and seg_ids is not None:
+        emb = emb + jnp.take(jnp.asarray(seg_emb), jnp.asarray(seg_ids),
+                             axis=0)
+    y = _ln(emb, gamma, beta, ctx.attr("epsilon", 1e-12)).astype(
+        jnp.asarray(word_emb).dtype)
+    mask_index = (jnp.sum(jnp.asarray(mask), axis=1).astype(jnp.int32)
+                  if mask is not None else jnp.full((b,), s, jnp.int32))
+    return y, mask_index, emb
+
+
+@op("MultiHeadAttention")
+def op_multiheadattention(ctx: Ctx, q, k=None, v=None, bias=None,
+                          key_padding_mask=None, attention_bias=None,
+                          past_key=None, past_value=None):
+    """com.microsoft.MultiHeadAttention, separate-QKV encoder subset
+    (no KV cache)."""
+    if past_key is not None or past_value is not None:
+        raise UnsupportedOp("MultiHeadAttention: past KV is not supported")
+    n_heads = ctx.attr("num_heads")
+    if not n_heads:
+        raise UnsupportedOp("MultiHeadAttention: num_heads is required")
+    q = jnp.asarray(q)
+    if k is None or v is None or jnp.asarray(k).ndim != 3:
+        raise UnsupportedOp(
+            "MultiHeadAttention: only separate 3-D q/k/v inputs supported")
+    k, v = jnp.asarray(k), jnp.asarray(v)
+    b, sq, h = q.shape
+    skv = k.shape[1]
+    if bias is not None:
+        bias = jnp.asarray(bias)
+        hq, hk = q.shape[-1], k.shape[-1]
+        q = q + bias[:hq]
+        k = k + bias[hq:hq + hk]
+        v = v + bias[hq + hk:]
+
+    def split(t):
+        return jnp.transpose(
+            jnp.reshape(t, (b, t.shape[1], n_heads, -1)), (0, 2, 1, 3))
+
+    qh, kh, vh = split(q), split(k), split(v)
+    scale = ctx.attr("scale") or 1.0 / math.sqrt(qh.shape[-1])
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * jnp.asarray(
+        scale, qh.dtype)
+    if attention_bias is not None:
+        logits = logits + jnp.asarray(attention_bias)
+    neg = jnp.asarray(-1e9, logits.dtype)
+    if key_padding_mask is not None:
+        m = jnp.asarray(key_padding_mask)
+        if m.ndim == 1:      # [B] key lengths
+            valid = jnp.arange(skv)[None, :] < m[:, None]
+        elif m.ndim == 2:    # [B, S_kv]
+            valid = m.astype(bool)
+        else:
+            raise UnsupportedOp(
+                f"MultiHeadAttention: mask rank {m.ndim} not supported")
+        logits = jnp.where(valid[:, None, None, :], logits, neg)
+    if ctx.attr("unidirectional", 0):
+        causal = jnp.tril(jnp.ones((sq, skv), bool), skv - sq)
+        logits = jnp.where(causal[None, None], logits, neg)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+        vh.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+    return jnp.reshape(jnp.transpose(out, (0, 2, 1, 3)), (b, sq, -1))
+
+
 # ---------------------------------------------------------------------------
 # quantization (QDQ format: QuantizeLinear/DequantizeLinear around f32 ops)
 # ---------------------------------------------------------------------------

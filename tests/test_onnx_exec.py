@@ -1553,3 +1553,53 @@ def test_contrib_fusedconv(rng):
     ref = tF.relu(tF.conv1d(torch.from_numpy(x), torch.from_numpy(w),
                             padding=1)).numpy()
     np.testing.assert_allclose(run1(ex, x=x), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_contrib_embedlayernorm(rng):
+    v_sz, h, b, s = 20, 8, 2, 5
+    ids = rng.integers(0, v_sz, (b, s)).astype(np.int32)
+    we = rng.standard_normal((v_sz, h)).astype(F32)
+    pe = rng.standard_normal((s + 2, h)).astype(F32)
+    g = rng.standard_normal((h,)).astype(F32)
+    bb = rng.standard_normal((h,)).astype(F32)
+    mask = np.array([[1, 1, 1, 1, 1], [1, 1, 0, 0, 0]], np.int32)
+
+    ex = build([("EmbedLayerNormalization",
+                 ["ids", "", "we", "pe", "", "g", "bb", "m"],
+                 ["y", "mi"], {"epsilon": 1e-5})],
+               inits={"we": we, "pe": pe, "g": g, "bb": bb, "m": mask},
+               inputs=[("ids", np.int32, (b, s))],
+               outputs=[("y", F32, (b, s, h)), ("mi", np.int32, (b,))])
+    y, mi = ex.run(None, {"ids": ids})
+    emb = we[ids] + pe[None, :s]
+    mu = emb.mean(-1, keepdims=True)
+    var = ((emb - mu) ** 2).mean(-1, keepdims=True)
+    ref = (emb - mu) / np.sqrt(var + 1e-5) * g + bb
+    np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(mi, [5, 2])
+
+
+def test_contrib_multiheadattention(rng):
+    b, sq, skv, h, nh = 2, 4, 6, 8, 2
+    q = rng.standard_normal((b, sq, h)).astype(F32)
+    k = rng.standard_normal((b, skv, h)).astype(F32)
+    v = rng.standard_normal((b, skv, h)).astype(F32)
+    lens = np.array([6, 3], np.int32)
+    ex = build([("MultiHeadAttention", ["q", "k", "v", "", "m"], ["y"],
+                 {"num_heads": nh})],
+               inits={"m": lens},
+               inputs=[("q", F32, (b, sq, h)), ("k", F32, (b, skv, h)),
+                       ("v", F32, (b, skv, h))],
+               outputs=[("y", F32, (b, sq, h))])
+    y = run1(ex, q=q, k=k, v=v)
+    dh = h // nh
+    ref = np.zeros((b, sq, h), F32)
+    for bi in range(b):
+        for hd in range(nh):
+            sl = slice(hd * dh, (hd + 1) * dh)
+            lg = q[bi, :, sl] @ k[bi, :, sl].T / np.sqrt(dh)
+            lg[:, lens[bi]:] = -1e9
+            p = np.exp(lg - lg.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            ref[bi, :, sl] = p @ v[bi, :, sl]
+    np.testing.assert_allclose(y, ref, rtol=1e-3, atol=1e-4)
