@@ -40,6 +40,12 @@ DTYPE_MAP = {
     12: np.uint32,
     13: np.uint64,
 }
+try:  # bfloat16 (TensorProto type 16) via ml_dtypes (ships with jax)
+    import ml_dtypes
+
+    DTYPE_MAP[16] = ml_dtypes.bfloat16
+except ImportError:  # pragma: no cover
+    pass
 DTYPE_REV = {np.dtype(v): k for k, v in DTYPE_MAP.items()}
 
 
@@ -202,7 +208,13 @@ def parse_tensor(buf: bytes) -> OnnxTensor:
                 double_data.extend(struct.unpack(f"<{len(val) // 8}d", val))
             else:
                 double_data.append(struct.unpack("<d", val)[0])
-    np_dtype = DTYPE_MAP.get(data_type, np.float32)
+    np_dtype = DTYPE_MAP.get(data_type)
+    if np_dtype is None:
+        # decoding unknown element types as f32 would silently corrupt
+        # weights (e.g. float8 variants); fail loudly instead
+        raise ValueError(
+            f"tensor {name!r}: unsupported TensorProto data_type "
+            f"{data_type}")
     shape = tuple(dims)
     if external:
         return OnnxTensor(name, shape, np_dtype,
@@ -214,9 +226,9 @@ def parse_tensor(buf: bytes) -> OnnxTensor:
     elif double_data:
         arr = np.array(double_data, np.float64).reshape(shape)
     elif int_data:
-        if np_dtype == np.float16:
-            # float16 typed data is stored bitwise in int32_data
-            arr = np.array(int_data, np.uint16).view(np.float16).reshape(shape)
+        if np.dtype(np_dtype).itemsize == 2 and data_type in (10, 16):
+            # float16/bfloat16 typed data is stored bitwise in int32_data
+            arr = np.array(int_data, np.uint16).view(np_dtype).reshape(shape)
         else:
             arr = np.array(int_data, np.int64).astype(np_dtype).reshape(shape)
     else:

@@ -275,3 +275,40 @@ def test_unpacked_repeated_attribute_ints():
     x = np.arange(6, dtype=np.float32).reshape(2, 3)
     (y,) = OnnxExecutor(g).run(None, {"x": x})
     np.testing.assert_array_equal(y, x.T)
+
+
+def test_bfloat16_raw_and_typed_data():
+    import ml_dtypes
+
+    vals = np.array([0.5, -1.25, 3.0], ml_dtypes.bfloat16)
+    # raw_data form
+    t = (b"\x08\x03" b"\x10\x10" b"\x42\x01b"  # dims=3, BFLOAT16(16), name
+         + _ld(b"\x4a", vals.tobytes()))
+    np.testing.assert_array_equal(parse_tensor(t).data, vals)
+
+    # typed form: bit patterns in int32_data
+    def varint(v: int) -> bytes:
+        out = bytearray()
+        while True:
+            byte = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(byte | 0x80)
+            else:
+                out.append(byte)
+                return bytes(out)
+
+    bits = vals.view(np.uint16)
+    payload = b"".join(varint(int(x)) for x in bits)
+    t = b"\x08\x03" b"\x10\x10" b"\x42\x01b" + _ld(b"\x2a", payload)
+    np.testing.assert_array_equal(parse_tensor(t).data, vals)
+
+
+def test_unknown_data_type_raises():
+    t = b"\x08\x01" b"\x10\x63" b"\x42\x01u" + _ld(b"\x4a", b"\x00" * 4)
+    try:
+        parse_tensor(t)
+    except ValueError as e:
+        assert "data_type" in str(e)
+    else:
+        raise AssertionError("unknown dtype decoded silently")
