@@ -19,6 +19,7 @@ Documented intentional deviations (asserted, not papered over):
 """
 
 import importlib.util
+import os
 import random
 import string
 import sys
@@ -86,7 +87,9 @@ def _fuzz_text(rng: random.Random, lang: str) -> str:
 
 
 LANGS = ["en", "ko", "es", "pt", "fr"]
-N_FUZZ = 2500  # x5 langs = 12.5k differential cases
+# x5 langs = 12.5k differential cases by default; TTS_FUZZ_N raises it for
+# one-off deep campaigns (e.g. TTS_FUZZ_N=20000 -> 100k cases)
+N_FUZZ = int(os.environ.get("TTS_FUZZ_N", "2500"))
 
 
 def test_preprocess_text_differential(ref):
