@@ -1236,6 +1236,86 @@ def op_attention(ctx: Ctx, x, weight, bias=None, mask_index=None,
     return jnp.reshape(jnp.transpose(out, (0, 2, 1, 3)), (b, s, v_sz))
 
 
+@op("BiasAdd")
+def op_biasadd(ctx: Ctx, x, bias, skip=None):
+    out = jnp.asarray(x) + jnp.asarray(bias)
+    if skip is not None:
+        out = out + jnp.asarray(skip)
+    return out
+
+
+@op("BiasSplitGelu")
+def op_biassplitgelu(ctx: Ctx, x, bias):
+    # diffusion-UNet geglu fusion: split (x+bias) in half on the last dim,
+    # first half * gelu(second half)
+    s = jnp.asarray(x) + jnp.asarray(bias)
+    a, b = jnp.split(s, 2, axis=-1)
+    return a * jax.nn.gelu(b, approximate=False)
+
+
+@op("GroupNorm")
+def op_groupnorm_contrib(ctx: Ctx, x, gamma, beta):
+    """com.microsoft.GroupNorm: NHWC layout (unlike the standard
+    GroupNormalization's NCHW), optional fused swish."""
+    groups = ctx.attr("groups")
+    eps = ctx.attr("epsilon", 1e-5)
+    if ctx.attr("channels_last", 1) == 0:
+        raise UnsupportedOp("GroupNorm: channels_last=0 is not emitted by "
+                            "the ORT optimizer and is not supported")
+    x = jnp.asarray(x)
+    shape = x.shape
+    c = shape[-1]
+    x32 = x.astype(jnp.float32).reshape(shape[0], -1, groups, c // groups)
+    mu = jnp.mean(x32, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=(1, 3), keepdims=True)
+    y = ((x32 - mu) * jax.lax.rsqrt(var + eps)).reshape(shape)
+    y = y * jnp.asarray(gamma).astype(jnp.float32) \
+        + jnp.asarray(beta).astype(jnp.float32)
+    if ctx.attr("activation", 0):  # 1 = swish
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
+@op("RotaryEmbedding")
+def op_rotaryembedding(ctx: Ctx, x, pos_ids, cos_cache, sin_cache):
+    """com.microsoft.RotaryEmbedding: rotate the head dim of x [B,S,H] or
+    [B,N,S,Dh] using cached cos/sin tables indexed by position ids."""
+    if ctx.attr("is_packed_batching", 0):
+        raise UnsupportedOp("RotaryEmbedding: packed batching not supported")
+    x = jnp.asarray(x)
+    squeeze_heads = False
+    if x.ndim == 3:
+        n_heads = ctx.attr("num_heads", 1) or 1
+        b, s, h = x.shape
+        x4 = jnp.transpose(
+            jnp.reshape(x, (b, s, n_heads, h // n_heads)), (0, 2, 1, 3))
+        squeeze_heads = True
+    else:
+        x4 = x
+        b, _n, s, _dh = x4.shape
+    pos = jnp.asarray(pos_ids)
+    if pos.ndim == 1:
+        pos = jnp.broadcast_to(pos[:, None], (b, s))
+    cos = jnp.take(jnp.asarray(cos_cache), pos, axis=0)  # [B, S, Dh/2]
+    sin = jnp.take(jnp.asarray(sin_cache), pos, axis=0)
+    cos = cos[:, None, :, :]
+    sin = sin[:, None, :, :]
+    half = x4.shape[-1] // 2
+    if ctx.attr("interleaved", 0):
+        x_even = x4[..., 0::2]
+        x_odd = x4[..., 1::2]
+        r_even = x_even * cos - x_odd * sin
+        r_odd = x_even * sin + x_odd * cos
+        out = jnp.stack([r_even, r_odd], axis=-1).reshape(x4.shape)
+    else:
+        x1, x2 = x4[..., :half], x4[..., half:]
+        out = jnp.concatenate(
+            [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    if squeeze_heads:
+        out = jnp.reshape(jnp.transpose(out, (0, 2, 1, 3)), x.shape)
+    return out.astype(x.dtype)
+
+
 @op("EmbedLayerNormalization")
 def op_embedlayernorm(ctx: Ctx, ids, seg_ids, word_emb, pos_emb,
                       seg_emb=None, gamma=None, beta=None, mask=None,

@@ -1603,3 +1603,68 @@ def test_contrib_multiheadattention(rng):
             p /= p.sum(-1, keepdims=True)
             ref[bi, :, sl] = p @ v[bi, :, sl]
     np.testing.assert_allclose(y, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_contrib_diffusion_set(rng):
+    # BiasAdd / BiasSplitGelu / GroupNorm (NHWC, swish) — the ORT
+    # diffusion-optimizer fusion set
+    import math
+
+    x = rng.standard_normal((2, 3, 8)).astype(F32)
+    bias = rng.standard_normal((8,)).astype(F32)
+    skip = rng.standard_normal((2, 3, 8)).astype(F32)
+    ex = build([("BiasAdd", ["x", "bb", "sk"], ["y"])],
+               inits={"bb": bias},
+               inputs=[("x", F32, (2, 3, 8)), ("sk", F32, (2, 3, 8))],
+               outputs=[("y", F32, (2, 3, 8))])
+    np.testing.assert_allclose(run1(ex, x=x, sk=skip), x + bias + skip,
+                               rtol=1e-6)
+
+    ex = build([("BiasSplitGelu", ["x", "bb"], ["y"])],
+               inits={"bb": bias},
+               inputs=[("x", F32, (2, 3, 8))], outputs=[("y", F32, (2, 3, 4))])
+    s = (x + bias).astype(np.float64)
+    a, b = s[..., :4], s[..., 4:]
+    ref = a * (b * 0.5 * (1 + np.vectorize(math.erf)(b / np.sqrt(2))))
+    np.testing.assert_allclose(run1(ex, x=x), ref, rtol=1e-4, atol=1e-5)
+
+    # GroupNorm NHWC vs torch (NCHW) with swish
+    import torch
+    import torch.nn.functional as tF
+
+    xn = rng.standard_normal((2, 4, 3, 6)).astype(F32)  # NHWC, C=6
+    g = rng.standard_normal((6,)).astype(F32)
+    be = rng.standard_normal((6,)).astype(F32)
+    ex = build([("GroupNorm", ["x", "g", "b"], ["y"],
+                 {"groups": 2, "epsilon": 1e-5, "activation": 1})],
+               inits={"g": g, "b": be},
+               inputs=[("x", F32, (2, 4, 3, 6))],
+               outputs=[("y", F32, (2, 4, 3, 6))])
+    got = run1(ex, x=xn)
+    xt = torch.from_numpy(np.transpose(xn, (0, 3, 1, 2)))  # NCHW
+    ref = tF.group_norm(xt, 2, torch.from_numpy(g), torch.from_numpy(be),
+                        eps=1e-5)
+    ref = tF.silu(ref).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_contrib_rotaryembedding(rng):
+    b, n, s, dh = 2, 2, 5, 8
+    x = rng.standard_normal((b, n, s, dh)).astype(F32)
+    max_pos = 16
+    inv = 1.0 / (10000 ** (np.arange(0, dh // 2) * 2 / dh))
+    ang = np.arange(max_pos)[:, None] * inv[None, :]
+    cos, sin = np.cos(ang).astype(F32), np.sin(ang).astype(F32)
+    pos = np.tile(np.arange(s, dtype=np.int64)[None], (b, 1))
+
+    ex = build([("RotaryEmbedding", ["x", "p", "c", "s"], ["y"])],
+               inits={"p": pos, "c": cos, "s": sin},
+               inputs=[("x", F32, (b, n, s, dh))],
+               outputs=[("y", F32, (b, n, s, dh))])
+    y = run1(ex, x=x)
+    half = dh // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    c = cos[pos][:, None]
+    sn = sin[pos][:, None]
+    ref = np.concatenate([x1 * c - x2 * sn, x1 * sn + x2 * c], axis=-1)
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-6)
