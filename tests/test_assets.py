@@ -91,3 +91,30 @@ def test_unknown_style_raises(tiny_config, tmp_path):
     assets = load_assets(str(tmp_path))
     with pytest.raises(FileNotFoundError):
         assets.get_voice_style("Q7")
+
+
+def test_inspect_onnx_preflight(tmp_path):
+    """tools/inspect_onnx reports executor support per graph (day-one
+    preflight), including ops hidden inside subgraph bodies."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    import inspect_onnx
+
+    from supertonic_tpu.assets import onnx_reader as R
+
+    ok = R.encode_model(
+        "g", [R.encode_node("Relu", ["x"], ["y"], name="n0")], [],
+        [R.encode_value_info("x", np.float32, (2,))],
+        [R.encode_value_info("y", np.float32, (2,))])
+    bad = R.encode_model(
+        "g", [R.encode_node("TotallyMadeUpOp", ["x"], ["y"], name="n0")], [],
+        [R.encode_value_info("x", np.float32, (2,))],
+        [R.encode_value_info("y", np.float32, (2,))])
+    (tmp_path / "ok.onnx").write_bytes(ok)
+    (tmp_path / "bad.onnx").write_bytes(bad)
+
+    r = inspect_onnx.report(str(tmp_path / "ok.onnx"))
+    assert r["unsupported_ops"] == []
+    r = inspect_onnx.report(str(tmp_path / "bad.onnx"))
+    assert r["unsupported_ops"] == ["TotallyMadeUpOp"]

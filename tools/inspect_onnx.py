@@ -29,9 +29,28 @@ from supertonic_tpu.assets.onnx_reader import load_onnx  # noqa: E402
 GRAPHS = ("duration_predictor", "text_encoder", "vector_estimator", "vocoder")
 
 
+def _all_op_types(g) -> collections.Counter:
+    """Op histogram including If/Loop/Scan subgraph bodies."""
+    from supertonic_tpu.assets.onnx_reader import OnnxGraph
+
+    ops: collections.Counter = collections.Counter()
+    stack = [g]
+    while stack:
+        cur = stack.pop()
+        for n in cur.nodes:
+            ops[n.op_type] += 1
+            stack.extend(v for v in n.attrs.values()
+                         if isinstance(v, OnnxGraph))
+    return ops
+
+
 def report(path: str) -> dict:
+    from supertonic_tpu.assets.onnx_exec import _REGISTRY
+
     g = load_onnx(path)
-    ops = collections.Counter(n.op_type for n in g.nodes)
+    ops = _all_op_types(g)
+    # day-one preflight: will the JAX executor run this graph at all?
+    unsupported = sorted(o for o in ops if o not in _REGISTRY)
     n_params = 0
     shapes: list[tuple[str, tuple, str]] = []
     for name, t in g.initializers.items():
@@ -71,6 +90,7 @@ def report(path: str) -> dict:
         ],
         "io": io,
         "hints": hints,
+        "unsupported_ops": unsupported,
     }
 
 
@@ -105,6 +125,11 @@ def main(argv=None) -> int:
         print("  ops: " + ", ".join(f"{k}x{v}" for k, v in top))
         for h in r["hints"]:
             print(f"  hint: {h}")
+        if r["unsupported_ops"]:
+            print("  EXECUTOR PREFLIGHT: unsupported ops -> "
+                  + ", ".join(r["unsupported_ops"]))
+        else:
+            print("  executor preflight: all ops supported")
         print("  largest tensors:")
         for t in r["largest_tensors"][:6]:
             print(f"    {t['shape']} {t['dtype']:>8}  {t['name']}")
