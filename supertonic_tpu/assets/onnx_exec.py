@@ -718,14 +718,27 @@ def op_einsum(ctx: Ctx, *ins):
     return jnp.einsum(ctx.attr("equation"), *[jnp.asarray(i) for i in ins])
 
 
+def _softmax_like(ctx: Ctx, x, fn):
+    x = jnp.asarray(x)
+    opset = (ctx.env or {}).get("__opset__")
+    if opset is not None and opset < 13:
+        # opset < 13: softmax over the FLATTENED trailing dims from `axis`
+        # (default 1), not a single axis
+        axis = ctx.attr("axis", 1) % x.ndim
+        lead = x.shape[:axis]
+        flat = jnp.reshape(x, (int(np.prod(lead, dtype=np.int64)), -1))
+        return jnp.reshape(fn(flat, axis=-1), x.shape)
+    return fn(x, axis=ctx.attr("axis", -1))
+
+
 @op("Softmax")
 def op_softmax(ctx: Ctx, x):
-    return jax.nn.softmax(jnp.asarray(x), axis=ctx.attr("axis", -1))
+    return _softmax_like(ctx, x, jax.nn.softmax)
 
 
 @op("LogSoftmax")
 def op_logsoftmax(ctx: Ctx, x):
-    return jax.nn.log_softmax(jnp.asarray(x), axis=ctx.attr("axis", -1))
+    return _softmax_like(ctx, x, jax.nn.log_softmax)
 
 
 @op("LayerNormalization")
@@ -1977,6 +1990,9 @@ class OnnxExecutor:
     # -- trace-time evaluation -------------------------------------------
     def _run_traced(self, weights: dict, inputs: tuple):
         env: dict[str, Any] = dict(self._static_inits)
+        # reserved key consulted by opset-sensitive ops (Softmax < 13);
+        # If/Loop/Scan bodies inherit it via their env copies
+        env["__opset__"] = self.graph.opset
         env.update(weights)
         for name, arr in zip(self.input_names, inputs):
             env[name] = arr

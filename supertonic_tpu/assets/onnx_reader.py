@@ -148,6 +148,10 @@ class OnnxGraph:
     initializers: dict[str, OnnxTensor]
     inputs: list[OnnxValueInfo]
     outputs: list[OnnxValueInfo]
+    # ai.onnx opset version from ModelProto.opset_import (None on bare
+    # subgraphs); version-sensitive op semantics (e.g. Softmax < 13)
+    # consult this
+    opset: int | None = None
 
 
 def parse_tensor(buf: bytes) -> OnnxTensor:
@@ -391,12 +395,25 @@ def _resolve_external(g: OnnxGraph, base_dir: str | None) -> None:
 def parse_model(data: bytes, base_dir: str | None = None) -> OnnxGraph:
     """Parse a serialized ModelProto, returning its graph. ``base_dir``
     locates external-data sidecar files (required if the model uses any)."""
+    g = None
+    opset = None
     for field, _wt, val in iter_fields(data):
         if field == 7:
             g = parse_graph(val)
-            _resolve_external(g, base_dir)
-            return g
-    raise ValueError("no graph found in model")
+        elif field == 8:  # OperatorSetIdProto: domain=1, version=2
+            domain, version = "", None
+            for f2, _w2, v2 in iter_fields(val):
+                if f2 == 1:
+                    domain = v2.decode()
+                elif f2 == 2:
+                    version = v2
+            if domain in ("", "ai.onnx") and version is not None:
+                opset = int(version)
+    if g is None:
+        raise ValueError("no graph found in model")
+    g.opset = opset
+    _resolve_external(g, base_dir)
+    return g
 
 
 def load_onnx(path: str) -> OnnxGraph:
@@ -524,8 +541,10 @@ def encode_graph(graph_name: str, nodes: list[bytes],
 def encode_model(graph_name: str, nodes: list[bytes],
                  initializers: list[bytes],
                  inputs: list[bytes] | None = None,
-                 outputs: list[bytes] | None = None) -> bytes:
+                 outputs: list[bytes] | None = None,
+                 opset: int = 17) -> bytes:
     model = _tag(1, 0) + _varint(8)  # ir_version
     model += _ld(7, encode_graph(graph_name, nodes, initializers,
                                  inputs, outputs))
+    model += _ld(8, _tag(2, 0) + _varint(opset))  # opset_import.version
     return model

@@ -1668,3 +1668,30 @@ def test_contrib_rotaryembedding(rng):
     sn = sin[pos][:, None]
     ref = np.concatenate([x1 * c - x2 * sn, x1 * sn + x2 * c], axis=-1)
     np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_softmax_opset_semantics(rng):
+    """Softmax < 13 flattens trailing dims from `axis`; >= 13 is per-axis."""
+    x = rng.standard_normal((2, 3, 4)).astype(F32)
+
+    def build_with_opset(opset):
+        node = R.encode_node("Softmax", ["x"], ["y"], name="n0",
+                             attrs={"axis": 1})
+        data = R.encode_model(
+            "g", [node], [],
+            [R.encode_value_info("x", F32, (2, 3, 4))],
+            [R.encode_value_info("y", F32, (2, 3, 4))], opset=opset)
+        return OnnxExecutor(R.parse_model(data))
+
+    # modern: softmax along axis 1 only
+    y = run1(build_with_opset(17), x=x)
+    e = np.exp(x - x.max(1, keepdims=True))
+    np.testing.assert_allclose(y, e / e.sum(1, keepdims=True),
+                               rtol=1e-5, atol=1e-6)
+
+    # opset 11: softmax over the flattened [3*4] trailing block
+    y = run1(build_with_opset(11), x=x)
+    flat = x.reshape(2, 12)
+    e = np.exp(flat - flat.max(-1, keepdims=True))
+    ref = (e / e.sum(-1, keepdims=True)).reshape(2, 3, 4)
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-6)
