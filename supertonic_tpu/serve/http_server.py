@@ -218,6 +218,9 @@ class TTSService:
         # HTTP callers select styles by NAME (presets or style_dir
         # entries). Path separators would turn this into load-any-JSON-on-
         # disk; the CLI keeps full-path freedom for local users.
+        # "A+B:t" blends two presets in style-embedding space (t in [0,1],
+        # VoiceStyle.blend) — intermediate voices the reference's fixed
+        # presets never expose.
         if "/" in name or "\\" in name or name.startswith("."):
             raise ValidationError(400, f"Unknown voice style: {name!r}")
         with self._style_lock:  # handler threads race on lookup/evict/insert
@@ -225,7 +228,10 @@ class TTSService:
         if hit is not None:
             return hit
         try:
-            style = self.tts.assets.get_voice_style(name)
+            if "+" in name:
+                style = self._blend_style(name)
+            else:
+                style = self.tts.assets.get_voice_style(name)
         except FileNotFoundError as e:
             raise ValidationError(400, str(e))
         with self._style_lock:
@@ -233,6 +239,21 @@ class TTSService:
                 self._style_cache.pop(next(iter(self._style_cache)))
             self._style_cache[name] = style
         return style
+
+    def _blend_style(self, spec: str):
+        """Parse 'A+B' or 'A+B:t' (t defaults to 0.5) into a blended style."""
+        body, _, t_str = spec.partition(":")
+        a, _, b = body.partition("+")
+        try:
+            t = float(t_str) if t_str else 0.5
+        except ValueError:
+            raise ValidationError(400, f"Invalid blend weight in {spec!r}")
+        if not a or not b or "+" in b or not (0.0 <= t <= 1.0):
+            raise ValidationError(
+                400, f"Invalid blend spec {spec!r} (use 'A+B' or 'A+B:t', "
+                     f"t in [0, 1])")
+        return self.tts.assets.get_voice_style(a).blend(
+            self.tts.assets.get_voice_style(b), t)
 
     # ------------------------------------------------------------------
     def _validate(self, req: dict) -> tuple[list, list, list]:

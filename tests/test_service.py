@@ -371,3 +371,30 @@ def test_openai_speech_validation(base_url):
     for body, want in cases:
         r = httpx.post(f"{base_url}/v1/audio/speech", json=body, timeout=60)
         assert r.status_code == want, (body, r.status_code, r.text)
+
+
+def test_voice_style_blend_syntax(tts_server):
+    base_url, server = tts_server
+    svc = server.service
+    s_blend = svc.get_style("M1+F1:0.25")
+    s_m1 = svc.get_style("M1")
+    s_f1 = svc.get_style("F1")
+    np.testing.assert_allclose(
+        s_blend.ttl, 0.75 * s_m1.ttl + 0.25 * s_f1.ttl, rtol=1e-6)
+    # default weight 0.5
+    s_half = svc.get_style("M2+F2")
+    s_m2, s_f2 = svc.get_style("M2"), svc.get_style("F2")
+    np.testing.assert_allclose(
+        s_half.dp, 0.5 * s_m2.dp + 0.5 * s_f2.dp, rtol=1e-6)
+
+    # over HTTP end-to-end
+    r = httpx.post(f"{base_url}/tts",
+                   json={"text": "Blended voice.", "total_step": 2,
+                         "voice_style": "M1+F1:0.5"}, timeout=120)
+    assert r.status_code == 200 and r.content[:4] == b"RIFF"
+
+    for bad in ("M1+F1:1.5", "M1+", "+F1", "M1+F1+M2", "M1+F1:x",
+                "M1+nope"):
+        r = httpx.post(f"{base_url}/tts",
+                       json={"text": "x", "voice_style": bad}, timeout=60)
+        assert r.status_code == 400, (bad, r.status_code)
