@@ -41,7 +41,9 @@ def parse_args(argv=None):
                    help="Number of times to generate")
     p.add_argument("--batch", action="store_true", help="Batch processing")
     p.add_argument("--voice-style", type=str, nargs="+", default=["M1"],
-                   help="Voice style preset name(s) or file path(s)")
+                   help="Voice style preset name(s) or file path(s); "
+                        "'A+B:t' blends two presets (t in [0,1], "
+                        "default 0.5)")
     p.add_argument("--text", type=str, nargs="+", default=[
         "This morning, I took a walk in the park, and the sound of the birds "
         "and the breeze was so pleasant that I stopped for a long time just "
@@ -81,7 +83,18 @@ def main(argv=None):
         langs = langs * len(args.text)
 
     tts = TTS(args.assets_dir, precision=args.precision)
-    styles = [tts.get_voice_style(v) for v in args.voice_style]
+
+    def style_for(spec: str):
+        # "A+B:t" blends two presets; paths (which may contain '+') keep
+        # the plain lookup
+        if "+" in spec and "/" not in spec and "\\" not in spec:
+            body, _, t_str = spec.partition(":")
+            a, _, b = body.partition("+")
+            return tts.get_voice_style(a).blend(
+                tts.get_voice_style(b), float(t_str) if t_str else 0.5)
+        return tts.get_voice_style(spec)
+
+    styles = [style_for(v) for v in args.voice_style]
     style = VoiceStyle(
         np.concatenate([s.ttl for s in styles]),
         np.concatenate([s.dp for s in styles]),

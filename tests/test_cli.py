@@ -60,3 +60,15 @@ def test_cli_style_text_mismatch(onnx_dir, tmp_path):  # noqa: F811
         main(["--platform", "cpu", "--onnx-dir", onnx_dir,
               "--save-dir", str(tmp_path),
               "--text", "One.", "Two.", "--voice-style", "M1"])
+
+
+def test_cli_blended_voice_style(onnx_dir, tmp_path):  # noqa: F811
+    out = tmp_path / "blend"
+    main(["--platform", "cpu", "--onnx-dir", onnx_dir,
+          "--n-test", "1", "--total-step", "2", "--save-dir", str(out),
+          "--text", "Blended voice from the command line.",
+          "--voice-style", "M1+F1:0.3"])
+    wavs = list(out.glob("*.wav"))
+    # the synthetic bundle's sample rate is tiny — check non-trivial PCM,
+    # not absolute size
+    assert len(wavs) == 1 and wavs[0].stat().st_size > 44 + 100
