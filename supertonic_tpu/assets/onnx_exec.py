@@ -1226,8 +1226,9 @@ def op_attention(ctx: Ctx, x, weight, bias=None, mask_index=None,
             jnp.reshape(t, (b, s, n_heads, sz // n_heads)), (0, 2, 1, 3))
 
     q, k, v = split(q, q_sz), split(k, k_sz), split(v, v_sz)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
-        jnp.float32(dh)).astype(q.dtype)
+    scale = ctx.attr("scale") or 1.0 / math.sqrt(dh)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * jnp.asarray(
+        scale, q.dtype)
     if attention_bias is not None:
         logits = logits + jnp.asarray(attention_bias)
     neg = jnp.asarray(-1e9, logits.dtype)
@@ -1494,11 +1495,20 @@ def _rnn_prep(ctx: Ctx, x, seq_lens, initials: list):
     """Common RNN-family plumbing. Returns (x [T,B,I], lens [B] | None,
     init_states [(B,H)...] per direction list, directions, layout, finish).
     ``finish(ys, hs)`` packs (Y [T,dirs,B,H], Y_h... per state)."""
-    if ctx.attr("activations") is not None:
-        # defaults only (Sigmoid/Tanh[/Tanh]); custom chains are vanishingly
-        # rare in practice and silently wrong results are worse than loud
-        raise UnsupportedOp(
-            f"{ctx.node.op_type}: custom activations are not supported")
+    acts = ctx.attr("activations")
+    if acts is not None:
+        # tf2onnx/keras2onnx always serialize the attribute even when it
+        # holds the spec defaults — only a genuine deviation is unsupported
+        defaults = {"GRU": ["sigmoid", "tanh"], "LSTM":
+                    ["sigmoid", "tanh", "tanh"], "RNN": ["tanh"]}[
+                        ctx.node.op_type]
+        per_dir = [str(a).lower() for a in acts]
+        n_dirs = 2 if ctx.attr("direction", "forward") == "bidirectional" \
+            else 1
+        if per_dir != defaults * n_dirs and per_dir != defaults:
+            raise UnsupportedOp(
+                f"{ctx.node.op_type}: custom activations {acts} are not "
+                f"supported (defaults: {defaults})")
     layout = ctx.attr("layout", 0)
     if layout == 1:  # [B, T, ...] -> [T, B, ...]
         x = jnp.swapaxes(jnp.asarray(x), 0, 1)

@@ -161,6 +161,7 @@ def parse_tensor(buf: bytes) -> OnnxTensor:
     raw = None
     float_data: list[float] = []
     int_data: list[int] = []
+    uint_data: list[int] = []
     double_data: list[float] = []
     external: dict[str, str] = {}
     for field, wt, val in iter_fields(buf):
@@ -212,6 +213,12 @@ def parse_tensor(buf: bytes) -> OnnxTensor:
                 double_data.extend(struct.unpack(f"<{len(val) // 8}d", val))
             else:
                 double_data.append(struct.unpack("<d", val)[0])
+        elif field == 11:  # uint64_data (uint32/uint64 typed form): plain
+            # unsigned varints, NO sign extension
+            if wt == 2:
+                uint_data.extend(_packed_varints(val))
+            else:
+                uint_data.append(val)
     np_dtype = DTYPE_MAP.get(data_type)
     if np_dtype is None:
         # decoding unknown element types as f32 would silently corrupt
@@ -235,6 +242,8 @@ def parse_tensor(buf: bytes) -> OnnxTensor:
             arr = np.array(int_data, np.uint16).view(np_dtype).reshape(shape)
         else:
             arr = np.array(int_data, np.int64).astype(np_dtype).reshape(shape)
+    elif uint_data:
+        arr = np.array(uint_data, np.uint64).astype(np_dtype).reshape(shape)
     else:
         arr = np.zeros(shape, np_dtype)
     return OnnxTensor(name, shape, np_dtype, arr)
@@ -245,6 +254,7 @@ def _parse_attribute(buf: bytes) -> tuple[str, Any]:
     value: Any = None
     ints: list[int] = []
     floats: list[float] = []
+    strings: list[str] = []
     for field, wt, val in iter_fields(buf):
         if field == 1:
             name = val.decode()
@@ -268,10 +278,14 @@ def _parse_attribute(buf: bytes) -> tuple[str, Any]:
                 ints.extend(_zigzag_to_signed(v) for v in _packed_varints(val))
             else:
                 ints.append(_zigzag_to_signed(val))
+        elif field == 9:  # strings (repeated bytes): e.g. RNN 'activations'
+            strings.append(val.decode(errors="replace"))
     if ints:
         value = ints
     elif floats:
         value = floats
+    elif strings:
+        value = strings
     return name, value
 
 
@@ -350,14 +364,25 @@ def _walk_graphs(g: OnnxGraph) -> Iterator[OnnxGraph]:
                 yield from _walk_graphs(v)
 
 
+def _all_tensors(g: OnnxGraph) -> Iterator[OnnxTensor]:
+    """Every tensor in the model: initializers AND node-attribute tensors
+    (Constant 'value', ConstantOfShape 'value', ...) across all subgraphs —
+    onnx.external_data_helper can externalize attribute tensors too."""
+    for sub in _walk_graphs(g):
+        yield from sub.initializers.values()
+        for node in sub.nodes:
+            for v in node.attrs.values():
+                if isinstance(v, OnnxTensor):
+                    yield v
+
+
 def _resolve_external(g: OnnxGraph, base_dir: str | None) -> None:
     """Load externally-stored tensor payloads (TensorProto.external_data)
     from files next to the model. Raises instead of silently serving the
     zero placeholders parse_tensor leaves behind."""
     import os
 
-    pending = [t for sub in _walk_graphs(g)
-               for t in sub.initializers.values() if t.external]
+    pending = [t for t in _all_tensors(g) if t.external]
     if not pending:
         return
     if base_dir is None:
@@ -492,6 +517,10 @@ def encode_node(op_type: str, inputs: list[str], outputs: list[str],
                 isinstance(x, float) for x in v):
             for x in v:
                 a += _tag(7, 5) + struct.pack("<f", x)
+        elif isinstance(v, (list, tuple)) and all(
+                isinstance(x, str) for x in v):
+            for x in v:  # strings (field 9): e.g. RNN 'activations'
+                a += _ld(9, x.encode())
         else:
             raise TypeError(f"unsupported attribute value for '{k}': {v!r}")
         out += _ld(5, a)

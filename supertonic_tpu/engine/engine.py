@@ -78,6 +78,22 @@ class VoiceStyle:
         return VoiceStyle(self.ttl[idx], self.dp[idx])
 
 
+def parse_blend_spec(spec: str) -> tuple[str, str, float]:
+    """Parse the 'A+B' / 'A+B:t' blended-voice syntax shared by the HTTP
+    service and the CLI into (name_a, name_b, t). Raises ValueError on a
+    malformed spec or out-of-range weight (t defaults to 0.5)."""
+    body, _, t_str = spec.partition(":")
+    a, _, b = body.partition("+")
+    try:
+        t = float(t_str) if t_str else 0.5
+    except ValueError:
+        raise ValueError(f"invalid blend weight in {spec!r}")
+    if not a or not b or "+" in b or not (0.0 <= t <= 1.0):
+        raise ValueError(
+            f"invalid blend spec {spec!r} (use 'A+B' or 'A+B:t', t in [0, 1])")
+    return a, b, t
+
+
 @dataclasses.dataclass
 class PendingBatch:
     """An in-flight fused-synthesis dispatch (infer_batch_begin). Holds the

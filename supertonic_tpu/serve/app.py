@@ -97,12 +97,17 @@ def create_app(tts=None, *, use_batcher: bool = True):
     async def speech(request: Request):
         # OpenAI-compatible surface; schema validated by the shared service
         # parser (voice-name mapping, response_format, speed bounds)
+        from starlette.concurrency import run_in_threadpool
+
         try:
             body = await request.json()
         except Exception:
             raise HTTPException(status_code=422, detail="invalid JSON body")
         try:
-            payload, ctype = service.speech(body)
+            # synthesis BLOCKS (batcher future + device sync) — run it in
+            # the threadpool like the sync `def` endpoints, or one request
+            # freezes the event loop (and /health with it) for its duration
+            payload, ctype = await run_in_threadpool(service.speech, body)
         except ValidationError as e:
             raise HTTPException(status_code=e.status, detail=e.detail)
         return StreamingResponse(io.BytesIO(payload), media_type=ctype)

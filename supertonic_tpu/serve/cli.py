@@ -88,10 +88,13 @@ def main(argv=None):
         # "A+B:t" blends two presets; paths (which may contain '+') keep
         # the plain lookup
         if "+" in spec and "/" not in spec and "\\" not in spec:
-            body, _, t_str = spec.partition(":")
-            a, _, b = body.partition("+")
-            return tts.get_voice_style(a).blend(
-                tts.get_voice_style(b), float(t_str) if t_str else 0.5)
+            from ..engine.engine import parse_blend_spec
+
+            try:
+                a, b, t = parse_blend_spec(spec)
+            except ValueError as e:
+                raise SystemExit(f"--voice-style: {e}")
+            return tts.get_voice_style(a).blend(tts.get_voice_style(b), t)
         return tts.get_voice_style(spec)
 
     styles = [style_for(v) for v in args.voice_style]

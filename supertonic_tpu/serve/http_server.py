@@ -148,6 +148,8 @@ def _parse_speech_request(body: dict) -> dict:
     if not isinstance(ts, int) or isinstance(ts, bool) or not (1 <= ts <= 50):
         raise ValidationError(422, "total_step must be an int in [1, 50]")
     lang = body.get("lang", "en")
+    if not isinstance(lang, str):
+        raise ValidationError(422, "lang must be a string")
     return {
         "text": text, "lang": lang, "voice_style": voice,
         "total_step": ts, "speed": float(speed), "batch": False,
@@ -241,17 +243,13 @@ class TTSService:
         return style
 
     def _blend_style(self, spec: str):
-        """Parse 'A+B' or 'A+B:t' (t defaults to 0.5) into a blended style."""
-        body, _, t_str = spec.partition(":")
-        a, _, b = body.partition("+")
+        """Blend two presets per the shared 'A+B:t' syntax."""
+        from ..engine.engine import parse_blend_spec
+
         try:
-            t = float(t_str) if t_str else 0.5
-        except ValueError:
-            raise ValidationError(400, f"Invalid blend weight in {spec!r}")
-        if not a or not b or "+" in b or not (0.0 <= t <= 1.0):
-            raise ValidationError(
-                400, f"Invalid blend spec {spec!r} (use 'A+B' or 'A+B:t', "
-                     f"t in [0, 1])")
+            a, b, t = parse_blend_spec(spec)
+        except ValueError as e:
+            raise ValidationError(400, str(e))
         return self.tts.assets.get_voice_style(a).blend(
             self.tts.assets.get_voice_style(b), t)
 
@@ -557,6 +555,9 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000,
             try:
                 for data in body:
                     self._write_chunk(data)
+                # terminator inside the try: a disconnect between the last
+                # chunk and here must not escape the handler either
+                self.wfile.write(b"0\r\n\r\n")
             except (BrokenPipeError, ConnectionResetError):
                 self.close_connection = True
                 return
@@ -568,7 +569,6 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000,
                           error=f"{type(e).__name__}: {e}")
                 self.close_connection = True
                 return
-            self.wfile.write(b"0\r\n\r\n")
 
         def do_POST(self):
             if self.path not in ("/tts", "/tts/stream", "/v1/audio/speech"):

@@ -72,3 +72,10 @@ def test_cli_blended_voice_style(onnx_dir, tmp_path):  # noqa: F811
     # the synthetic bundle's sample rate is tiny — check non-trivial PCM,
     # not absolute size
     assert len(wavs) == 1 and wavs[0].stat().st_size > 44 + 100
+
+
+def test_cli_malformed_blend_exits_cleanly(onnx_dir, tmp_path):  # noqa: F811
+    with pytest.raises(SystemExit, match="blend"):
+        main(["--platform", "cpu", "--onnx-dir", onnx_dir,
+              "--save-dir", str(tmp_path), "--text", "x",
+              "--voice-style", "M1+F1:abc"])

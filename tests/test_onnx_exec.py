@@ -1695,3 +1695,46 @@ def test_softmax_opset_semantics(rng):
     e = np.exp(flat - flat.max(-1, keepdims=True))
     ref = (e / e.sum(-1, keepdims=True)).reshape(2, 3, 4)
     np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_contrib_attention_scale_attr(rng):
+    b, s, h, nh = 1, 4, 8, 2
+    x = rng.standard_normal((b, s, h)).astype(F32)
+    w = (rng.standard_normal((h, 3 * h)) * 0.3).astype(F32)
+
+    def run_with(attrs):
+        ex = build([("Attention", ["x", "w"], ["y"], attrs)],
+                   inits={"w": w},
+                   inputs=[("x", F32, (b, s, h))],
+                   outputs=[("y", F32, (b, s, h))])
+        return run1(ex, x=x)
+
+    default = run_with({"num_heads": nh})
+    scaled = run_with({"num_heads": nh, "scale": 1.0})
+    assert not np.allclose(default, scaled)
+    # scale=1/sqrt(dh) must equal the default
+    np.testing.assert_allclose(
+        run_with({"num_heads": nh, "scale": 1.0 / np.sqrt(h // nh)}),
+        default, rtol=1e-5, atol=1e-6)
+
+
+def test_gru_accepts_default_activations_attr(rng):
+    """tf2onnx always serializes `activations`, even with the defaults —
+    must run, while a genuine custom chain raises."""
+    t_len, batch, d_in, hidden = 3, 2, 3, 4
+    x = rng.standard_normal((t_len, batch, d_in)).astype(F32)
+    w = (rng.standard_normal((1, 3 * hidden, d_in)) * 0.4).astype(F32)
+    r = (rng.standard_normal((1, 3 * hidden, hidden)) * 0.4).astype(F32)
+
+    def build_gru(acts):
+        return build([("GRU", ["x", "w", "r"], ["y", "yh"],
+                       {"hidden_size": hidden, "activations": acts})],
+                     inits={"w": w, "r": r},
+                     inputs=[("x", F32, (t_len, batch, d_in))],
+                     outputs=[("y", F32, (t_len, 1, batch, hidden)),
+                              ("yh", F32, (1, batch, hidden))])
+
+    y, _ = build_gru(["Sigmoid", "Tanh"]).run(None, {"x": x})
+    assert np.isfinite(y).all()
+    with pytest.raises(UnsupportedOp):
+        build_gru(["Relu", "Relu"]).run(None, {"x": x})

@@ -312,3 +312,70 @@ def test_unknown_data_type_raises():
         assert "data_type" in str(e)
     else:
         raise AssertionError("unknown dtype decoded silently")
+
+
+def test_external_data_in_constant_attribute(tmp_path):
+    """onnx.external_data_helper(convert_attribute=True) externalizes
+    Constant-node 'value' tensors too — they must resolve, not serve the
+    zero placeholder."""
+    payload = np.array([4.0, 5.0], np.float32)
+    (tmp_path / "c.bin").write_bytes(payload.tobytes())
+    # Constant node whose 'value' tensor (dims=[2], FLOAT) is external
+    tensor = (b"\x08\x02" b"\x10\x01" + _ld(b"\x42", b"cv")
+              + _ld(b"\x6a", _kv(b"location", b"c.bin")))
+    attr = _ld(b"\x0a", b"value") + _ld(b"\x2a", tensor)  # AttributeProto.t=5
+    node = (b"\x12\x01y" b"\x1a\x02n0" b"\x22\x08Constant"
+            + _ld(b"\x2a", attr))  # NodeProto.attribute
+
+    def value_info(name: bytes) -> bytes:
+        tt = b"\x08\x01" + _ld(b"\x12", _ld(b"\x0a", b"\x08\x02"))
+        return _ld(b"\x0a", name) + _ld(b"\x12", _ld(b"\x0a", tt))
+
+    graph = (_ld(b"\x0a", node) + b"\x12\x01g"
+             + _ld(b"\x62", value_info(b"y")))
+    model = b"\x08\x08" + _ld(b"\x3a", graph) + _ld(b"\x42", b"\x10\x11")
+    (tmp_path / "m.onnx").write_bytes(model)
+
+    from supertonic_tpu.assets.onnx_reader import load_onnx
+    g = load_onnx(str(tmp_path / "m.onnx"))
+    t = g.nodes[0].attrs["value"]
+    assert t.external is None
+    np.testing.assert_array_equal(t.data, payload)
+    (y,) = OnnxExecutor(g).run(None, {})
+    np.testing.assert_array_equal(y, payload)
+
+
+def test_uint64_typed_data():
+    # TensorProto.uint64_data (field 11, packed): values above int64 range
+    big = 2 ** 63 + 5
+
+    def varint(v: int) -> bytes:
+        out = bytearray()
+        while True:
+            byte = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(byte | 0x80)
+            else:
+                out.append(byte)
+                return bytes(out)
+
+    payload = varint(big) + varint(7)
+    t = (b"\x08\x02" b"\x10\x0d" b"\x42\x01u"   # dims=2, UINT64(13)
+         + _ld(b"\x5a", payload))               # 11:LD packed uint64_data
+    parsed = parse_tensor(t)
+    assert parsed.data.dtype == np.uint64
+    np.testing.assert_array_equal(
+        parsed.data, np.array([big, 7], np.uint64))
+
+
+def test_repeated_string_attribute():
+    # AttributeProto.strings (field 9, repeated bytes)
+    attr = (_ld(b"\x0a", b"activations")
+            + _ld(b"\x4a", b"Sigmoid") + _ld(b"\x4a", b"Tanh"))
+    node = (b"\x12\x01y" b"\x1a\x02n0" b"\x22\x08Identity"
+            + _ld(b"\x2a", attr))
+    graph = _ld(b"\x0a", node) + b"\x12\x01g"
+    model = b"\x08\x08" + _ld(b"\x3a", graph) + _ld(b"\x42", b"\x10\x11")
+    g = parse_model(model)
+    assert g.nodes[0].attrs["activations"] == ["Sigmoid", "Tanh"]

@@ -398,3 +398,9 @@ def test_voice_style_blend_syntax(tts_server):
         r = httpx.post(f"{base_url}/tts",
                        json={"text": "x", "voice_style": bad}, timeout=60)
         assert r.status_code == 400, (bad, r.status_code)
+
+
+def test_openai_speech_lang_type_422(base_url):
+    r = httpx.post(f"{base_url}/v1/audio/speech",
+                   json={"input": "hi", "lang": 5}, timeout=60)
+    assert r.status_code == 422
