@@ -119,6 +119,7 @@ class OnnxPipeline:
         speed: float = 1.05,
         noise: np.ndarray | None = None,
         progress_callback=None,
+        pre_normalized: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         assert len(text_list) == style.ttl.shape[0], (
             "Number of texts must match number of style vectors"
@@ -128,11 +129,13 @@ class OnnxPipeline:
         if self.text_buckets:
             from ..engine.buckets import pick_bucket
 
-            lengths = [len(preprocess_text(t, g))
+            lengths = [len(t) if pre_normalized else
+                       len(preprocess_text(t, g))
                        for t, g in zip(text_list, lang_list)]
             max_len = pick_bucket(max(lengths), self.text_buckets)
-        text_ids, text_mask = self.processor(text_list, lang_list,
-                                             max_len=max_len)
+        text_ids, text_mask = self.processor(
+            text_list, lang_list, max_len=max_len,
+            pre_normalized=pre_normalized)
         text_ids = text_ids.astype(np.int64)
         text_mask = text_mask.astype(np.float32)
         (duration,) = self.dp.run(None, {

@@ -23,10 +23,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import TTSConfig
-from ..frontend import UnicodeProcessor, chunk_text, max_len_for_lang
+from ..frontend import UnicodeProcessor
 from ..models import layers as L
 from ..utils.timing import StageProfiler
-from . import buckets, stitch, synthesis
+from . import buckets, synthesis
+from .longform import LongFormSynthesis
 
 
 @dataclasses.dataclass
@@ -122,7 +123,7 @@ def _tree_has_key(tree, key: str) -> bool:
     return False
 
 
-class SynthesisEngine:
+class SynthesisEngine(LongFormSynthesis):
     def __init__(
         self,
         params: dict,
@@ -289,14 +290,16 @@ class SynthesisEngine:
         self._style_dev_cache[key] = (dp_dev, ttl_dev)
         return dp_dev, ttl_dev
 
-    def _prepare_inputs(self, text_list, lang_list, style):
+    def _prepare_inputs(self, text_list, lang_list, style,
+                        pre_normalized: bool = False):
         """Frontend + bucketing + device placement shared by the fused and
         injected-noise paths. Returns (dev_args, text_mask, l_true,
         b_true, b_bucket)."""
         rt = self.cfg.runtime
         b_true = len(text_list)
         with self.profiler.stage("frontend"):
-            text_ids, text_mask3 = self.processor(text_list, lang_list)
+            text_ids, text_mask3 = self.processor(
+                text_list, lang_list, pre_normalized=pre_normalized)
             l_true = text_ids.shape[1]
             l_bucket = buckets.pick_bucket(l_true, rt.text_buckets)
             pad_l = l_bucket - l_true
@@ -355,6 +358,7 @@ class SynthesisEngine:
         speed: float = 1.05,
         *,
         device_output: bool = False,
+        pre_normalized: bool = False,
     ) -> "PendingBatch":
         """Dispatch a fused-synthesis batch WITHOUT waiting for results.
 
@@ -368,12 +372,15 @@ class SynthesisEngine:
             "Number of texts must match number of style vectors"
         )
         assert text_list, "infer_batch_begin requires a non-empty batch"
+        if not (speed > 0):  # speed=0 would divide by zero in the latent
+            # estimate; negative speed produces garbage durations
+            raise ValueError(f"speed must be > 0, got {speed}")
         t_start = time.perf_counter()
         rt = self.cfg.runtime
         chunk = self.cfg.chunk_size
         sr = self.cfg.sample_rate
         dev_args, text_mask, l_true, b_true, _b_bucket = self._prepare_inputs(
-            text_list, lang_list, style)
+            text_list, lang_list, style, pre_normalized=pre_normalized)
 
         # production path: one fused program, no mid-pipeline sync.
         # t bucket from the learned sec/char estimate; the returned
@@ -443,9 +450,11 @@ class SynthesisEngine:
                 np.asarray(text_mask)[:b_true].sum(axis=1), 1.0
             )
             obs_spc = float((dur[:b_true] * speed / row_chars).max())
-            if not self._spc_window:
-                self._save_rate_cache(obs_spc)  # warm-start future processes
-            self._spc_window.append(obs_spc)
+            if not getattr(self, "_rate_frozen", False):
+                if not self._spc_window:
+                    # warm-start future processes
+                    self._save_rate_cache(obs_spc)
+                self._spc_window.append(obs_spc)
             if t_needed <= t_bucket:
                 if not device_output and t_needed > n_xfer:
                     # sliced transfer undershot the true duration: fetch the
@@ -545,17 +554,31 @@ class SynthesisEngine:
         the number of programs dispatched. Compiles persist in the on-disk
         cache, so across restarts this is a fast cache load."""
         rt = self.cfg.runtime
-        bss = batch_sizes or tuple(b for b in rt.batch_buckets if b <= 32)
-        lbs = text_buckets or rt.text_buckets[:3]
+        # `is None` (not falsy-or): an explicitly empty tuple means "warm
+        # nothing for this dimension", not "use the full default lattice"
+        bss = (tuple(b for b in rt.batch_buckets if b <= 32)
+               if batch_sizes is None else batch_sizes)
+        lbs = rt.text_buckets[:3] if text_buckets is None else text_buckets
         rng = np.random.default_rng(0)
-        # warmup batches are synthetic: keep them out of /metrics (swap in a
-        # throwaway profiler for the duration)
+        # warmup batches are synthetic: keep them out of /metrics (throwaway
+        # profiler) AND out of the learned speaking-rate window/on-disk rate
+        # cache — "aaaa…" rows are not speech, and a poisoned rate picks an
+        # undersized latent bucket for the first LIVE request (which then
+        # pays a fresh overflow-retry compile, the very thing warmup exists
+        # to prevent)
         live_profiler = self.profiler
+        live_window = self._spc_window
+        from collections import deque
+
         self.profiler = StageProfiler()
+        self._spc_window = deque(maxlen=16)
+        self._rate_frozen = True
         try:
             n = self._warmup_lattice(bss, lbs, total_steps, progress, rng)
         finally:
             self.profiler = live_profiler
+            self._spc_window = live_window
+            self._rate_frozen = False
         return n
 
     def _warmup_lattice(self, bss, lbs, total_steps, progress, rng) -> int:
@@ -581,78 +604,9 @@ class SynthesisEngine:
         return n
 
     # ------------------------------------------------------------------
-    # public API (mirrors reference TextToSpeech, py/helper.py:217-254)
+    # public API (mirrors reference TextToSpeech, py/helper.py:217-254):
+    # __call__ / batch / stream / trim come from LongFormSynthesis
     # ------------------------------------------------------------------
-
-    def __call__(
-        self,
-        text: str,
-        lang: str,
-        style: VoiceStyle,
-        total_step: int = 5,
-        speed: float = 1.05,
-        silence_duration: float = 0.3,
-        crossfade_duration: float = 0.0,
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """Single-utterance long-form synthesis: chunk, synthesize all chunks
-        as one batch, stitch. Returns (wav [1, T] np, duration [1] np) like
-        the reference __call__ (py/helper.py:217-244)."""
-        assert style.batch == 1, (
-            "Single speaker text to speech only supports single style"
-        )
-        chunks = chunk_text(text, max_len=max_len_for_lang(lang))
-        if not chunks:
-            return np.zeros((1, 0), np.float32), np.zeros((1,), np.float32)
-        n = len(chunks)
-        wavs, durs = self.infer_batch(
-            chunks, [lang] * n, style.tile(n), total_step, speed
-        )
-        joined, total = stitch.stitch(
-            [wavs[i] for i in range(n)],
-            [float(durs[i]) for i in range(n)],
-            self.cfg.sample_rate,
-            silence_duration=silence_duration,
-            crossfade_duration=crossfade_duration,
-        )
-        return joined[None, :], np.array([total], np.float32)
-
-    def batch(
-        self,
-        text_list: list[str],
-        lang_list: list[str],
-        style: VoiceStyle,
-        total_step: int = 5,
-        speed: float = 1.05,
-    ) -> tuple[np.ndarray, np.ndarray]:
-        return self.infer_batch(text_list, lang_list, style, total_step, speed)
-
-    def stream(
-        self,
-        text: str,
-        lang: str,
-        style: VoiceStyle,
-        total_step: int = 5,
-        speed: float = 1.05,
-        group_size: int = 2,
-    ):
-        """Long-form streaming: yields (trimmed wav [T] f32, duration s) per
-        chunk as soon as it is synthesized — playback can start after chunk
-        one (time-to-first-audio) while later groups synthesize. The FIRST
-        group is always a single chunk (minimum time-to-first-audio); later
-        chunks batch up to ``group_size`` to keep the MXU fed."""
-        assert style.batch == 1
-        chunks = chunk_text(text, max_len=max_len_for_lang(lang))
-        i = 0
-        while i < len(chunks):
-            n = 1 if i == 0 else group_size
-            group = chunks[i : i + n]
-            i += len(group)
-            wavs, durs = self.infer_batch(
-                group, [lang] * len(group), style.tile(len(group)),
-                total_step, speed,
-            )
-            for w, d in zip(self.trim(wavs, durs), durs):
-                yield w, float(d)
 
     def infer_with_progress(
         self,
@@ -757,11 +711,3 @@ class SynthesisEngine:
         """Transfer a device waveform (device_output=True result) to a host
         f32 array, undoing the egress quantization (int16 or mu-law)."""
         return self._decode_egress(np.asarray(wav_dev))
-
-    # convenience: reference example trims at save time (py/example_onnx.py:113)
-    def trim(self, wav: np.ndarray, duration: np.ndarray) -> list[np.ndarray]:
-        sr = self.cfg.sample_rate
-        return [
-            wav[b, : int(sr * float(np.atleast_1d(duration)[b]))]
-            for b in range(wav.shape[0])
-        ]

@@ -24,12 +24,11 @@ import time
 import numpy as np
 
 from ..config import TTSConfig
-from ..frontend import chunk_text, max_len_for_lang
 from ..utils.timing import StageProfiler
-from .stitch import stitch as _stitch
+from .longform import LongFormSynthesis
 
 
-class OnnxEngineAdapter:
+class OnnxEngineAdapter(LongFormSynthesis):
     """SynthesisEngine-shaped facade over assets.OnnxPipeline."""
 
     def __init__(self, pipeline, cfg: TTSConfig):
@@ -48,6 +47,7 @@ class OnnxEngineAdapter:
         speed: float = 1.05,
         noise: np.ndarray | None = None,
         device_output: bool = False,
+        pre_normalized: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         if not text_list:
             return (np.zeros((0, 0), np.float32), np.zeros((0,), np.float32))
@@ -58,8 +58,9 @@ class OnnxEngineAdapter:
                     text_list, lang_list, style, total_step, speed,
                     noise=noise)
             else:
-                wav, dur = self.pipeline.batch(
-                    text_list, lang_list, style, total_step, speed)
+                wav, dur = self.pipeline._infer(
+                    text_list, lang_list, style, total_step, speed,
+                    pre_normalized=pre_normalized)
         wav = np.asarray(wav)
         dur = np.asarray(dur, np.float32)
         audio_s = float(np.sum(dur))
@@ -74,54 +75,18 @@ class OnnxEngineAdapter:
     # begin computes eagerly and end unwraps
     def infer_batch_begin(self, text_list, lang_list, style,
                           total_step: int = 5, speed: float = 1.05, *,
-                          device_output: bool = False):
+                          device_output: bool = False,
+                          pre_normalized: bool = False):
         return self.infer_batch(text_list, lang_list, style, total_step,
-                                speed, device_output=device_output)
+                                speed, device_output=device_output,
+                                pre_normalized=pre_normalized)
 
     def infer_batch_end(self, pending):
         return pending
 
     # ------------------------------------------------- reference API shape
-    def __call__(self, text, lang, style, total_step: int = 5,
-                 speed: float = 1.05, silence_duration: float = 0.3,
-                 crossfade_duration: float = 0.0):
-        assert style.batch == 1, (
-            "Single speaker text to speech only supports single style"
-        )
-        chunks = chunk_text(text, max_len=max_len_for_lang(lang))
-        if not chunks:
-            return np.zeros((1, 0), np.float32), np.zeros((1,), np.float32)
-        n = len(chunks)
-        wavs, durs = self.infer_batch(
-            chunks, [lang] * n, style.tile(n), total_step, speed)
-        joined, total = _stitch(
-            [wavs[i] for i in range(n)],
-            [float(durs[i]) for i in range(n)],
-            self.cfg.sample_rate,
-            silence_duration=silence_duration,
-            crossfade_duration=crossfade_duration,
-        )
-        return joined[None, :], np.array([total], np.float32)
-
-    def batch(self, text_list, lang_list, style, total_step: int = 5,
-              speed: float = 1.05):
-        return self.infer_batch(text_list, lang_list, style, total_step,
-                                speed)
-
-    def stream(self, text, lang, style, total_step: int = 5,
-               speed: float = 1.05, group_size: int = 2):
-        assert style.batch == 1
-        chunks = chunk_text(text, max_len=max_len_for_lang(lang))
-        i = 0
-        while i < len(chunks):
-            n = 1 if i == 0 else group_size
-            group = chunks[i: i + n]
-            i += len(group)
-            wavs, durs = self.infer_batch(
-                group, [lang] * len(group), style.tile(len(group)),
-                total_step, speed)
-            for w, d in zip(self.trim(wavs, durs), durs):
-                yield w, float(d)
+    # __call__ / batch / stream / trim come from LongFormSynthesis (shared
+    # with SynthesisEngine — no drift between the two live serving paths)
 
     def infer_with_progress(self, text, lang, style, total_step: int = 5,
                             speed: float = 1.05, progress_callback=None):
@@ -160,10 +125,3 @@ class OnnxEngineAdapter:
     # ------------------------------------------------------------ helpers
     def to_host(self, wav) -> np.ndarray:
         return np.asarray(wav)
-
-    def trim(self, wav: np.ndarray, duration: np.ndarray) -> list[np.ndarray]:
-        sr = self.cfg.sample_rate
-        return [
-            wav[b, : int(sr * float(np.atleast_1d(duration)[b]))]
-            for b in range(wav.shape[0])
-        ]

@@ -116,8 +116,12 @@ def native_preprocess(text: str, lang: str) -> str:
         raise RuntimeError("native frontend unavailable")
     raw = text.encode("utf-8")
     cap = 4 * len(raw) + 64
-    buf = ctypes.create_string_buffer(cap)
-    n = lib.stpu_preprocess(raw, lang.encode(), buf, cap)
+    for _attempt in range(3):  # NFKD can expand one codepoint up to 18x
+        buf = ctypes.create_string_buffer(cap)
+        n = lib.stpu_preprocess(raw, lang.encode(), buf, cap)
+        if n != -2:
+            break
+        cap *= 4
     if n == -1:
         raise ValueError(f"Invalid language: {lang}")
     if n < 0:
@@ -188,9 +192,12 @@ class NativeUnicodeProcessor:
             + b"\x00"
         langs_blob = b"\x00".join(g.encode() for g in lang_list) + b"\x00"
         # preprocessing can expand text (e.g. "e.g.," -> "for example, ",
-        # "@" -> " at ") plus lang tags; 4x codepoints + slack bounds it
+        # "@" -> " at ") plus lang tags; 4x codepoints + slack bounds the
+        # common case, but NFKD can expand a single codepoint up to 18x
+        # (U+FDFA) — retry twice (up to 64x), then fall back to the
+        # pure-Python frontend rather than failing the request
         cap = 4 * sum(len(t) for t in text_list) + 32 * n + 64
-        for _attempt in range(2):
+        for _attempt in range(3):
             ids = np.empty(cap, np.int64)
             lens = (ctypes.c_long * n)()
             total = lib.stpu_frontend_batch(
@@ -200,7 +207,14 @@ class NativeUnicodeProcessor:
                 cap, lens)
             if total != -2:
                 break
-            cap *= 4  # pathological NFKD expansion: retry bigger once
+            cap *= 4
+        if total == -2:
+            from .normalize import UnicodeProcessor, preprocess_text
+
+            py = UnicodeProcessor(self.indexer)
+            rows = [py.tokenize(preprocess_text(t, g))
+                    for t, g in zip(text_list, lang_list)]
+            return rows, np.array([len(r) for r in rows], np.int64)
         if total == -1:
             from ..config import AVAILABLE_LANGS
 
@@ -231,8 +245,24 @@ class NativeUnicodeProcessor:
         text_list: list[str],
         lang_list: list[str],
         max_len: int | None = None,
+        pre_normalized: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
-        token_rows, lengths = self._rows(text_list, lang_list)
+        if pre_normalized:
+            # texts already went through preprocess_text (NOT idempotent —
+            # lang tags would wrap twice): tokenize-only path
+            n_rows = min(len(text_list), len(lang_list))
+            token_rows = []
+            for t in text_list[:n_rows]:
+                if "\x00" in t:  # NUL can't cross the C string boundary
+                    cps = np.array([ord(c) for c in t], np.int64)
+                    cps = np.where(
+                        (cps >= 0) & (cps < len(self.indexer)), cps, 0)
+                    token_rows.append(self.indexer[cps])
+                else:
+                    token_rows.append(self.tokenize_text(t))
+            lengths = np.array([len(r) for r in token_rows], np.int64)
+        else:
+            token_rows, lengths = self._rows(text_list, lang_list)
         pad_to = int(max_len if max_len is not None else lengths.max())
         if pad_to < int(lengths.max()):
             raise ValueError(

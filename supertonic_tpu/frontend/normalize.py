@@ -162,13 +162,22 @@ class UnicodeProcessor:
         text_list: list[str],
         lang_list: list[str],
         max_len: int | None = None,
+        pre_normalized: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Returns (text_ids [B, L] int64, text_mask [B, 1, L] float32).
 
         ``max_len`` pads to a bucketed length (TPU shape discipline); ``None``
         reproduces the reference's pad-to-batch-max behavior.
+        ``pre_normalized``: the texts already went through preprocess_text
+        (normalization is NOT idempotent — lang tags would wrap twice);
+        callers that normalize for bucketing (the continuous batcher) pass
+        the result through instead of paying the pipeline again.
         """
-        texts = [preprocess_text(t, g) for t, g in zip(text_list, lang_list)]
+        if pre_normalized:
+            texts = list(text_list[: len(lang_list)])
+        else:
+            texts = [preprocess_text(t, g)
+                     for t, g in zip(text_list, lang_list)]
         lengths = np.array([len(t) for t in texts], dtype=np.int64)
         pad_to = int(max_len if max_len is not None else lengths.max())
         if pad_to < int(lengths.max()):

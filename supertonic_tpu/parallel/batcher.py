@@ -38,7 +38,9 @@ class _Request:
     speed: float
     future: Future = field(default_factory=Future)
     t_submit: float = 0.0
-    norm_len: int = 0  # post-normalization char count (the real bucket key)
+    norm_text: str = ""  # preprocess_text output (bucket key AND the text
+    # the engine receives — normalization is paid once, at submit)
+    norm_len: int = 0
 
 
 class ContinuousBatcher:
@@ -77,8 +79,11 @@ class ContinuousBatcher:
         # bucket on the NORMALIZED length: normalization changes length
         # ("e.g.," -> "for example, ", emoji stripped), and the engine pads
         # by normalized text — keying on raw length can straddle buckets and
-        # re-pad inside infer_batch (VERDICT r1 weak #6)
-        req.norm_len = len(preprocess_text(text, lang))
+        # re-pad inside infer_batch (VERDICT r1 weak #6). The normalized
+        # text itself is what dispatch sends (pre_normalized=True), so the
+        # pipeline runs exactly once per request.
+        req.norm_text = preprocess_text(text, lang)
+        req.norm_len = len(req.norm_text)
         with self._wake:
             if self._stop:
                 raise RuntimeError("batcher is shut down")
@@ -124,18 +129,24 @@ class ContinuousBatcher:
         ladder = self.engine.cfg.runtime.text_buckets
         groups: dict[tuple, list[_Request]] = {}
         for r in batch:
-            key = (pick_bucket(r.norm_len, ladder), r.total_step, r.speed)
+            # style shapes are part of the key: one request with mismatched
+            # style dims must fail alone, not take down a whole group's
+            # np.concatenate (and mixed shapes can be legitimate when styles
+            # come from heterogeneous style files)
+            key = (pick_bucket(r.norm_len, ladder), r.total_step, r.speed,
+                   r.style.ttl.shape[1:], r.style.dp.shape[1:])
             groups.setdefault(key, []).append(r)
         out = []
-        for (_, total_step, speed), reqs in groups.items():
+        for (_, total_step, speed, *_shapes), reqs in groups.items():
             try:
                 style = VoiceStyle(
                     np.concatenate([r.style.ttl for r in reqs]),
                     np.concatenate([r.style.dp for r in reqs]),
                 )
                 pend = self.engine.infer_batch_begin(
-                    [r.text for r in reqs], [r.lang for r in reqs],
+                    [r.norm_text for r in reqs], [r.lang for r in reqs],
                     style, total_step, speed, device_output=True,
+                    pre_normalized=True,
                 )
                 out.append((pend, reqs))
             except Exception as e:  # pragma: no cover

@@ -166,3 +166,75 @@ class TestFaultInjection:
             assert dur > 0
         finally:
             batcher.shutdown()
+
+
+def test_batcher_matches_direct_engine(engine, tiny_config):
+    """Batched synthesis must equal a direct engine call on the same text —
+    including expansion-heavy text ("e.g.," -> "for example, "), which
+    catches any double-normalization of the pre-normalized dispatch path
+    (lang tags would wrap twice and shift every token)."""
+    text = "Use abbreviations, e.g., this one & that @ home."
+    style = _style(tiny_config)
+    batcher = ContinuousBatcher(engine, max_batch=4, max_wait_ms=20.0)
+    try:
+        wav_b, dur_b = batcher.submit(text, "en", style,
+                                      total_step=2).result(timeout=300)
+    finally:
+        batcher.shutdown()
+    wav_d, dur_d = engine.infer_batch([text], ["en"], style, total_step=2)
+    # duration is a pure function of the token ids (no noise): equality
+    # proves the pre-normalized dispatch fed the same ids. (Waveforms
+    # differ — each dispatch draws fresh PRNG noise by design.)
+    assert float(dur_b) == pytest.approx(float(dur_d[0]), abs=1e-5)
+    assert len(wav_b) == len(engine.trim(wav_d, dur_d)[0])
+
+    # and at the unit level: tokenizing the pre-normalized text must equal
+    # tokenizing the raw text through the full pipeline
+    from supertonic_tpu.frontend import preprocess_text
+
+    ids_raw, mask_raw = engine.processor([text], ["en"])
+    ids_pre, mask_pre = engine.processor(
+        [preprocess_text(text, "en")], ["en"], pre_normalized=True)
+    np.testing.assert_array_equal(ids_raw, ids_pre)
+    np.testing.assert_array_equal(mask_raw, mask_pre)
+
+
+def test_mismatched_style_shape_fails_alone(engine, tiny_config):
+    """A request with wrong style dims must fail ITS future only, not the
+    co-batched valid requests."""
+    good = _style(tiny_config)
+    bad = VoiceStyle(good.ttl[:, :, :-1], good.dp)  # wrong style_value_dim
+    batcher = ContinuousBatcher(engine, max_batch=8, max_wait_ms=150.0)
+    try:
+        f_good = [batcher.submit(f"Valid request {i}.", "en", good,
+                                 total_step=2) for i in range(3)]
+        f_bad = batcher.submit("Valid request X.", "en", bad, total_step=2)
+        for f in f_good:
+            wav, dur = f.result(timeout=300)
+            assert dur > 0 and len(wav) > 0
+        with pytest.raises(Exception):
+            f_bad.result(timeout=300)
+    finally:
+        batcher.shutdown()
+
+
+def test_speed_zero_rejected(engine, tiny_config):
+    with pytest.raises(ValueError, match="speed"):
+        engine.infer_batch(["Hi."], ["en"], _style(tiny_config), 2, 0.0)
+
+
+def test_warmup_does_not_pollute_learned_rate(engine, tiny_config,
+                                              monkeypatch, tmp_path):
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path))
+    style = _style(tiny_config)
+    # one real observation first (this one legitimately writes the cache)
+    engine.infer_batch(["A real sentence for the rate learner."], ["en"],
+                       style, total_step=2)
+    window_before = list(engine._spc_window)
+    cache_before = {p: p.read_text() for p in tmp_path.glob("stpu_rate_*")}
+    engine.warmup(batch_sizes=(1,), text_buckets=(32,), total_steps=(2,))
+    assert list(engine._spc_window) == window_before  # no synthetic rows
+    cache_after = {p: p.read_text() for p in tmp_path.glob("stpu_rate_*")}
+    assert cache_after == cache_before  # warmup never writes the rate cache
+    # empty tuples warm NOTHING (not the default lattice)
+    assert engine.warmup(batch_sizes=(), total_steps=(2,)) == 0
