@@ -103,11 +103,24 @@ def fetch_all(out_dir: str, *, repo: str = REPO, opener=None,
         # reference layout: assets/onnx/{graphs,configs}, assets/voice_styles
         local_rel = rel[len("onnx/"):] if rel.startswith("onnx/") else rel
         dest = os.path.join(out_dir, local_rel)
-        if os.path.exists(dest):
-            progress(f"  {local_rel}: exists, skipping")
-            continue
-        url = BASE_URL.format(repo=repo, path=rel)
         expected = (manifest or {}).get(rel)
+        if os.path.exists(dest):
+            # verify pre-existing files too (a stale/corrupt leftover must
+            # not be served as current) and keep them in the digest map
+            h = hashlib.sha256()
+            with open(dest, "rb") as f:
+                for blk in iter(lambda: f.read(CHUNK), b""):
+                    h.update(blk)
+            digest = h.hexdigest()
+            if expected and digest != expected:
+                progress(f"  {local_rel}: exists but sha256 mismatch — "
+                         f"re-fetching")
+                os.remove(dest)
+            else:
+                digests[local_rel] = digest
+                progress(f"  {local_rel}: exists, skipping")
+                continue
+        url = BASE_URL.format(repo=repo, path=rel)
         progress(f"fetching {rel}")
         digests[local_rel] = download_file(
             url, dest, opener=opener, expected_sha256=expected,

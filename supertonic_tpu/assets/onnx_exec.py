@@ -1827,6 +1827,14 @@ def op_loop(ctx: Ctx, trip_count, cond, *carried):
             m = 0
     n_carried = len(carried)
     n_scan = len(body.outputs) - 1 - n_carried
+    if m == 0 and n_scan > 0:
+        # ORT returns dim-0 scan outputs; their element shape is unknowable
+        # without running the body — refuse loudly rather than crash in
+        # jnp.stack([]) with an opaque error
+        raise UnsupportedOp(
+            "Loop: zero trip count with scan outputs is not supported "
+            "(empty scan output shapes cannot be derived without running "
+            "the body)")
     in_names = [vi.name for vi in body.inputs]
     out_names = [vi.name for vi in body.outputs]
     state = list(carried)
@@ -1971,18 +1979,43 @@ class OnnxExecutor:
     arguments; integer initializers are trace-time constants (shape math).
     """
 
+    # float-typed operands that MUST be trace-time constants (everything
+    # else static-required — axes/shapes/pads/trip counts — is integer and
+    # caught by dtype): Range bounds, Resize/Upsample scales, OneHot values
+    _STATIC_FLOAT_OPERANDS = {
+        "Range": (0, 1, 2), "Resize": (2,), "Upsample": (1,), "OneHot": (2,),
+    }
+
+    @classmethod
+    def _static_required_names(cls, graph: OnnxGraph) -> set[str]:
+        names: set[str] = set()
+        stack = [graph]
+        while stack:
+            g = stack.pop()
+            for n in g.nodes:
+                for i in cls._STATIC_FLOAT_OPERANDS.get(n.op_type, ()):
+                    if len(n.inputs) > i and n.inputs[i]:
+                        names.add(n.inputs[i])
+                stack.extend(v for v in n.attrs.values()
+                             if isinstance(v, OnnxGraph))
+        return names
+
     def __init__(self, graph: OnnxGraph, *,
                  matmul_precision: str = "float32"):
         self.graph = graph
         self._static_inits: dict[str, np.ndarray] = {}
         self._weights: dict[str, jax.Array] = {}
+        static_req = self._static_required_names(graph)
         for name, t in graph.initializers.items():
             arr = np.asarray(t.data)
-            # integers and tiny float tensors are trace-time constants (shape
-            # tables, Resize scales, eps scalars); big float arrays are the
-            # learnable weights and travel as jit arguments
+            # integers/bools are trace-time constants (shape math), as are
+            # the few float operands ops REQUIRE static (Resize scales,
+            # Range bounds). Every other float array — including tiny
+            # per-channel gains and scalar output scales — travels as a jit
+            # ARGUMENT so the compiled executable is reusable across weight
+            # updates (hot-swapping exe._weights really takes effect)
             if (np.issubdtype(arr.dtype, np.integer) or arr.dtype == np.bool_
-                    or arr.size <= 32):
+                    or name in static_req):
                 self._static_inits[name] = arr
             else:
                 self._weights[name] = jnp.asarray(arr)

@@ -252,12 +252,15 @@ def parse_tensor(buf: bytes) -> OnnxTensor:
 def _parse_attribute(buf: bytes) -> tuple[str, Any]:
     name = ""
     value: Any = None
+    atype = 0
     ints: list[int] = []
     floats: list[float] = []
     strings: list[str] = []
     for field, wt, val in iter_fields(buf):
         if field == 1:
             name = val.decode()
+        elif field == 20:  # AttributeProto.type
+            atype = val
         elif field == 2:
             value = struct.unpack("<f", val)[0]
         elif field == 3:
@@ -286,6 +289,14 @@ def _parse_attribute(buf: bytes) -> tuple[str, Any]:
         value = floats
     elif strings:
         value = strings
+    if value is None:
+        # proto3 omits zero-valued scalar fields on the wire: a present
+        # attribute with type INT and no i field IS axis=0 (ubiquitous in
+        # real exports, e.g. Gather(axis=0) embedding lookups). The in-repo
+        # writer emits zero fields explicitly, so only real ONNX files hit
+        # this. Repeated fields (ints/floats/strings) never omit elements,
+        # so an empty list for those types is genuinely empty.
+        value = {1: 0.0, 2: 0, 3: "", 6: [], 7: [], 8: []}.get(atype)
     return name, value
 
 

@@ -81,6 +81,10 @@ def main(argv=None):
     langs = args.lang
     if len(langs) == 1 and len(args.text) > 1:
         langs = langs * len(args.text)
+    assert len(langs) == len(args.text), (
+        f"Number of languages ({len(langs)}) must match number of texts "
+        f"({len(args.text)}) (a single --lang broadcasts)"
+    )
 
     tts = TTS(args.assets_dir, precision=args.precision)
 

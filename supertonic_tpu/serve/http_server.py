@@ -368,10 +368,19 @@ class TTSService:
         style = self.get_style(styles[0])
 
         if self.batcher is None:
-            with self._lock:
-                yield from self.tts.engine.stream(
-                    text, lang, style, req["total_step"], req["speed"])
-            return
+            # hold the lock only while the generator COMPUTES each chunk,
+            # never across our own yield (the handler writes to the client
+            # socket between yields — a slow reader must not hold the
+            # engine lock for everyone else)
+            gen = self.tts.engine.stream(
+                text, lang, style, req["total_step"], req["speed"])
+            while True:
+                with self._lock:
+                    try:
+                        item = next(gen)
+                    except StopIteration:
+                        return
+                yield item
 
         from ..frontend import chunk_text, max_len_for_lang
 
@@ -579,6 +588,10 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000,
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                 except ValueError:
+                    length = -1
+                if length < 0:
+                    # negative would make rfile.read(-1) block until the
+                    # socket timeout (read-to-EOF), pinning the handler
                     self._send_json(
                         400, {"detail": "malformed Content-Length"},
                         close=True)

@@ -360,6 +360,8 @@ def make_router_server(router: Router, host: str = "0.0.0.0",
             try:
                 length = int(self.headers.get("Content-Length", 0))
             except ValueError:
+                length = -1
+            if length < 0:  # negative = rfile.read blocks to socket timeout
                 self._send_json(400, {"detail": "malformed Content-Length"},
                                 close=True)
                 return

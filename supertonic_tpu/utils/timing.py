@@ -114,7 +114,10 @@ class StageProfiler:
 
     @property
     def rtf(self) -> float:
-        return self.synth_seconds / self.audio_seconds if self.audio_seconds else float("inf")
+        # 0.0, not inf, before any audio: json.dumps would serialize inf as
+        # the non-standard token `Infinity`, making GET /metrics unparseable
+        # by strict JSON consumers
+        return self.synth_seconds / self.audio_seconds if self.audio_seconds else 0.0
 
     @property
     def chars_per_sec(self) -> float:

@@ -116,9 +116,35 @@ def test_fetch_all_layout_and_skip(tmp_path):
     assert os.path.exists(os.path.join(out, "voice_styles", "M1.json"))
     assert len(digests) == 16  # 2 configs + 4 graphs + 10 styles
 
+    def refuse(*a, **k):
+        raise AssertionError("no network access should happen on a re-run")
+
+    # second run transfers nothing, but still verifies + reports every
+    # pre-existing file (a manifest written from the return value must not
+    # lose entries for files that already existed)
     again = fetch_assets.fetch_all(
-        out, opener=make_opener(data), progress=lambda *a, **k: None)
-    assert again == {}  # everything skipped
+        out, opener=refuse, progress=lambda *a, **k: None)
+    assert again == digests
+
+
+def test_fetch_all_refetches_stale_existing_file(tmp_path):
+    """A pre-existing file whose sha256 mismatches the manifest is stale —
+    re-fetch it rather than serving it as current."""
+    import hashlib
+
+    data = b"fresh-bytes"
+    good = hashlib.sha256(data).hexdigest()
+    out = str(tmp_path / "assets_onnx")
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "tts.json"), "wb") as f:
+        f.write(b"stale-bytes")
+    manifest = {"onnx/tts.json": good}
+    digests = fetch_assets.fetch_all(
+        out, opener=make_opener(data), manifest=manifest,
+        progress=lambda *a, **k: None)
+    assert digests["tts.json"] == good
+    with open(os.path.join(out, "tts.json"), "rb") as f:
+        assert f.read() == data
 
 
 def test_fetch_all_verifies_manifest(tmp_path):

@@ -1738,3 +1738,28 @@ def test_gru_accepts_default_activations_attr(rng):
     assert np.isfinite(y).all()
     with pytest.raises(UnsupportedOp):
         build_gru(["Relu", "Relu"]).run(None, {"x": x})
+
+
+def test_small_float_initializers_are_jit_arguments(rng):
+    """Per-channel gains / scalar scales must be weights (jit args), not
+    baked constants — hot-swapping exe._weights must actually take effect.
+    Resize scales stay static (ops require trace-time values)."""
+    x = rng.standard_normal((2, 4)).astype(F32)
+    gain = np.array([1.0, 2.0, 3.0, 4.0], F32)  # size 4 <= the old 32 cap
+    ex = build([("Mul", ["x", "g"], ["y"])], inits={"g": gain},
+               inputs=[("x", F32, (2, 4))], outputs=[("y", F32, (2, 4))])
+    assert "g" in ex._weights and "g" not in ex._static_inits
+    np.testing.assert_allclose(run1(ex, x=x), x * gain, rtol=1e-6)
+    # swap the weight: the SAME compiled executable must honor it
+    ex._weights["g"] = ex._weights["g"] * 10.0
+    np.testing.assert_allclose(run1(ex, x=x), x * gain * 10.0, rtol=1e-6)
+
+    # Resize scales are genuinely static-required and stay constants
+    xr = rng.standard_normal((1, 2, 4)).astype(F32)
+    ex = build([("Resize", ["x", "", "s"], ["y"],
+                 {"mode": "nearest", "coordinate_transformation_mode":
+                  "asymmetric", "nearest_mode": "floor"})],
+               inits={"s": np.array([1, 1, 2], F32)},
+               inputs=[("x", F32, (1, 2, 4))], outputs=[("y", F32, (1, 2, 8))])
+    assert "s" in ex._static_inits
+    assert run1(ex, x=xr).shape == (1, 2, 8)

@@ -18,9 +18,18 @@ from supertonic_tpu.assets.onnx_reader import parse_model, parse_tensor
 
 
 def _ld(tag_byte: bytes, payload: bytes) -> bytes:
-    """length-delimited field: tag ++ varint(len) ++ payload (len < 128)."""
-    assert len(payload) < 128
-    return tag_byte + bytes([len(payload)]) + payload
+    """length-delimited field: tag ++ varint(len) ++ payload."""
+    n = len(payload)
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            break
+    return tag_byte + bytes(out) + payload
 
 
 def _hand_model() -> bytes:
@@ -379,3 +388,51 @@ def test_repeated_string_attribute():
     model = b"\x08\x08" + _ld(b"\x3a", graph) + _ld(b"\x42", b"\x10\x11")
     g = parse_model(model)
     assert g.nodes[0].attrs["activations"] == ["Sigmoid", "Tanh"]
+
+
+def test_zero_valued_scalar_attributes():
+    """proto3 omits zero scalars on the wire: a present attribute with
+    type=INT and no i field IS 0 (e.g. Gather axis=0 in every real
+    embedding lookup). The in-repo writer emits zeros explicitly, so only
+    hand bytes can test this."""
+    # AttributeProto: name="axis", type=INT(2)  (field 20, tag 0xa0 0x01)
+    attr = _ld(b"\x0a", b"axis") + b"\xa0\x01\x02"
+    node = (b"\x0a\x01w" b"\x0a\x01i" b"\x12\x01y" b"\x1a\x02n0"
+            b"\x22\x06Gather" + _ld(b"\x2a", attr))
+    graph = _ld(b"\x0a", node) + b"\x12\x01g"
+    model = b"\x08\x08" + _ld(b"\x3a", graph) + _ld(b"\x42", b"\x10\x11")
+    g = parse_model(model)
+    assert g.nodes[0].attrs["axis"] == 0
+
+    # FLOAT(1) and STRING(3) types default likewise
+    for type_byte, want in ((b"\x01", 0.0), (b"\x03", "")):
+        attr = _ld(b"\x0a", b"alpha") + b"\xa0\x01" + type_byte
+        node = (b"\x0a\x01x" b"\x12\x01y" b"\x1a\x02n0" b"\x22\x04Relu"
+                + _ld(b"\x2a", attr))
+        graph = _ld(b"\x0a", node) + b"\x12\x01g"
+        model = b"\x08\x08" + _ld(b"\x3a", graph) + _ld(b"\x42", b"\x10\x11")
+        assert parse_model(model).nodes[0].attrs["alpha"] == want
+
+
+def test_zero_axis_gather_executes():
+    """End to end: Gather with the omitted-zero axis attribute must gather
+    along axis 0, not crash on axis=None."""
+    table = np.arange(12, dtype=np.float32).reshape(4, 3)
+    attr = _ld(b"\x0a", b"axis") + b"\xa0\x01\x02"   # type=INT, i omitted
+    tensor = (b"\x08\x04\x08\x03" b"\x10\x01" b"\x42\x01w"
+              + _ld(b"\x4a", table.tobytes()))
+
+    def value_info(name: bytes, dims, elem=1) -> bytes:
+        d = b"".join(bytes([0x0a, 2, 0x08, v]) for v in dims)
+        tt = bytes([0x08, elem]) + _ld(b"\x12", d)
+        return _ld(b"\x0a", name) + _ld(b"\x12", _ld(b"\x0a", tt))
+
+    node = (b"\x0a\x01w" b"\x0a\x01i" b"\x12\x01y" b"\x1a\x02n0"
+            b"\x22\x06Gather" + _ld(b"\x2a", attr))
+    graph = (_ld(b"\x0a", node) + b"\x12\x01g" + _ld(b"\x2a", tensor)
+             + _ld(b"\x5a", value_info(b"i", (2,), elem=7))
+             + _ld(b"\x62", value_info(b"y", (2, 3))))
+    model = b"\x08\x08" + _ld(b"\x3a", graph) + _ld(b"\x42", b"\x10\x11")
+    ex = OnnxExecutor(parse_model(model))
+    (y,) = ex.run(None, {"i": np.array([2, 0], np.int64)})
+    np.testing.assert_array_equal(y, table[[2, 0]])
