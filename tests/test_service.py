@@ -404,3 +404,45 @@ def test_openai_speech_lang_type_422(base_url):
     r = httpx.post(f"{base_url}/v1/audio/speech",
                    json={"input": "hi", "lang": 5}, timeout=60)
     assert r.status_code == 422
+
+
+def test_nonbatcher_stream_does_not_hold_lock_for_slow_reader(tiny_config):
+    """TTS_BATCHER=0 mode: the engine lock is held per chunk computation,
+    never across client writes — a stalled stream consumer must not block
+    a concurrent /tts."""
+    from supertonic_tpu.serve.http_server import TTSService
+
+    params = init_all(0, tiny_config)
+    tts = TTS.__new__(TTS)
+    tts.assets = Assets(tiny_config, params,
+                        UnicodeProcessor(build_default_indexer()), None)
+    tts.cfg = tiny_config
+    tts.engine = SynthesisEngine(params, tiny_config, tts.assets.processor,
+                                 precision="f32")
+    svc = TTSService(tts, use_batcher=False)
+    long_text = " ".join(
+        f"Sentence number {i} with several words attached." for i in range(6))
+    gen = svc.stream_chunks({"text": long_text, "lang": "en",
+                             "voice_style": "M1", "total_step": 2,
+                             "speed": 1.05, "batch": False,
+                             "silence_duration": 0.3,
+                             "crossfade_duration": 0.0})
+    next(gen)  # first chunk synthesized; generator now SUSPENDED mid-stream
+
+    done = threading.Event()
+
+    def other_request():
+        svc.synthesize({"text": "Quick one.", "lang": "en",
+                        "voice_style": "M1", "total_step": 2, "speed": 1.05,
+                        "batch": False, "silence_duration": 0.3,
+                        "crossfade_duration": 0.0})
+        done.set()
+
+    t = threading.Thread(target=other_request, daemon=True)
+    t.start()
+    # with the lock held across the suspended yield this would deadlock
+    # until the stream finished; 120 s >> one tiny-model synthesis
+    assert done.wait(timeout=120), (
+        "concurrent /tts blocked behind a suspended stream generator")
+    list(gen)  # drain
+    svc.close()
