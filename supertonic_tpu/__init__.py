@@ -92,8 +92,17 @@ class TTS:
                 if not fused or backend is None:
                     from .assets import load_onnx_pipeline
 
+                    mp = ("float32" if (precision or
+                                        self.cfg.runtime.precision) == "f32"
+                          else "default")
                     pipeline = load_onnx_pipeline(graphs_dir, seed=seed,
-                                                  bucketed=True)
+                                                  bucketed=True,
+                                                  matmul_precision=mp)
+                    if egress_format != "int16":
+                        # the adapter always fetches f32 host audio (its
+                        # per-call cost shape has no device egress quantize)
+                        log.warning("onnx_adapter_ignores_egress_format",
+                                    requested=egress_format)
             except (OSError, ValueError, KeyError) as e:
                 from .assets.onnx_backend import ContractMismatch
 

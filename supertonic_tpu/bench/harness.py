@@ -14,20 +14,24 @@ import time
 
 import numpy as np
 
-# Constructed to the reference's exact published character counts.
+# Constructed to the reference's EXACT published character counts
+# (Short=59 / Mid=152 / Long=266, reference README.md:192) — asserted below
+# so a text edit can't silently skew the protocol.
 SHORT_TEXT = (
-    "The quick brown fox jumps over the lazy dog near the river."
-)  # 60 chars ~ Short(59)
+    "The quick brown fox jumps over the lazy dog near the creek."
+)  # 59 chars (trailing '.' included, like the reference's counting)
 MID_TEXT = (
     "This morning, I took a walk in the park, and the sound of the birds "
-    "and the breeze was so pleasant that I stopped to listen for a while."
-)  # ~152 chars
+    "and the breeze felt so pleasant that I stopped to listen a while "
+    "longer there today."
+)  # 152 chars
 LONG_TEXT = (
     "This morning, I took a walk in the park, and the sound of the birds "
     "and the breeze was so pleasant that I stopped for a long time just to "
-    "listen. Later, as the sun rose higher above the trees, the paths "
-    "slowly filled with joggers, cyclists, and children heading to school."
-)  # ~266 chars
+    "listen. Later, as the sun rose higher over the trees, the path "
+    "slowly filled with joggers, bikers, and children going to school."
+)  # 266 chars
+assert (len(SHORT_TEXT), len(MID_TEXT), len(LONG_TEXT)) == (59, 152, 266)
 
 
 @dataclasses.dataclass
@@ -96,8 +100,7 @@ def bench_batch_throughput(engine, style, text: str, *, batch: int = 32,
 
     # warmup: compile + buckets
     for _ in range(warmup):
-        wav_dev, dur = engine.infer_batch_end(begin())
-    total_audio = float(np.sum(dur))
+        engine.infer_batch_end(begin())
 
     # depth-2 pipeline: batch k+1 dispatches BEFORE batch k's duration is
     # fetched, so the per-batch host round-trip (the dominant fixed cost on
@@ -113,6 +116,10 @@ def bench_batch_throughput(engine, style, text: str, *, batch: int = 32,
         pend = nxt
     wav_dev, dur = engine.infer_batch_end(pend)
     t = (time.perf_counter() - t0) / iters
+    # audio volume measured from a TIMED batch (inputs are identical each
+    # iteration, so any batch's durations represent all of them); computing
+    # it here also makes warmup=0 legal
+    total_audio = float(np.sum(dur))
 
     # one egress measurement (device -> host)
     t0 = time.perf_counter()

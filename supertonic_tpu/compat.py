@@ -163,18 +163,25 @@ def load_text_to_speech(assets_dir: str | None = None,
     """
     import os
 
-    if backend == "auto":
-        has_graphs = assets_dir and all(
-            os.path.exists(os.path.join(assets_dir, f"{m}.onnx"))
-            for m in ("duration_predictor", "text_encoder",
-                      "vector_estimator", "vocoder"))
-        has_params = assets_dir and os.path.exists(
-            os.path.join(assets_dir, "params.npz"))
-        backend = "onnx" if (has_graphs and not has_params) else "native"
+    graphs_dir = None
+    if backend == "auto" and assets_dir:
+        has_params = os.path.exists(os.path.join(assets_dir, "params.npz"))
+        if not has_params:
+            # probe the flattened AND the assets/onnx bundle layouts, like
+            # TTS._find_graphs — a fetched-but-unflattened bundle must never
+            # silently fall through to random-init native weights
+            for sub in ("", "onnx"):
+                d = os.path.join(assets_dir, sub) if sub else assets_dir
+                if all(os.path.exists(os.path.join(d, f"{m}.onnx"))
+                       for m in ("duration_predictor", "text_encoder",
+                                 "vector_estimator", "vocoder")):
+                    graphs_dir = d
+                    break
+        backend = "onnx" if graphs_dir else "native"
     if backend == "onnx":
         from .assets.onnx_pipeline import load_onnx_pipeline
 
-        return load_onnx_pipeline(assets_dir)
+        return load_onnx_pipeline(graphs_dir or assets_dir)
     assets = load_assets(assets_dir)
     engine = SynthesisEngine(assets.params, assets.cfg, assets.processor)
     from .config import to_reference_dict

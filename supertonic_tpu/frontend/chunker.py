@@ -108,7 +108,10 @@ def chunk_text(text: str, max_len: int = 300) -> list[str]:
     Python implementation when the library is unavailable."""
     import os
 
-    if os.getenv("TTS_NATIVE_FRONTEND", "0") != "0":
+    if os.getenv("TTS_NATIVE_FRONTEND", "0") != "0" and "\x00" not in text:
+        # NUL can't cross the C string boundary (the native entry point
+        # truncates there, silently dropping all following text) — such
+        # rare texts take the Python path, like the native normalizer does
         try:
             from .native import native_chunk_text
 

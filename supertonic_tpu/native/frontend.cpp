@@ -520,7 +520,11 @@ long stpu_tokenize(const char* utf8, const long long* indexer, long table_len,
   if (static_cast<long>(cps.size()) > cap) return -2;
   for (size_t i = 0; i < cps.size(); ++i) {
     uint32_t cp = cps[i];
-    out_ids[i] = (cp < static_cast<uint32_t>(table_len)) ? indexer[cp] : 0;
+    // out-of-table codepoints CLAMP to index 0 like the Python frontend
+    // (normalize.py tokenize) — literal 0 diverges when indexer[0] != 0
+    out_ids[i] = (cp < static_cast<uint32_t>(table_len))
+                     ? indexer[cp]
+                     : (table_len > 0 ? indexer[0] : 0);
   }
   return static_cast<long>(cps.size());
 }
@@ -550,7 +554,7 @@ long stpu_frontend_batch(const char* texts, const char* langs, long n,
       out_ids[pos++] =
           (static_cast<uint32_t>(cp) < static_cast<uint32_t>(table_len))
               ? indexer[static_cast<uint32_t>(cp)]
-              : 0;
+              : (table_len > 0 ? indexer[0] : 0);  // clamp like Python
     out_lens[i] = static_cast<long>(processed.size());
   }
   return pos;

@@ -75,9 +75,9 @@ int main() {
     std::printf("FAIL tokenize\n");
     ++fails;
   }
-  // out-of-table codepoint -> 0
+  // out-of-table codepoint clamps to indexer[0] (Python np.where semantics)
   n = stpu_tokenize("é", table, 128, ids, 64);
-  if (n != 1 || ids[0] != 0) {
+  if (n != 1 || ids[0] != table[0]) {
     std::printf("FAIL tokenize oob\n");
     ++fails;
   }

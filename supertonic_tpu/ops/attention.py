@@ -1,7 +1,7 @@
 """Pallas fused attention kernel (TPU).
 
 Drop-in replacement for ``models.layers.attention_core`` (same signature:
-q,k,v [B,H,T,D], key_mask [B,Tk] -> [B,H,Tq,D]), used for both the RoPE
+q,k,v [B,T,H,Dh], key_mask [B,Tk] -> [B,Tq,H,Dh]), used for both the RoPE
 self-attention over latent frames and the LARoPE cross-attention into
 [style;text] memory of the vector estimator — the op that runs
 ``total_step`` times per utterance (reference hot loop, SURVEY.md §3.1).
@@ -30,71 +30,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.layers import NEG_INF, attention_core
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
-    q = q_ref[0, 0].astype(jnp.float32)              # [Tq, D]
-    k = k_ref[0, 0].astype(jnp.float32)              # [Tk, D]
-    v = v_ref[0, 0]                                   # [Tk, D]
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale                                         # [Tq, Tk]
-    if mask_ref is not None:
-        bias = (1.0 - mask_ref[0].astype(jnp.float32)) * NEG_INF  # [1, Tk]
-        logits = logits + bias
-    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-    probs = jnp.exp(logits)
-    denom = jnp.sum(probs, axis=-1, keepdims=True)
-    probs = (probs / denom).astype(v.dtype)
-    out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
-
-
-def _fused_attention_call(q, k, v, key_mask, *, interpret: bool):
-    b, h, tq, d = q.shape
-    tk = k.shape[2]  # [B,H,T,D] here (post-transpose)
-    scale = 1.0 / math.sqrt(d)
-    kernel = functools.partial(_attn_kernel, scale=scale)
-
-    qspec = pl.BlockSpec((1, 1, tq, d), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((1, 1, tk, d), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM)
-    in_specs = [qspec, kspec, kspec]
-    args = [q, k, v]
-    if key_mask is not None:
-        # [B, 1, Tk] so the trailing two block dims are (1, tk) — both equal
-        # to their array dims (Pallas TPU block-shape constraint)
-        in_specs.append(
-            pl.BlockSpec((1, 1, tk), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-        )
-        args.append(key_mask.astype(jnp.float32)[:, None, :])
-    else:
-        kernel = functools.partial(_attn_kernel_nomask, scale=scale)
-
-    return pl.pallas_call(
-        kernel,
-        grid=(b, h),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, tq, d), lambda i, j: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, tq, d), q.dtype),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * tq * tk * d * 2,
-            bytes_accessed=4 * b * h * (tq * d * 2 + tk * d * 2),
-            transcendentals=b * h * tq * tk,
-        ),
-    )(*args)
-
-
-def _attn_kernel_nomask(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    _attn_kernel(q_ref, k_ref, v_ref, None, o_ref, scale=scale)
-
-
-# VMEM budget guard: beyond this the single-pass panel no longer fits and we
-# defer to XLA (which will chunk internally).
-_MAX_PANEL = 4096
+# VMEM budget guard: beyond this the single-pass panel no longer fits
+# (f32 [Tq,Tk] logits alone are 4 MB at 1024, and the all-heads-resident
+# [1,H,T,D] q/k/v/o blocks ride along) and we defer to XLA, which chunks
+# internally. TTS shapes stay <= ~700.
+_MAX_PANEL = 1024
 
 
 def _to_bhtd(x):
@@ -103,7 +43,7 @@ def _to_bhtd(x):
 
 # ---------------------------------------------------------------------------
 # v2: one grid cell per BATCH ROW, heads unrolled inside the kernel.
-# The per-(batch, head) grid (v1 below) was launch-bound: B*H tiny programs
+# A per-(batch, head) grid (the v1 kernel, removed) was launch-bound: B*H tiny programs
 # at ~10 us each. One cell per row amortizes the launch over all heads while
 # logits/softmax stay in VMEM — the XLA path's dominant cost is exactly the
 # ~5 HBM passes over the f32 [B,H,Tq,Tk] logits (measured via xplane trace).

@@ -7,6 +7,7 @@ from supertonic_tpu.assets import Assets, save_assets, synthesize_default_styles
 from supertonic_tpu.engine import SynthesisEngine
 from supertonic_tpu.frontend import UnicodeProcessor, build_default_indexer
 from supertonic_tpu.models import init_all
+from test_onnx_pipeline import onnx_dir  # noqa: F401
 
 
 @pytest.fixture(scope="module")
@@ -105,3 +106,21 @@ def test_reexports():
 
     assert "en" in AVAILABLE_LANGS
     assert chunk_text("A. B.", max_len=4) == ["A.", "B."]
+
+
+def test_compat_auto_backend_probes_onnx_subdir(onnx_dir, tmp_path):  # noqa: F811
+    """A fetched-but-unflattened bundle (assets/onnx/*.onnx) must select the
+    graph backend, never silently serve random-init native weights."""
+    import os
+    import shutil
+
+    from supertonic_tpu.compat import load_text_to_speech
+
+    root = tmp_path / "assets"
+    (root / "onnx").mkdir(parents=True)
+    for f in os.listdir(onnx_dir):
+        shutil.copy(os.path.join(onnx_dir, f), root / "onnx" / f)
+    tts = load_text_to_speech(str(root))
+    from supertonic_tpu.assets.onnx_pipeline import OnnxPipeline
+
+    assert isinstance(tts, OnnxPipeline)

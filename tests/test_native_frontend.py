@@ -320,3 +320,47 @@ def test_batch_frontend_matches_python_contract_edges():
         py_proc(["a.", "b."], ["en\x00ko", "fr"])
     with pytest.raises(ValueError):
         cc_proc(["a.", "b."], ["en\x00ko", "fr"])
+
+
+def test_nfkd_full_coverage_scripts():
+    """The NFKD table must cover ALL decomposing codepoints — Cyrillic,
+    polytonic Greek, and Kana previously diverged from Python (the table
+    was generated over selected ranges only)."""
+    from supertonic_tpu.frontend.native import load_native, native_preprocess
+    from supertonic_tpu.frontend.normalize import preprocess_text
+
+    if load_native() is None:
+        pytest.skip("native frontend unavailable")
+    for word in ("й", "ёлка", "ἀγορά", "ガ", "Ǆ", "ﬃ", "Ⅷ", "ｶﾞ"):
+        assert native_preprocess(word, "en") == preprocess_text(word, "en"), \
+            word
+
+
+def test_native_chunker_nul_falls_back(monkeypatch):
+    """A NUL byte would truncate the C chunker's input — such texts take
+    the Python path instead of silently dropping following sentences."""
+    from supertonic_tpu.frontend.chunker import _chunk_text_py, chunk_text
+
+    monkeypatch.setenv("TTS_NATIVE_FRONTEND", "1")
+    text = ("First sentence here. \x00 Second sentence continues after "
+            "the nul byte.")
+    assert chunk_text(text, 30) == _chunk_text_py(text, 30)
+
+
+def test_native_tokenize_out_of_table_clamps():
+    """Out-of-table codepoints map to indexer[0] like Python's np.where
+    clamp, not literal 0."""
+    import numpy as np
+
+    from supertonic_tpu.frontend.native import NativeUnicodeProcessor, \
+        load_native
+    from supertonic_tpu.frontend.normalize import UnicodeProcessor
+
+    if load_native() is None:
+        pytest.skip("native frontend unavailable")
+    indexer = np.arange(7, 7 + 128, dtype=np.int64)  # indexer[0] == 7
+    nat = NativeUnicodeProcessor(indexer)
+    py = UnicodeProcessor(indexer)
+    text = "a中"  # 'a' in table, CJK char far outside
+    np.testing.assert_array_equal(nat.tokenize_text(text),
+                                  py.tokenize(text))
