@@ -11,6 +11,10 @@ if os.getenv("TTS_PLATFORM") == "cpu":  # same env the CLI/server honor
 
     force_cpu()
 
+from supertonic_tpu.utils.jaxenv import setup_compilation_cache
+
+setup_compilation_cache()  # TPU compiles via the remote tunnel: cache them
+
 from supertonic_tpu import TTS
 
 # Without an assets dir this runs deterministic random-init weights —
@@ -28,7 +32,6 @@ text = (
 wav, duration = tts.synthesize(text, voice_style=style)
 # wav: np.ndarray [1, num_samples]; duration: np.ndarray [1]
 
-import os
 
 os.makedirs("results", exist_ok=True)
 tts.save_audio(wav[:, : int(tts.sample_rate * duration[0])],

@@ -26,6 +26,10 @@ if os.getenv("TTS_PLATFORM") == "cpu":  # same env the CLI/server honor
 
     force_cpu()
 
+from supertonic_tpu.utils.jaxenv import setup_compilation_cache
+
+setup_compilation_cache()  # TPU compiles via the remote tunnel: cache them
+
 import numpy as np
 
 from supertonic_tpu.assets import load_onnx_pipeline
@@ -50,6 +54,7 @@ text = "The quick brown fox jumps over the lazy dog near the river."
 wav, duration = tts(text, "en", style, total_step=5, speed=1.05)
 
 trimmed = wav[0, : int(tts.sample_rate * float(duration[0]))]
+os.makedirs("results", exist_ok=True)
 write_wav("results/example_onnx_backend.wav", trimmed, tts.sample_rate)
 print(f"saved results/example_onnx_backend.wav ({float(duration[0]):.2f}s)")
 

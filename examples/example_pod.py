@@ -22,7 +22,10 @@ if os.getenv("TTS_PLATFORM") == "cpu":  # same env the CLI/server honor
 
     force_cpu()
 
-import os
+from supertonic_tpu.utils.jaxenv import setup_compilation_cache
+
+setup_compilation_cache()  # TPU compiles via the remote tunnel: cache them
+
 
 import numpy as np
 

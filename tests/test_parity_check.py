@@ -55,7 +55,8 @@ def test_full_gate_with_stub_ort(onnx_dir, capsys, monkeypatch):  # noqa: F811
     lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
     stages = {r.get("stage") for r in lines if "stage" in r}
     assert {"duration_predictor", "text_encoder", "vocoder",
-            "end_to_end_wav", "fused_vs_pipeline_wav"} <= stages
+            "seeded_end_to_end_wav", "full_own_chain_wav",
+            "fused_vs_pipeline_wav"} <= stages
     assert lines[-1]["parity_ok"] is True
 
 

@@ -65,7 +65,25 @@ def main():
 
             indexer = np.asarray(json.load(f), np.int64)
 
-    save_assets(args.out, cfg, params, indexer=indexer)
+    # carry the REAL fetched voice styles into the bundle — without
+    # styles=, save_assets substitutes synthetic random presets, and real
+    # weights would serve garbage speaker embeddings with no error
+    styles = None
+    style_dir = os.path.join(args.onnx_dir, "voice_styles")
+    if os.path.isdir(style_dir):
+        from supertonic_tpu.assets.store import load_voice_style
+
+        styles = {
+            os.path.splitext(f)[0]: load_voice_style(
+                [os.path.join(style_dir, f)])
+            for f in sorted(os.listdir(style_dir)) if f.endswith(".json")
+        }
+        print(f"carrying {len(styles)} fetched voice styles")
+    else:
+        print("[warn] no voice_styles/ next to the graphs — writing "
+              "synthetic presets (fetch the real ones for real voices)")
+
+    save_assets(args.out, cfg, params, indexer=indexer, styles=styles)
     print(f"asset bundle written to {args.out}")
 
 

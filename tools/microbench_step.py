@@ -11,7 +11,7 @@ T=256, 5 steps) for a set of variants:
 Usage:  python tools/microbench_step.py [--batch 64] [--t 256] [--steps 5]
         [--variants bf16,int8] [--iters 20] [--estimator-only]
 
-Prints per-variant median ms per program and the audio-sec/s/chip implied at
+Prints per-variant mean ms (one back-to-back dispatch window) per program and the audio-sec/s/chip implied at
 that shape. This is the measurement harness behind docs/PERFORMANCE.md's
 kernel A/B table.
 """
@@ -82,13 +82,17 @@ def main():
             cur = jnp.zeros((b,), jnp.float32)
             tot = jnp.full((b,), float(args.steps), jnp.float32)
 
+            # activations are jit ARGUMENTS: closing over emb (~17 MB)
+            # would bake it into the HLO as constants — huge programs,
+            # slow remote compiles, no cache reuse (same rule as params)
             @jax.jit
-            def fn(p, x):
+            def fn(p, x, e, st, tm, lm):
                 return vector_estimator.step(
-                    p["vector_estimator"], cfg, x, emb, sttl, tmask, lmask,
+                    p["vector_estimator"], cfg, x, e, st, tm, lm,
                     cur, tot, dtype=dtype)
 
-            run = functools.partial(fn, params, noise)
+            run = functools.partial(fn, params, noise, emb, sttl, tmask,
+                                    lmask)
         else:
             stage = synthesis.jit_acoustic_stage(cfg, precision=precision)
             run = functools.partial(
@@ -113,12 +117,13 @@ def main():
         for _ in range(args.iters):
             out = run()
         fetch_scalar(out)
-        med = (time.perf_counter() - t0) / args.iters
-        results[variant] = med
+        avg = (time.perf_counter() - t0) / args.iters
+        results[variant] = avg
         label = "step" if args.estimator_only else "stage"
         extra = "" if args.estimator_only else (
-            f"  ({audio_sec / med:.0f} audio-sec/s at this shape)")
-        print(f"{variant:>6}: {med * 1e3:8.2f} ms/{label}{extra}", flush=True)
+            f"  ({audio_sec / avg:.0f} audio-sec/s at this shape)")
+        print(f"{variant:>6}: {avg * 1e3:8.2f} ms/{label} (mean over one "
+              f"back-to-back window){extra}", flush=True)
 
     if "bf16" in results:
         for v, t in results.items():

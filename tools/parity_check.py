@@ -102,13 +102,13 @@ def compare_modules(assets_dir: str, make_ref, total_step: int,
                      **_stats(emb_got, emb_ref)})
 
         dur = np.asarray(dur_ref, np.float32) / 1.05
-        xt, lmask = pipe.sample_noisy_latent(
-            dur, noise=rng.standard_normal(
-                (1, pipe.ldim * pipe.chunk_compress_factor,
-                 max(1, int(np.ceil(dur.max() * pipe.sample_rate
-                                    / (pipe.base_chunk_size
-                                       * pipe.chunk_compress_factor)))))
-            ).astype(np.float32))
+        xt_noise = rng.standard_normal(
+            (1, pipe.ldim * pipe.chunk_compress_factor,
+             max(1, int(np.ceil(dur.max() * pipe.sample_rate
+                                / (pipe.base_chunk_size
+                                   * pipe.chunk_compress_factor)))))
+        ).astype(np.float32)
+        xt, lmask = pipe.sample_noisy_latent(dur, noise=xt_noise)
         xr = xt.copy()
         tot = np.full((1,), float(total_step), np.float32)
         for step in range(total_step):
@@ -125,10 +125,41 @@ def compare_modules(assets_dir: str, make_ref, total_step: int,
         (wav_got,) = pipe.vocoder.run(None, {"latent": xr})
         rows.append({"stage": "vocoder", "text": text[:24],
                      **_stats(wav_got, wav_ref)})
-        # end-to-end through each stack's own chain
-        rows.append({"stage": "end_to_end_wav", "text": text[:24],
+        # estimator-chain end-to-end, SEEDED with ORT's dur/emb (isolates
+        # estimator+vocoder accumulation from dp/encoder differences)
+        rows.append({"stage": "seeded_end_to_end_wav", "text": text[:24],
                      **_stats(pipe.vocoder.run(None, {"latent": xt})[0],
                               wav_ref)})
+
+        # TRUE full own chain: the executor's OWN dp -> encoder -> loop ->
+        # vocoder against ORT's own chain, identical injected noise. Valid
+        # elementwise only when both chains pick the same latent length —
+        # a geometry divergence is itself a parity failure, reported as
+        # max_abs = inf rather than silently skipped.
+        dur_e = np.asarray(dur_got, np.float32) / 1.05
+        chunk = pipe.base_chunk_size * pipe.chunk_compress_factor
+        len_ref = int(np.ceil(dur.max() * pipe.sample_rate / chunk))
+        len_e = int(np.ceil(dur_e.max() * pipe.sample_rate / chunk))
+        if len_e != len_ref:
+            rows.append({"stage": "full_own_chain_wav", "text": text[:24],
+                         "max_abs": float("inf"), "max_rel": float("inf"),
+                         "rms": float("inf"),
+                         "note": f"latent geometry diverged "
+                                 f"({len_e} vs {len_ref} frames)"})
+        else:
+            xt_e, lmask_e = pipe.sample_noisy_latent(
+                dur_e, noise=xt_noise)
+            for step in range(total_step):
+                (xt_e,) = pipe.vector_est.run(None, {
+                    "noisy_latent": xt_e, "text_emb": emb_got,
+                    "style_ttl": style["ttl"],
+                    "text_mask": mask.astype(np.float32),
+                    "latent_mask": lmask_e,
+                    "current_step": np.full((1,), float(step), np.float32),
+                    "total_step": tot})
+            rows.append({"stage": "full_own_chain_wav", "text": text[:24],
+                         **_stats(pipe.vocoder.run(None, {"latent": xt_e})[0],
+                                  wav_ref)})
     for r in rows:
         r["ok"] = r["max_abs"] <= tol
         ok &= r["ok"]
@@ -160,10 +191,11 @@ def compare_fused_backend(assets_dir: str, total_step: int,
     rows: list[dict] = []
     ok = True
     for text, lang in TEXTS:
+        ids, mask = pipe.processor([text], [lang])
         (d0,) = pipe.dp.run(None, {
-            "text_ids": pipe.processor([text], [lang])[0].astype(np.int64),
+            "text_ids": ids.astype(np.int64),
             "style_dp": style.dp,
-            "text_mask": pipe.processor([text], [lang])[1].astype(np.float32),
+            "text_mask": mask.astype(np.float32),
         })
         dur = np.asarray(d0, np.float32) / 1.05
         chunk = pipe.base_chunk_size * pipe.chunk_compress_factor

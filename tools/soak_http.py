@@ -123,10 +123,11 @@ def main(argv=None) -> int:
                     op(c, rng)
                     with lock:
                         counts[op.__name__] += 1
-                except AssertionError as e:
-                    with lock:
-                        errors.append(f"{op.__name__}: {e}")
-                except httpx.RequestError as e:
+                except Exception as e:  # noqa: BLE001 — ANY op failure is
+                    # exactly what the soak exists to report (corrupt ZIP,
+                    # invalid JSON, short reads — not just assertion text);
+                    # an escaping exception would kill the worker and dump
+                    # a traceback instead of the structured JSON report
                     with lock:
                         errors.append(f"{op.__name__}: {type(e).__name__} {e}")
 
