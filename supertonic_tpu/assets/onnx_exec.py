@@ -567,7 +567,14 @@ def op_pad(ctx: Ctx, x, pads=None, cval=None, axes=None):
         width[a] = (int(pads[i]), int(pads[i + n]))
     if any(lo < 0 or hi < 0 for lo, hi in width):
         # ONNX allows negative pads (cropping); np/jnp.pad do not — crop
-        # first, keep only the non-negative remainder to pad
+        # first, keep only the non-negative remainder to pad. A crop that
+        # exceeds the dimension extent is a geometry bug (ORT errors);
+        # fail loudly instead of propagating a zero-size tensor.
+        for d, (lo, hi) in enumerate(width):
+            if max(0, -lo) + max(0, -hi) > x.shape[d]:
+                raise ValueError(
+                    f"Pad: negative pads ({lo}, {hi}) crop more than "
+                    f"dim {d} extent {x.shape[d]}")
         sl = tuple(
             slice(max(0, -lo), x.shape[d] - max(0, -hi))
             for d, (lo, hi) in enumerate(width)

@@ -294,9 +294,11 @@ def _parse_attribute(buf: bytes) -> tuple[str, Any]:
         # attribute with type INT and no i field IS axis=0 (ubiquitous in
         # real exports, e.g. Gather(axis=0) embedding lookups). The in-repo
         # writer emits zero fields explicitly, so only real ONNX files hit
-        # this. Repeated fields (ints/floats/strings) never omit elements,
-        # so an empty list for those types is genuinely empty.
-        value = {1: 0.0, 2: 0, 3: "", 6: [], 7: [], 8: []}.get(atype)
+        # this. Repeated types (FLOATS/INTS/STRINGS) deliberately stay None:
+        # ONNX Reduce* treats an absent-or-empty `axes` as reduce-ALL-dims,
+        # so resolving an explicitly-typed empty INTS to [] would turn that
+        # into a no-op reduce — each op's default handles None correctly.
+        value = {1: 0.0, 2: 0, 3: ""}.get(atype)
     return name, value
 
 

@@ -164,12 +164,13 @@ def load_text_to_speech(assets_dir: str | None = None,
     import os
 
     graphs_dir = None
-    if backend == "auto" and assets_dir:
+    if backend in ("auto", "onnx") and assets_dir:
         has_params = os.path.exists(os.path.join(assets_dir, "params.npz"))
-        if not has_params:
+        if backend == "onnx" or not has_params:
             # probe the flattened AND the assets/onnx bundle layouts, like
             # TTS._find_graphs — a fetched-but-unflattened bundle must never
-            # silently fall through to random-init native weights
+            # silently fall through to random-init native weights, and an
+            # explicit backend="onnx" must accept both layouts too
             for sub in ("", "onnx"):
                 d = os.path.join(assets_dir, sub) if sub else assets_dir
                 if all(os.path.exists(os.path.join(d, f"{m}.onnx"))
@@ -177,7 +178,8 @@ def load_text_to_speech(assets_dir: str | None = None,
                                  "vector_estimator", "vocoder")):
                     graphs_dir = d
                     break
-        backend = "onnx" if graphs_dir else "native"
+        if backend == "auto":
+            backend = "onnx" if graphs_dir else "native"
     if backend == "onnx":
         from .assets.onnx_pipeline import load_onnx_pipeline
 

@@ -15,12 +15,16 @@ import numpy as np
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="TTS inference on TPU (JAX/XLA)")
     p.add_argument("--assets-dir", "--onnx-dir", dest="assets_dir",
-                   type=str, default=None,
+                   type=str,
+                   default=os.getenv("TTS_ASSETS_DIR")
+                   or os.getenv("TTS_ONNX_DIR") or None,
                    help="Asset bundle dir (params.npz or the four .onnx "
                         "graphs + tts.json, ...); --onnx-dir is the "
                         "reference's name for the same flag "
-                        "(py/example_onnx.py:9-70); random-init fallback "
-                        "when absent")
+                        "(py/example_onnx.py:9-70); defaults to "
+                        "$TTS_ASSETS_DIR / $TTS_ONNX_DIR (the reference "
+                        "service's env, py/service.py:20); random-init "
+                        "fallback when absent")
     p.add_argument("--use-gpu", action="store_true",
                    help="Accepted for reference flag parity; the "
                         "accelerator here is the TPU (the reference also "

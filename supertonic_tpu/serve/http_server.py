@@ -48,6 +48,26 @@ class ValidationError(Exception):
         self.detail = detail
 
 
+def _wav_data_payload(payload: bytes) -> bytes:
+    """Extract the 'data' chunk samples from a RIFF WAV byte string by
+    walking the chunk list — a fixed 44-byte slice would silently corrupt
+    output if the writer ever emitted an extra chunk (LIST/fact) or a
+    non-16-byte fmt chunk."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValidationError(500, "synthesized payload is not RIFF/WAVE")
+    off = 12
+    while off + 8 <= len(payload):
+        cid = payload[off:off + 4]
+        size = struct.unpack("<I", payload[off + 4:off + 8])[0]
+        if cid == b"data":
+            end = len(payload) if size == 0xFFFFFFFF else off + 8 + size
+            return payload[off + 8:end]
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+    raise ValidationError(500, "synthesized WAV has no data chunk")
+
+
 def drain_body(handler, length: int,
                cap: int = 4 * _MAX_BODY_BYTES) -> None:
     """Read-and-discard up to ``cap`` bytes of an oversized request body
@@ -441,8 +461,7 @@ class TTSService:
         fmt = req.pop("response_format")
         payload, ctype, _fname = self.synthesize(req)
         if fmt == "pcm":
-            # strip the 44-byte RIFF header (synthesize emits PCM16 WAV)
-            return payload[44:], "audio/pcm"
+            return _wav_data_payload(payload), "audio/pcm"
         return payload, ctype
 
     def voices(self) -> dict:

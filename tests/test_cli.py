@@ -28,6 +28,16 @@ def test_flag_parity():
     assert args2.assets_dir == "/y" and not args2.use_gpu
 
 
+def test_assets_dir_env_default(monkeypatch):
+    """TTS_ONNX_DIR / TTS_ASSETS_DIR seed the default, like the reference
+    service env (py/service.py:20); an explicit flag still wins."""
+    monkeypatch.setenv("TTS_ONNX_DIR", "/env/bundle")
+    assert parse_args([]).assets_dir == "/env/bundle"
+    monkeypatch.setenv("TTS_ASSETS_DIR", "/env/priority")
+    assert parse_args([]).assets_dir == "/env/priority"
+    assert parse_args(["--onnx-dir", "/flag"]).assets_dir == "/flag"
+
+
 def test_cli_single_and_batch(onnx_dir, tmp_path, capsys):  # noqa: F811
     out = tmp_path / "wavs"
     main(["--platform", "cpu", "--onnx-dir", onnx_dir, "--n-test", "1",

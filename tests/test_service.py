@@ -358,6 +358,30 @@ def test_openai_speech_pcm_format(base_url):
     assert len(pcm.content) == len(wav.content) - 44
 
 
+def test_wav_data_payload_chunk_walk():
+    """PCM extraction walks the RIFF chunk list — it must survive an extra
+    chunk before 'data' (a fixed 44-byte slice would return garbage)."""
+    import struct
+
+    from supertonic_tpu.serve.http_server import _wav_data_payload
+    from supertonic_tpu.utils import wav_bytes
+
+    samples = np.linspace(-0.5, 0.5, 64, dtype=np.float32)
+    w = wav_bytes(samples, 80)
+    assert _wav_data_payload(w) == w[44:]   # writer's canonical layout
+
+    data = (samples * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 80, 160, 2, 16)
+    lst = b"LIST" + struct.pack("<I", 10) + b"INFOabcdef"
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + lst
+            + b"data" + struct.pack("<I", len(data)) + data)
+    assert _wav_data_payload(
+        b"RIFF" + struct.pack("<I", len(body)) + body) == data
+
+    with pytest.raises(Exception, match="data chunk"):
+        _wav_data_payload(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+
+
 def test_openai_speech_validation(base_url):
     cases = [
         ({"voice": "M1"}, 422),                       # missing input

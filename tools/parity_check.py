@@ -64,9 +64,45 @@ def _session_factory(kind: str):
 
         return lambda p: ort.InferenceSession(
             p, providers=["CPUExecutionProvider"])
+    if kind == "torch":
+        return TorchOracleSession
     from supertonic_tpu.assets.onnx_exec import OnnxSession
 
     return lambda p: OnnxSession(p, matmul_precision="float32")
+
+
+class TorchOracleSession:
+    """Torch-eager second implementation: runs the TorchScript twin saved
+    next to each graph (``<name>.pt``, tools/torch_export_bundle.py) behind
+    the ORT session interface. This exercises the gate's full plumbing
+    against a REAL independent runtime on machines without onnxruntime —
+    the same oracle role py/helper.py:289-306 gives ORT."""
+
+    def __init__(self, onnx_path: str):
+        import torch
+
+        from supertonic_tpu.assets.onnx_reader import load_onnx
+
+        pt = onnx_path[: -len(".onnx")] + ".pt"
+        if not os.path.exists(pt):
+            raise FileNotFoundError(
+                f"--torch-oracle needs {pt} beside {onnx_path} "
+                "(generate with tools/torch_export_bundle.py)")
+        self._torch = torch
+        self.mod = torch.jit.load(pt).eval()
+        g = load_onnx(onnx_path)
+        self.names = [vi.name for vi in g.inputs
+                      if vi.name not in g.initializers]
+
+    def run(self, _outs, feeds):
+        torch = self._torch
+        with torch.no_grad():
+            outs = self.mod(*[
+                torch.from_numpy(np.ascontiguousarray(feeds[n]))
+                for n in self.names])
+        if isinstance(outs, torch.Tensor):
+            outs = (outs,)
+        return [o.numpy() for o in outs]
 
 
 def compare_modules(assets_dir: str, make_ref, total_step: int,
@@ -255,6 +291,10 @@ def main(argv=None) -> int:
                     help="max |diff| gate (f32 matmul reassociation slack)")
     ap.add_argument("--skip-ort", action="store_true",
                     help="only run the fused-backend self-check")
+    ap.add_argument("--torch-oracle", action="store_true",
+                    help="compare against the TorchScript twins saved next "
+                         "to each graph instead of onnxruntime "
+                         "(tools/torch_export_bundle.py bundles)")
     args = ap.parse_args(argv)
 
     from supertonic_tpu.utils.jaxenv import force_cpu, setup_compilation_cache
@@ -265,14 +305,18 @@ def main(argv=None) -> int:
     all_ok = True
     rows: list[dict] = []
     if not args.skip_ort:
-        try:
-            make_ref = _session_factory("ort")
-        except ImportError:
-            print("onnxruntime not installed — skipping the ORT oracle "
-                  "comparison (run on a machine with onnxruntime for the "
-                  "full parity gate). Self-check continues.",
-                  file=sys.stderr)
-            make_ref = None
+        if args.torch_oracle:
+            make_ref = _session_factory("torch")
+        else:
+            try:
+                make_ref = _session_factory("ort")
+            except ImportError:
+                print("onnxruntime not installed — skipping the ORT oracle "
+                      "comparison (run on a machine with onnxruntime for "
+                      "the full parity gate, or use --torch-oracle on a "
+                      "torch_export_bundle). Self-check continues.",
+                      file=sys.stderr)
+                make_ref = None
         if make_ref is not None:
             r, ok = compare_modules(args.assets_dir, make_ref,
                                     args.total_step, args.tol)
