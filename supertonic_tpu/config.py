@@ -203,6 +203,11 @@ class TTSConfig:
             )
         if len(self.vocoder.upsample_factors) != len(self.vocoder.channels):
             raise ValueError("vocoder upsample_factors and channels length mismatch")
+        if self.text_encoder.dim != self.ttl.proj_out_idim:
+            raise ValueError(
+                f"text_encoder.dim={self.text_encoder.dim} must equal "
+                f"ttl.proj_out_idim={self.ttl.proj_out_idim} (proj_out maps "
+                f"the encoder width, reference go/helper.go:64-68)")
 
 
 def _dataclass_from_dict(cls, data: dict[str, Any]):
@@ -266,7 +271,12 @@ def tts_config_from_reference_dict(raw: dict[str, Any]) -> TTSConfig:
     default_voc = VocoderHParams()
     import math
 
-    if chunk % math.prod(default_voc.upsample_factors) != 0:
+    default_up = math.prod(default_voc.upsample_factors)
+    if chunk % default_up != 0 or chunk // default_up < 16:
+        # re-factorize when the default stack doesn't divide the foreign
+        # chunk OR would leave the subpixel head under its 16-sample floor
+        # (the _factorize_upsample contract — convs stay on coarse
+        # timelines, models/vocoder.py)
         factors = _factorize_upsample(chunk)
         chans = tuple(
             max(default_voc.dim // (2 ** (i + 1)), 128) for i in range(len(factors))
@@ -276,7 +286,14 @@ def tts_config_from_reference_dict(raw: dict[str, Any]) -> TTSConfig:
         )
     else:
         vocoder = default_voc
-    return TTSConfig(ae=ae, ttl=ttl, dp=dp, vocoder=vocoder)
+    # proj_out.idim IS the text-encoder width in the reference schema
+    # (go/helper.go:64-68): a foreign idim must re-derive the encoder dim,
+    # or the proj_out matmul is shape-incoherent (caught by the config
+    # drill, tests/test_config_drill.py)
+    text_encoder = dataclasses.replace(TextEncoderHParams(),
+                                       dim=ttl.proj_out_idim)
+    return TTSConfig(ae=ae, ttl=ttl, dp=dp, vocoder=vocoder,
+                     text_encoder=text_encoder)
 
 
 def _factorize_upsample(chunk: int, min_final_depth: int = 16) -> tuple[int, ...]:

@@ -389,10 +389,16 @@ class SynthesisEngine(LongFormSynthesis):
         est_secs = l_true * spc_est * self._spc_margin / min(speed, 1.0)
         t_guess = buckets.latent_len_for_duration(est_secs, sr, chunk)
         t_bucket = buckets.pick_bucket(t_guess, rt.latent_buckets)
-        # quantize the egress slice to 16-frame steps: every distinct slice
+        # quantize the egress slice to 8-frame steps: every distinct slice
         # width is its own compiled (tiny) program, and the learned-rate
-        # estimate drifts — frame-granular widths would churn compiles
-        n_xfer = min(t_bucket, buckets.quantize_up(max(t_guess, 1), 16))
+        # estimate drifts — frame-granular widths would churn compiles.
+        # The slice uses a LEANER margin than the bucket choice (1.04 vs
+        # 1.1): an undershoot only costs the rare tail fetch, while every
+        # surplus frame is wasted device->host bytes on a ~10-40 MB/s
+        # tunnel where singles latency is egress-bound (probe r3)
+        t_slice = buckets.latent_len_for_duration(
+            est_secs * (1.04 / self._spc_margin), sr, chunk)
+        n_xfer = min(t_bucket, buckets.quantize_up(max(t_slice, 1), 8))
         with self.profiler.stage("fused_synthesis"):
             wav_dev, dur_dev = self._fused_fn(
                 self.params, *dev_args, self._next_key(),
@@ -473,7 +479,7 @@ class SynthesisEngine(LongFormSynthesis):
             log.warning("latent_bucket_overflow", needed=t_needed,
                         bucket=t_bucket, attempt=_attempt + 1)
             t_bucket = buckets.pick_bucket(t_needed, rt.latent_buckets)
-            n_xfer = min(t_bucket, buckets.quantize_up(t_needed, 16))
+            n_xfer = min(t_bucket, buckets.quantize_up(t_needed, 8))
             with self.profiler.stage("fused_synthesis"):
                 wav_dev, dur_dev = self._fused_fn(
                     self.params, *pending.dev_args, self._next_key(),

@@ -115,6 +115,108 @@ def test_pod_failover_on_process_death(pod_procs):
     assert r.status_code == 200
 
 
+def test_pod_backend_restart_under_load(onnx_dir):  # noqa: F811
+    """Elasticity: a backend is killed AND restarted mid-soak; the router
+    must eject it, keep serving with zero client-visible errors through the
+    loss window (bounded retry), re-admit it when its health endpoint
+    recovers, and route NEW traffic to it again (VERDICT r2 item 8 — the
+    health re-add path under live traffic)."""
+    import signal
+
+    ports = [_free_port(), _free_port()]
+    procs = [_spawn_backend(onnx_dir, p) for p in ports]
+    urls = [f"http://127.0.0.1:{p}" for p in ports]
+    router = front = None
+    stop = threading.Event()
+    errors: list[str] = []
+    ok_count = [0]
+
+    def soak():
+        i = 0
+        while not stop.is_set():
+            try:
+                r = httpx.post(f"{front_url}/tts",
+                               json={"text": f"Elastic request {i}.",
+                                     "total_step": 2}, timeout=120)
+                if r.status_code != 200 or len(r.content) <= 44:
+                    errors.append(f"req {i}: {r.status_code}")
+                else:
+                    ok_count[0] += 1
+            except Exception as e:  # noqa: BLE001 — any client error fails
+                errors.append(f"req {i}: {type(e).__name__}: {e}")
+            i += 1
+
+    def healthy_count():
+        return sum(b["healthy"] for b in router.health()[1]["backends"].values())
+
+    try:
+        for u, pr in zip(urls, procs):
+            _wait_healthy(u, pr)
+        router = Router(urls, health_interval_s=0.2, failure_threshold=1)
+        router.check_health()
+        router.start_health_loop()
+        front = make_router_server(router, "127.0.0.1", 0)
+        threading.Thread(target=front.serve_forever, daemon=True).start()
+        front_url = f"http://127.0.0.1:{front.server_address[1]}"
+
+        workers = [threading.Thread(target=soak) for _ in range(4)]
+        for w in workers:
+            w.start()
+        # let traffic establish, then take backend 0 down
+        deadline = time.time() + 30
+        while ok_count[0] < 4 and time.time() < deadline:
+            time.sleep(0.1)
+        assert ok_count[0] >= 4, f"soak never got going: {errors[:3]}"
+        procs[0].send_signal(signal.SIGTERM)
+        procs[0].wait(timeout=30)
+        deadline = time.time() + 15
+        while healthy_count() != 1 and time.time() < deadline:
+            time.sleep(0.1)
+        assert healthy_count() == 1, "router never ejected the dead backend"
+        before_down = ok_count[0]
+        # serve through the loss window
+        deadline = time.time() + 30
+        while ok_count[0] < before_down + 4 and time.time() < deadline:
+            time.sleep(0.1)
+        assert ok_count[0] >= before_down + 4, "no progress during loss window"
+        # restart on the SAME port: the health loop must re-admit it
+        procs[0] = _spawn_backend(onnx_dir, ports[0])
+        _wait_healthy(urls[0], procs[0])
+        deadline = time.time() + 20
+        while healthy_count() != 2 and time.time() < deadline:
+            time.sleep(0.1)
+        assert healthy_count() == 2, "router never re-admitted the restarted backend"
+        base0 = httpx.get(f"{urls[0]}/metrics", timeout=10).json()["requests"]
+        # traffic must reach the re-admitted backend again
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if httpx.get(f"{urls[0]}/metrics",
+                         timeout=10).json()["requests"] > base0:
+                break
+            time.sleep(0.2)
+        else:
+            raise AssertionError("re-admitted backend received no traffic")
+        stop.set()
+        for w in workers:
+            w.join(timeout=120)
+        assert not errors, f"{len(errors)} soak errors, first: {errors[:5]}"
+        assert ok_count[0] >= 12
+    finally:
+        stop.set()
+        if front is not None:
+            front.shutdown()
+        if router is not None:
+            router.close()
+        for pr in procs:
+            if pr.poll() is None:
+                pr.terminate()
+        for pr in procs:
+            try:
+                pr.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                pr.kill()
+
+
 def test_graceful_sigterm_drain(onnx_dir):  # noqa: F811
     """SIGTERM mid-request: the in-flight response completes (200 + audio),
     the batcher shuts down, and the process exits 0 after draining."""
