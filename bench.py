@@ -104,7 +104,10 @@ def main() -> None:
             print(f"# batch{b} {steps}-step: "
                   f"{tp['audio_sec_per_sec_per_chip']:.1f} "
                   f"audio-sec/s/chip ({tp['aggregate_realtime_x']:.0f}x "
-                  f"realtime, egress {tp['egress_s_per_batch']:.2f}s)",
+                  f"realtime, egress {tp['egress_s_per_batch']:.2f}s, "
+                  f"{tp['tflops_effective']:.1f} TFLOP/s eff"
+                  + (f", MFU {tp['mfu']*100:.1f}%" if tp["mfu"] is not None
+                     else "") + ")",
                   file=sys.stderr)
             # primary metric stays the default operating point (5 steps)
             if steps == 5 and (
@@ -124,6 +127,8 @@ def main() -> None:
         "value": round(value, 2),
         "unit": "audio-seconds/sec/chip",
         "vs_baseline": round(value / REFERENCE_BEST_AUDIO_SEC_PER_SEC, 3),
+        "mfu": tp["mfu"],
+        "tflops_effective": tp["tflops_effective"],
     }))
 
 

@@ -128,6 +128,23 @@ def bench_batch_throughput(engine, style, text: str, *, batch: int = 32,
 
     n_chips = max(1, len([d for d in jax.devices() if d.platform != "cpu"])) \
         if jax.default_backend() != "cpu" else 1
+
+    # analytic matmul-FLOPs at the ACTUAL padded bucket shapes this batch
+    # dispatched (VERDICT r2 item 5: MFU from the bench itself)
+    from ..engine import buckets as _buckets
+    from .flops import fused_synthesis_flops, mfu as _mfu
+
+    rt = engine.cfg.runtime
+    ids, _ = engine.processor([text], ["en"])
+    l_bucket = _buckets.pick_bucket(ids.shape[1], rt.text_buckets)
+    b_bucket = _buckets.pick_bucket(batch, rt.batch_buckets)
+    flops = fused_synthesis_flops(engine.cfg, b_bucket, l_bucket,
+                                  pend.t_bucket, total_step)
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    chip = ("v5e" if "v5 lite" in kind or "v5e" in kind else
+            "v5p" if "v5" in kind else
+            "v4" if "v4" in kind else "cpu")
+    tflops_eff, mfu_frac = _mfu(flops, t, chip, n_chips)
     return {
         "batch": batch,
         "total_step": total_step,
@@ -138,4 +155,9 @@ def bench_batch_throughput(engine, style, text: str, *, batch: int = 32,
         "audio_sec_per_sec_per_chip": total_audio / t / n_chips,
         "audio_sec_per_sec_e2e": total_audio / (t + egress_s),
         "aggregate_realtime_x": total_audio / t,
+        "flops_per_batch": flops,
+        "tflops_effective": round(tflops_eff, 2),
+        "mfu": None if mfu_frac is None else round(mfu_frac, 4),
+        "chip": chip,
+        "bucket_shapes": {"b": b_bucket, "l": l_bucket, "t": pend.t_bucket},
     }

@@ -105,7 +105,12 @@ def acoustic_stage(
         )
 
     xt = jax.lax.fori_loop(0, total_step, body, x0)
-    return vocoder.apply(params["vocoder"], cfg, xt, dtype=dtype)
+    # batch-max frame validity: frames past the longest utterance are
+    # bucket padding; masking them inside the vocoder keeps bucketed
+    # output bit-identical to exact-length execution (models/vocoder.py)
+    frame_mask = jnp.max(latent_mask, axis=0)
+    return vocoder.apply(params["vocoder"], cfg, xt, frame_mask=frame_mask,
+                         dtype=dtype)
 
 
 def synthesize_padded(

@@ -50,10 +50,19 @@ def _resblock_init(rng, ch: int, kernel: int, dilations) -> L.Params:
     }
 
 
-def _resblock(p: L.Params, x: jax.Array, dilations) -> jax.Array:
+def _resblock(p: L.Params, x: jax.Array, dilations,
+              mask: jax.Array | None = None) -> jax.Array:
     for cp, d in zip(p["convs"], dilations):
         h = L.conv1d(cp["a"], jax.nn.silu(x), dilation=d)
+        if mask is not None:
+            # re-zero pad frames after EVERY conv: a conv bias makes padded
+            # positions nonzero, and the next conv would bleed that halo
+            # back into the valid tail — masking keeps bucket-padded
+            # execution bit-identical to exact-length execution
+            h = h * mask
         h = L.conv1d(cp["b"], jax.nn.silu(h))
+        if mask is not None:
+            h = h * mask
         x = x + h
     return x
 
@@ -92,17 +101,36 @@ def apply(
     cfg: TTSConfig,
     latent: jax.Array,  # [B, T, C] (engine-owned layout)
     *,
+    frame_mask: jax.Array | None = None,  # [T] or [B, T]: 1 = real frame
     dtype=jnp.float32,
 ) -> jax.Array:
-    """Returns wav [B, T * chunk_size] float32."""
+    """Returns wav [B, T * chunk_size] float32.
+
+    ``frame_mask`` marks BATCH-MAX-valid frames (frames past the longest
+    utterance in the batch, i.e. bucket padding). With it, bucket-padded
+    execution is bit-identical to exact-length execution: conv biases make
+    padded frames nonzero and dilated resblocks would otherwise bleed that
+    halo ~receptive-field frames back into the valid tail. Per-ROW padding
+    (shorter rows inside the batch max) is deliberately NOT masked — the
+    reference vocoder graph is mask-free (§2.2) and runs at batch-max
+    length, so its per-row halo is part of the reference semantics."""
     hp = cfg.vocoder
+    m = None
+    if frame_mask is not None:
+        m = frame_mask.astype(dtype)
+        m = m[None, :, None] if m.ndim == 1 else m[:, :, None]
     x = L.conv1d(params["pre"], latent.astype(dtype))
-    x = _resblock(params["pre_res"], x, hp.resblock_dilations)
+    if m is not None:
+        x = x * m
+    x = _resblock(params["pre_res"], x, hp.resblock_dilations, m)
     for sp, factor in zip(params["stages"], hp.upsample_factors):
         h = L.conv1d(sp["up"], jax.nn.silu(x))          # [B, T, cout*factor]
         b, t, cf = h.shape
         x = h.reshape(b, t * factor, cf // factor)       # depth-to-space
-        x = _resblock(sp["res"], x, hp.resblock_dilations)
+        if m is not None:
+            m = jnp.repeat(m, factor, axis=1)
+            x = x * m
+        x = _resblock(sp["res"], x, hp.resblock_dilations, m)
     wav = L.conv1d(params["head"], jax.nn.silu(x))       # [B, Tf, final_depth]
     b, tf, d = wav.shape
     return jnp.tanh(wav.astype(jnp.float32).reshape(b, tf * d))

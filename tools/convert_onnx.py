@@ -35,8 +35,19 @@ def main():
     from supertonic_tpu.assets.store import save_assets
     from supertonic_tpu.config import TTSConfig, load_tts_json
 
+    full_cfg = os.path.join(args.onnx_dir, "model_config.json")
     cfg_path = os.path.join(args.onnx_dir, "tts.json")
-    cfg = load_tts_json(cfg_path) if os.path.exists(cfg_path) else TTSConfig()
+    if os.path.exists(full_cfg):
+        # a bundle exported by tools/export_onnx.py carries the full native
+        # hparams (tts.json alone cannot reconstruct layer counts/widths)
+        from supertonic_tpu.config import _dataclass_from_dict
+
+        with open(full_cfg) as f:
+            cfg = _dataclass_from_dict(TTSConfig, json.load(f))
+    elif os.path.exists(cfg_path):
+        cfg = load_tts_json(cfg_path)
+    else:
+        cfg = TTSConfig()
 
     if args.list_only:
         for model, inits in extract_onnx_dir(args.onnx_dir).items():
@@ -45,17 +56,34 @@ def main():
                 print(f"  {name:60s} {arr.dtype} {tuple(arr.shape)}")
         return
 
-    rules = {}
+    params = None
     if args.mapping:
         spec = importlib.util.spec_from_file_location("mapping", args.mapping)
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         rules = mod.RULES
+    else:
+        # no hand-written table: try the structural auto-mapper first
+        # (assets/automap.py) — it fills the whole tree or raises
+        from supertonic_tpu.assets.automap import AutomapError, automap_bundle
 
-    params, report = convert(args.onnx_dir, cfg, rules, strict=not args.lenient)
-    for model, unmapped in report.items():
-        if unmapped:
-            print(f"[warn] {model}: {len(unmapped)} unmapped initializers")
+        try:
+            params, reports = automap_bundle(args.onnx_dir, cfg)
+            for model, rep in reports.items():
+                print(f"automapped {model}: {rep['matched_params']} params, "
+                      f"{rep['consts_checked']} structural consts verified")
+        except AutomapError as e:
+            print(f"[warn] structural automap failed ({e}); falling back "
+                  f"to the MappingRule table (none given -> everything "
+                  f"will be unmapped; pass --mapping)")
+        rules = {}
+
+    if params is None:
+        params, report = convert(args.onnx_dir, cfg, rules,
+                                 strict=not args.lenient)
+        for model, unmapped in report.items():
+            if unmapped:
+                print(f"[warn] {model}: {len(unmapped)} unmapped initializers")
 
     indexer = None
     idx_path = os.path.join(args.onnx_dir, "unicode_indexer.json")
