@@ -178,6 +178,7 @@ class SynthesisEngine(LongFormSynthesis):
         self.profiler = StageProfiler()
         self.egress_format = egress_format
         self._key = jax.random.key(seed)
+        self._flow_fn = self._voc_win_fn = None  # built lazily (native only)
         if backend is not None:
             self._text_fn = backend.text_fn
             self._acoustic_fn = backend.acoustic_fn
@@ -703,6 +704,94 @@ class SynthesisEngine(LongFormSynthesis):
                 progress_callback(step + 1, total_step)
         wav = np.asarray(self._vocoder_fn(self.params, xt))
         return wav, dur
+
+    def _vocode_stream(self, text: str, lang: str, style, total_step: int,
+                       speed: float, window_frames: int):
+        """Sub-chunk streaming core (native backend only).
+
+        Schedule (every step before the first yield is ASYNC dispatch —
+        exactly ONE device round-trip happens before first audio):
+          1. ONE fused text+flow program (latent stays device-resident;
+             t bucket from the learned rate like infer_batch_begin),
+          2. dispatch vocode window 0,
+          3. fetch (window 0, duration) in a single device_get,
+          4. yield window 0; dispatch the remaining windows and fetch them
+             in doubling groups (streaming granularity without paying one
+             RTT per window).
+
+        Yields (wav [n] f32, seconds, chunk_end) — see
+        LongFormSynthesis.stream_windows."""
+        from ..models.vocoder import receptive_field_frames
+
+        if self._voc_win_fn is None:
+            self._flow_fn = synthesis.jit_flow_fused(
+                self.cfg, precision=self.precision, attn_fn=self.attn_fn)
+            self._voc_win_fn = synthesis.jit_vocode_window(
+                self.cfg, precision=self.precision)
+        rt = self.cfg.runtime
+        chunk = self.cfg.chunk_size
+        sr = self.cfg.sample_rate
+        halo = receptive_field_frames(self.cfg)
+        t0 = time.perf_counter()
+        dev_args, _text_mask, l_true, _b, _bb = self._prepare_inputs(
+            [text], [lang], style)
+        spc = max(self._spc_window) if self._spc_window else self._spc_prior
+        est = l_true * spc * self._spc_margin / min(speed, 1.0)
+        t_bucket = buckets.pick_bucket(
+            buckets.latent_len_for_duration(est, sr, chunk),
+            rt.latent_buckets)
+        for _attempt in range(4):
+            with self.profiler.stage("fused_synthesis"):
+                xt, dur_dev, fmask = self._flow_fn(
+                    self.params, *dev_args, self._next_key(),
+                    jnp.float32(speed), int(total_step), int(t_bucket))
+            w = min(int(window_frames), t_bucket)
+            xt_pad = jnp.pad(xt, ((0, 0), (halo, halo), (0, 0)))
+            mask_pad = jnp.pad(fmask, (halo, halo))
+
+            def win(k0):
+                start = max(0, min(k0, t_bucket - w))
+                return k0, start, self._voc_win_fn(
+                    self.params, xt_pad, mask_pad, jnp.int32(start), w,
+                    halo, self.egress_format)
+
+            first = win(0)
+            with self.profiler.stage("egress"):
+                w0_np, dur = jax.device_get((first[2], dur_dev))
+            wav_len = int(float(dur[0]) * sr)
+            t_true = max(1, (wav_len + chunk - 1) // chunk)
+            if t_true <= t_bucket:
+                break
+            self.profiler.bump("bucket_overflows")
+            t_bucket = buckets.pick_bucket(t_true, rt.latent_buckets)
+        else:
+            raise RuntimeError("latent bucket overflow persisted in "
+                               "windowed streaming")
+        emitted = 0
+
+        def emit(k0, start, wav_np):
+            nonlocal emitted
+            off = (k0 - start) * chunk
+            n_valid = min(wav_len - emitted, w * chunk - off)
+            piece = self._decode_egress(wav_np[:1])[0, off: off + n_valid]
+            emitted += n_valid
+            if emitted >= wav_len:
+                self.profiler.record_result(
+                    float(dur[0]), len(text), time.perf_counter() - t0)
+            return piece, n_valid / sr, emitted >= wav_len
+
+        yield emit(first[0], first[1], w0_np)
+        rest = [win(k0) for k0 in range(w, t_true, w)]
+        # fetch in doubling groups: few round-trips, steady client flow
+        i, group = 0, 1
+        while i < len(rest):
+            batch = rest[i: i + group]
+            i += len(batch)
+            group *= 2
+            with self.profiler.stage("egress"):
+                fetched = jax.device_get(tuple(h for *_k, h in batch))
+            for (k0, start, _h), wav_np in zip(batch, fetched):
+                yield emit(k0, start, wav_np)
 
     def _decode_egress(self, wav_np: np.ndarray) -> np.ndarray:
         if wav_np.dtype == np.int16:

@@ -90,6 +90,48 @@ class LongFormSynthesis:
             for w, d in zip(self.trim(wavs, durs), durs):
                 yield w, float(d)
 
+    def stream_windows(
+        self,
+        text: str,
+        lang: str,
+        style,
+        total_step: int = 5,
+        speed: float = 1.05,
+        group_size: int = 2,
+        window_frames: int = 64,
+    ):
+        """Like :meth:`stream`, but the FIRST chunk's audio leaves in
+        vocoder WINDOWS — first samples are on the host after one window's
+        vocode+transfer instead of the whole chunk's (BASELINE TTFA).
+        Yields ``(wav [T] f32, seconds, chunk_end bool)``; pieces with
+        ``chunk_end=False`` are continuations of the same chunk (no silence
+        gap belongs between them). Interior samples are bit-identical to
+        full-chunk synthesis (halo >= the vocoder's receptive field —
+        models/vocoder.receptive_field_frames; equality-tested)."""
+        assert style.batch == 1
+        chunks = chunk_text(text, max_len=max_len_for_lang(lang))
+        if not chunks:
+            return
+        windows_ok = (window_frames and getattr(self, "backend", None) is None
+                      and getattr(self, "mesh", None) is None
+                      and hasattr(self, "_vocode_stream"))
+        if windows_ok:
+            yield from self._vocode_stream(chunks[0], lang, style,
+                                           total_step, speed, window_frames)
+        else:
+            wavs, durs = self.infer_batch([chunks[0]], [lang], style,
+                                          total_step, speed)
+            yield self.trim(wavs, durs)[0], float(durs[0]), True
+        i = 1
+        while i < len(chunks):
+            group = chunks[i: i + group_size]
+            i += len(group)
+            wavs, durs = self.infer_batch(
+                group, [lang] * len(group), style.tile(len(group)),
+                total_step, speed)
+            for w, d in zip(self.trim(wavs, durs), durs):
+                yield w, float(d), True
+
     # convenience: reference example trims at save time (py/example_onnx.py:113)
     def trim(self, wav: np.ndarray, duration: np.ndarray) -> list[np.ndarray]:
         sr = self.cfg.sample_rate

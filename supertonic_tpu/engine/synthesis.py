@@ -113,6 +113,120 @@ def acoustic_stage(
                          dtype=dtype)
 
 
+def flow_stage(
+    params: dict,
+    cfg: TTSConfig,
+    text_emb: jax.Array,
+    style_ttl: jax.Array,
+    text_mask: jax.Array,
+    latent_mask: jax.Array,
+    noise: jax.Array,
+    total_step: int,
+    *,
+    precision: str = "bf16",
+    attn_fn=L.attention_core,
+) -> jax.Array:
+    """acoustic_stage WITHOUT the vocoder: returns the denoised latent
+    [B, T, C] (device-resident) — the input to windowed vocoding."""
+    dtype = _dtype_of(precision)
+    b = text_emb.shape[0]
+    x0 = noise.astype(jnp.float32) * latent_mask[:, :, None]
+    tot = jnp.full((b,), float(total_step), jnp.float32)
+
+    def body(step, x):
+        cur = jnp.full((b,), 1.0, jnp.float32) * step
+        return vector_estimator.step(
+            params["vector_estimator"], cfg, x, text_emb, style_ttl,
+            text_mask, latent_mask, cur, tot, dtype=dtype, attn_fn=attn_fn,
+        )
+
+    return jax.lax.fori_loop(0, total_step, body, x0)
+
+
+def flow_fused(
+    params: dict,
+    cfg: TTSConfig,
+    text_ids: jax.Array,
+    text_mask: jax.Array,
+    style_dp: jax.Array,
+    style_ttl: jax.Array,
+    key: jax.Array,
+    speed: jax.Array,
+    total_step: int,   # STATIC
+    t_pad: int,        # STATIC latent bucket
+    *,
+    precision: str = "bf16",
+    attn_fn=L.attention_core,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """synthesize_fused WITHOUT the vocoder: text stage + on-device noise +
+    flow loop in ONE program with ZERO host syncs. Returns (latent
+    [B, t_pad, C], duration [B] — UNCLAMPED for overflow detection —, and
+    the batch-max frame mask [t_pad]). Feeds windowed vocoding
+    (vocode_window): streaming callers fetch duration TOGETHER with the
+    first vocoded window in a single device round-trip."""
+    dur, emb = text_stage(
+        params, cfg, text_ids, text_mask, style_dp, style_ttl, speed,
+        precision=precision, attn_fn=attn_fn,
+    )
+    chunk = cfg.chunk_size
+    latent_len = jnp.minimum(
+        jnp.ceil(dur * cfg.sample_rate / chunk), float(t_pad))
+    frame_idx = jnp.arange(t_pad, dtype=jnp.float32)[None, :]
+    latent_mask = (frame_idx < latent_len[:, None]).astype(jnp.float32)
+    b = text_ids.shape[0]
+    noise = jax.random.normal(key, (b, t_pad, cfg.latent_channels),
+                              jnp.float32)
+    xt = flow_stage(params, cfg, emb, style_ttl, text_mask, latent_mask,
+                    noise, total_step, precision=precision, attn_fn=attn_fn)
+    return xt, dur, jnp.max(latent_mask, axis=0)
+
+
+def jit_flow_fused(cfg: TTSConfig, *, precision="bf16",
+                   attn_fn=None) -> Callable:
+    fn = functools.partial(flow_fused, precision=precision,
+                           attn_fn=attn_fn or L.attention_core)
+
+    def closed(params, ids, mask, sdp, sttl, key, speed, total_step, t_pad):
+        return fn(params, cfg, ids, mask, sdp, sttl, key, speed,
+                  total_step, t_pad)
+
+    return jax.jit(closed, static_argnums=(7, 8))
+
+
+def vocode_window(
+    params: dict,
+    cfg: TTSConfig,
+    xt_pad: jax.Array,       # [B, T+2H, C]: latent pre-padded with H zero
+                             # frames each side
+    mask_pad: jax.Array,     # [T+2H] batch-max frame mask, zero in the pads
+    start: jax.Array,        # scalar int32: window start in PADDED frames
+    window: int,             # STATIC: emitted frames per window
+    halo: int,               # STATIC: >= vocoder.receptive_field_frames(cfg)
+    *,
+    precision: str = "bf16",
+    egress: str = "int16",
+) -> jax.Array:
+    """Vocode ONE window of `window` frames with `halo` context frames each
+    side and return only the interior samples [B, window*chunk]. With
+    halo >= the conv stack's receptive field the interior is bit-identical
+    to full-sequence vocoding (models/vocoder.py receptive_field_frames) —
+    audio can stream before the full chunk vocodes (BASELINE TTFA)."""
+    b = xt_pad.shape[0]
+    span = window + 2 * halo
+    win = jax.lax.dynamic_slice(
+        xt_pad, (0, start, 0), (b, span, xt_pad.shape[2]))
+    mwin = jax.lax.dynamic_slice(mask_pad, (start,), (span,))
+    wav = vocoder.apply(params["vocoder"], cfg, win, frame_mask=mwin,
+                        dtype=_dtype_of(precision))
+    chunk = cfg.chunk_size
+    wav = wav[:, halo * chunk: (halo + window) * chunk]
+    if egress == "int16":
+        wav = jnp.clip(wav * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
+    elif egress == "mulaw":
+        wav = _mulaw_encode(wav)
+    return wav
+
+
 def synthesize_padded(
     params: dict,
     cfg: TTSConfig,
@@ -264,6 +378,27 @@ def jit_text_stage(cfg: TTSConfig, *, precision="bf16", attn_fn=None,
     if out_shardings is not None:
         kw["out_shardings"] = out_shardings
     return jax.jit(closed, **kw)
+
+
+def jit_flow_stage(cfg: TTSConfig, *, precision="bf16",
+                   attn_fn=None) -> Callable:
+    fn = functools.partial(flow_stage, precision=precision,
+                           attn_fn=attn_fn or L.attention_core)
+
+    def closed(params, emb, sttl, tmask, lmask, noise, total_step):
+        return fn(params, cfg, emb, sttl, tmask, lmask, noise, total_step)
+
+    return jax.jit(closed, static_argnums=(6,))
+
+
+def jit_vocode_window(cfg: TTSConfig, *, precision="bf16") -> Callable:
+    fn = functools.partial(vocode_window, precision=precision)
+
+    def closed(params, xt_pad, mask_pad, start, window, halo, egress):
+        return fn(params, cfg, xt_pad, mask_pad, start, window, halo,
+                  egress=egress)
+
+    return jax.jit(closed, static_argnums=(4, 5, 6))
 
 
 def jit_acoustic_stage(cfg: TTSConfig, *, precision="bf16",

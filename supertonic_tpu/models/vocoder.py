@@ -72,6 +72,32 @@ def final_depth(cfg: TTSConfig) -> int:
     return cfg.chunk_size // math.prod(cfg.vocoder.upsample_factors)
 
 
+def receptive_field_frames(cfg: TTSConfig) -> int:
+    """One-sided receptive field of the whole conv stack, in LATENT frames
+    (ceil). A window vocoded with >= this many halo frames on each side
+    produces BIT-IDENTICAL interior samples to full-sequence vocoding —
+    the guarantee behind sub-chunk streaming (engine.stream windows)."""
+    from fractions import Fraction
+
+    hp = cfg.vocoder
+
+    def half(k: int, d: int = 1) -> int:
+        return d * (k - 1) // 2
+
+    def res_reach() -> int:
+        return sum(half(hp.resblock_kernel, d) + half(hp.resblock_kernel)
+                   for d in hp.resblock_dilations)
+
+    r = Fraction(half(7) + res_reach())  # pre conv + pre_res at T
+    prod = 1
+    for f in hp.upsample_factors:
+        r += Fraction(half(hp.stage_kernel), prod)  # up conv (pre-d2s)
+        prod *= f
+        r += Fraction(res_reach(), prod)
+    r += Fraction(half(3), prod)  # subpixel head
+    return math.ceil(r)
+
+
 def init(rng, cfg: TTSConfig) -> L.Params:
     hp = cfg.vocoder
     c_lat = cfg.latent_channels

@@ -388,11 +388,13 @@ class TTSService:
         style = self.get_style(styles[0])
 
         if self.batcher is None:
-            # hold the lock only while the generator COMPUTES each chunk,
+            # hold the lock only while the generator COMPUTES each piece,
             # never across our own yield (the handler writes to the client
             # socket between yields — a slow reader must not hold the
-            # engine lock for everyone else)
-            gen = self.tts.engine.stream(
+            # engine lock for everyone else). stream_windows yields the
+            # FIRST chunk in vocoder windows (chunk_end=False continuations)
+            # so first audio leaves before the chunk finishes vocoding.
+            gen = self.tts.engine.stream_windows(
                 text, lang, style, req["total_step"], req["speed"])
             while True:
                 with self._lock:
@@ -407,15 +409,31 @@ class TTSService:
         chunks = chunk_text(text, max_len=max_len_for_lang(lang))
         if not chunks:
             return
-        first = self.batcher.submit(
-            chunks[0], lang, style, req["total_step"], req["speed"])
-        yield first.result()
+        engine = self.tts.engine
+        if (getattr(engine, "backend", None) is None
+                and getattr(engine, "mesh", None) is None
+                and hasattr(engine, "_vocode_stream")):
+            # first chunk bypasses the batcher and streams in vocoder
+            # windows: first audio leaves after ONE window's vocode +
+            # transfer instead of the whole chunk's (BASELINE TTFA). Device
+            # work interleaves with concurrent batcher dispatches on the
+            # device queue; remaining chunks coalesce in the batcher as
+            # before.
+            yield from engine._vocode_stream(
+                chunks[0], lang, style, req["total_step"], req["speed"],
+                window_frames=64)
+        else:
+            first = self.batcher.submit(
+                chunks[0], lang, style, req["total_step"], req["speed"])
+            wav, dur = first.result()
+            yield wav, dur, True
         rest = [
             self.batcher.submit(c, lang, style, req["total_step"], req["speed"])
             for c in chunks[1:]
         ]
         for f in rest:
-            yield f.result()
+            wav, dur = f.result()
+            yield wav, dur, True
 
     def stream_wav_bytes(self, req: dict):
         """Transport-independent chunked WAV body: sentinel-size header,
@@ -439,17 +457,19 @@ class TTSService:
                                            sr * 2, 2, 16)
                    + b"data" + struct.pack("<I", 0xFFFFFFFF))
             gap = pcm(np.zeros(int(req["silence_duration"] * sr), np.float32))
-            wrote = False
+            # a silence gap belongs BETWEEN text chunks only — pieces with
+            # chunk_end=False are vocoder windows continuing the same chunk
+            prev_end = False
             if first is not None:
                 yield pcm(first[0])
                 self.tts.engine.profiler.record_ttfa(
                     time.perf_counter() - t0)
-                wrote = True
-            for wav, _dur in gen:
-                if wrote and gap:
+                prev_end = first[2]
+            for wav, _dur, chunk_end in gen:
+                if prev_end and gap:
                     yield gap
                 yield pcm(wav)
-                wrote = True
+                prev_end = chunk_end
 
         return body()
 

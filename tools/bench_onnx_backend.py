@@ -67,6 +67,50 @@ def measure(tts, *, n: int, steps: int, text: str) -> dict:
             "min_ms": float(ts.min() * 1e3)}
 
 
+def measure_batch(engine, style, *, batch: int, steps: int, text: str,
+                  iters: int = 3) -> dict | None:
+    """Device-resident b-batch throughput (same schedule as bench.py) —
+    only engines with the begin/end pipeline support it (fused + native);
+    the per-call adapter's cost shape has no device-resident output mode."""
+    if not hasattr(engine, "infer_batch_begin"):
+        return None
+    from supertonic_tpu.bench.harness import bench_batch_throughput
+
+    tp = bench_batch_throughput(engine, style, text, batch=batch,
+                                total_step=steps, warmup=2, iters=iters)
+    return {"audio_sec_per_sec_per_chip": round(
+                tp["audio_sec_per_sec_per_chip"], 1),
+            "synth_s": round(tp["synth_seconds"], 4),
+            "mfu": tp["mfu"]}
+
+
+def native_tts(assets_dir: str, steps_cfg=None):
+    """Automap the bundle's graphs onto the native architecture and wrap the
+    tuned native engine behind the same TTS API — the third arm of the
+    comparison (only possible when the graphs structurally match;
+    assets/automap.py raises otherwise)."""
+    import json as _json
+
+    from supertonic_tpu import TTS
+    from supertonic_tpu.assets.automap import automap_bundle
+    from supertonic_tpu.config import TTSConfig, _dataclass_from_dict
+    from supertonic_tpu.engine import SynthesisEngine
+
+    full_cfg = os.path.join(assets_dir, "model_config.json")
+    if os.path.exists(full_cfg):
+        with open(full_cfg) as f:
+            cfg = _dataclass_from_dict(TTSConfig, _json.load(f))
+    else:
+        from supertonic_tpu.config import load_tts_json
+
+        cfg = load_tts_json(os.path.join(assets_dir, "tts.json"))
+    params, _ = automap_bundle(assets_dir, cfg)
+    tts = TTS(assets_dir)  # for styles/processor; engine replaced below
+    tts.engine = SynthesisEngine(params, cfg, tts.assets.processor)
+    tts.cfg = cfg
+    return tts
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--assets-dir", required=True,
@@ -74,6 +118,13 @@ def main(argv=None) -> int:
     ap.add_argument("--total-step", type=int, default=5)
     ap.add_argument("--n", type=int, default=10)
     ap.add_argument("--text", default=TEXT)
+    ap.add_argument("--batch", type=int, default=0,
+                    help="also report device-resident batch throughput at "
+                         "this batch size (fused + native arms)")
+    ap.add_argument("--native", action="store_true",
+                    help="add a third arm: the bundle auto-mapped onto the "
+                         "tuned native engine (assets/automap.py)")
+    ap.add_argument("--skip-adapter", action="store_true")
     args = ap.parse_args(argv)
 
     from supertonic_tpu.utils.jaxenv import setup_compilation_cache
@@ -85,21 +136,42 @@ def main(argv=None) -> int:
     setup_compilation_cache()
     from supertonic_tpu import TTS
 
-    os.environ["TTS_ONNX_FUSED"] = "0"
-    adapter = measure(TTS(args.assets_dir), n=args.n, steps=args.total_step,
-                      text=args.text)
+    out: dict = {"total_step": args.total_step, "n": args.n,
+                 # all arms pay the same waveform egress (the adapter has
+                 # no device-resident output mode), so singles latency
+                 # UNDERSTATES dispatch-mode ratios on slow device links
+                 "note": "singles latency includes waveform egress"}
+    if not args.skip_adapter:
+        os.environ["TTS_ONNX_FUSED"] = "0"
+        out["adapter"] = measure(TTS(args.assets_dir), n=args.n,
+                                 steps=args.total_step, text=args.text)
     os.environ["TTS_ONNX_FUSED"] = "1"
-    fused = measure(TTS(args.assets_dir), n=args.n, steps=args.total_step,
-                    text=args.text)
-    speedup = adapter["p50_ms"] / fused["p50_ms"]
-    print(json.dumps({"adapter": adapter, "fused": fused,
-                      "speedup_p50": round(speedup, 2),
-                      "total_step": args.total_step, "n": args.n,
-                      # both arms pay the same waveform egress (the adapter
-                      # has no device-resident output mode), so this
-                      # constant adder UNDERSTATES the pure dispatch-mode
-                      # ratio on slow device links
-                      "note": "latency includes waveform egress"}))
+    fused_tts = TTS(args.assets_dir)
+    out["fused"] = measure(fused_tts, n=args.n, steps=args.total_step,
+                           text=args.text)
+    if args.batch:
+        out["fused"]["batch"] = measure_batch(
+            fused_tts.engine, _style_for(fused_tts), batch=args.batch,
+            steps=args.total_step, text=args.text)
+    del fused_tts
+    if args.native:
+        nat = native_tts(args.assets_dir)
+        out["native"] = measure(nat, n=args.n, steps=args.total_step,
+                                text=args.text)
+        if args.batch:
+            out["native"]["batch"] = measure_batch(
+                nat.engine, _style_for(nat), batch=args.batch,
+                steps=args.total_step, text=args.text)
+        out["fused_vs_native_p50"] = round(
+            out["fused"]["p50_ms"] / out["native"]["p50_ms"], 2)
+        if args.batch and out["native"].get("batch"):
+            out["fused_vs_native_throughput"] = round(
+                out["fused"]["batch"]["audio_sec_per_sec_per_chip"]
+                / out["native"]["batch"]["audio_sec_per_sec_per_chip"], 3)
+    if "adapter" in out:
+        out["speedup_p50"] = round(
+            out["adapter"]["p50_ms"] / out["fused"]["p50_ms"], 2)
+    print(json.dumps(out))
     return 0
 
 
