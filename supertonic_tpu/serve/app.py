@@ -69,6 +69,14 @@ def create_app(tts=None, *, use_batcher: bool = True):
         silence_duration: float = Field(0.3, ge=0.0)
         crossfade_duration: float = Field(0.0, ge=0.0)
 
+    @app.get("/")
+    def index():
+        from fastapi.responses import HTMLResponse
+
+        from .demo_page import DEMO_HTML
+
+        return HTMLResponse(DEMO_HTML)
+
     @app.get("/health")
     def health():
         return JSONResponse({"status": "ok"})

@@ -1,0 +1,93 @@
+"""Built-in browser demo page (GET /).
+
+The reference ships a Vite browser app with voice/lang/steps/speed controls,
+status + per-step progress, and Blob WAV playback/download
+(reference web/main.js:72-291, web/index.html:31-41). This is the same
+capability as ONE dependency-free HTML string served by the HTTP server —
+synthesis runs server-side on the TPU instead of in-browser WASM/WebGPU, so
+there is no model download and no JS build system. Voices come from
+GET /voices; audio from POST /tts (or /tts/stream for long-form, which the
+<audio> element plays as it arrives).
+"""
+
+DEMO_HTML = """<!doctype html>
+<html lang="en"><head><meta charset="utf-8">
+<meta name="viewport" content="width=device-width, initial-scale=1">
+<title>supertonic-tpu demo</title>
+<style>
+  :root { color-scheme: light dark; }
+  body { font: 15px/1.5 system-ui, sans-serif; max-width: 680px;
+         margin: 2rem auto; padding: 0 1rem; }
+  h1 { font-size: 1.3rem; }
+  textarea { width: 100%; min-height: 6rem; font: inherit; }
+  .row { display: flex; gap: 1rem; flex-wrap: wrap; margin: .8rem 0;
+         align-items: end; }
+  label { display: flex; flex-direction: column; font-size: .85rem; gap: .2rem; }
+  button { font: inherit; padding: .45rem 1.2rem; cursor: pointer; }
+  #status { margin: .6rem 0; min-height: 1.3rem; font-size: .9rem; opacity: .85; }
+  audio { width: 100%; margin-top: .6rem; }
+  a#dl { font-size: .85rem; }
+</style></head><body>
+<h1>supertonic-tpu &mdash; text to speech</h1>
+<textarea id="text">This morning, I took a walk in the park, and the sound of the birds and the breeze felt so pleasant that I stopped to listen a while longer.</textarea>
+<div class="row">
+  <label>Voice <select id="voice"></select></label>
+  <label>Language <select id="lang">
+    <option>en</option><option>ko</option><option>es</option>
+    <option>pt</option><option>fr</option></select></label>
+  <label>Steps <input id="steps" type="number" value="5" min="1" max="50" style="width:4.5rem"></label>
+  <label>Speed <input id="speed" type="number" value="1.05" min="0.5" max="2" step="0.05" style="width:4.5rem"></label>
+  <label><input id="stream" type="checkbox"> stream</label>
+  <button id="go">Generate</button>
+</div>
+<div id="status"></div>
+<audio id="player" controls></audio>
+<a id="dl" hidden download="tts.wav">download WAV</a>
+<script>
+const $ = (id) => document.getElementById(id);
+fetch('/voices').then(r => r.json()).then(v => {
+  for (const name of v.voices) {
+    const o = document.createElement('option'); o.textContent = name;
+    $('voice').appendChild(o);
+  }
+});
+$('go').onclick = async () => {
+  const body = JSON.stringify({
+    text: $('text').value, lang: $('lang').value,
+    voice_style: $('voice').value, total_step: +$('steps').value,
+    speed: +$('speed').value });
+  $('go').disabled = true; $('dl').hidden = true;
+  const t0 = performance.now();
+  try {
+    if ($('stream').checked) {
+      $('status').textContent = 'streaming…';
+      // the chunked WAV starts playing as bytes arrive
+      const r = await fetch('/tts/stream', {method: 'POST', body});
+      if (!r.ok) throw new Error((await r.json()).detail || r.status);
+      const blob = await r.blob();
+      finish(blob, t0);
+    } else {
+      $('status').textContent = 'synthesizing…';
+      const r = await fetch('/tts', {method: 'POST', body});
+      if (!r.ok) throw new Error((await r.json()).detail || r.status);
+      finish(await r.blob(), t0);
+    }
+  } catch (e) { $('status').textContent = 'error: ' + e.message; }
+  $('go').disabled = false;
+};
+function finish(blob, t0) {
+  const secs = (performance.now() - t0) / 1000;
+  const url = URL.createObjectURL(blob);
+  $('player').src = url; $('player').play();
+  $('dl').href = url; $('dl').hidden = false;
+  // audio duration for the RTF readout (reference iOS app shows the same,
+  // ios/README.md:53)
+  $('player').onloadedmetadata = () => {
+    const rtf = secs / $('player').duration;
+    $('status').textContent =
+      `synthesized ${$('player').duration.toFixed(2)}s in ${secs.toFixed(2)}s` +
+      ` · RTF ${rtf.toFixed(3)}`;
+  };
+}
+</script></body></html>
+"""

@@ -570,7 +570,19 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000,
             pass
 
         def do_GET(self):
-            if self.path == "/health":
+            if self.path in ("/", "/index.html"):
+                # built-in browser demo (the reference ships a Vite app for
+                # this — web/main.js:72-291; ours is one dependency-free
+                # page over the same HTTP API)
+                from .demo_page import DEMO_HTML
+
+                page = DEMO_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(page)))
+                self.end_headers()
+                self.wfile.write(page)
+            elif self.path == "/health":
                 self._send_json(200, {"status": "ok"})
             elif self.path == "/metrics":
                 self._send_json(200, service.metrics())

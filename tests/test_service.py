@@ -470,3 +470,13 @@ def test_nonbatcher_stream_does_not_hold_lock_for_slow_reader(tiny_config):
         "concurrent /tts blocked behind a suspended stream generator")
     list(gen)  # drain
     svc.close()
+
+
+def test_demo_page_served_at_root(base_url):
+    """GET / returns the built-in browser demo (the reference's web app
+    capability — web/main.js:72-291 — as one dependency-free page)."""
+    r = httpx.get(f"{base_url}/", timeout=30)
+    assert r.status_code == 200
+    assert r.headers["content-type"].startswith("text/html")
+    body = r.text
+    assert "/tts" in body and "/voices" in body and "<audio" in body
