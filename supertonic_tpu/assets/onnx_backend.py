@@ -214,14 +214,24 @@ class OnnxStageBackend:
 
 
 def load_onnx_backend(onnx_dir: str, cfg: TTSConfig, *,
-                      matmul_precision: str = "default") -> OnnxStageBackend:
+                      matmul_precision: str = "default",
+                      bf16_storage: bool | None = None) -> OnnxStageBackend:
     """Build the fused stage backend from a directory holding the four
     reference graphs (reference py/helper.py:289-306 layout).
 
     ``matmul_precision``: "float32" for ORT-parity-strict matmuls (SURVEY.md
     §7.3 hard part 2), "default" for the bf16-pass TPU fast path.
+    ``bf16_storage``: store MatMul/Conv activations bfloat16 inside the
+    traced graphs — halves the flow loop's HBM traffic, the same lever as
+    the native engine's bf16 fast path. Default: the TTS_ONNX_BF16 env flag
+    (off). Not for the parity gate.
     """
+    import os
+
     from .onnx_pipeline import load_executors
 
+    if bf16_storage is None:
+        bf16_storage = os.getenv("TTS_ONNX_BF16", "0") == "1"
     return OnnxStageBackend(
-        load_executors(onnx_dir, matmul_precision=matmul_precision), cfg)
+        load_executors(onnx_dir, matmul_precision=matmul_precision,
+                       bf16_storage=bf16_storage), cfg)

@@ -703,9 +703,28 @@ def op_eyelike(ctx: Ctx, x):
 # linear algebra / NN
 # ---------------------------------------------------------------------------
 
+def _store_act(ctx: Ctx, y):
+    """Activation-STORAGE policy for the hot ops (MatMul/Gemm/Conv/
+    ConvTranspose). Under bf16-storage mode (``OnnxExecutor(...,
+    bf16_storage=True)``) their f32 outputs are stored bfloat16: in an
+    op-by-op graph these outputs (attention logits, conv activations) are
+    the largest HBM tensors, and halving their bytes is the same lever the
+    native engine's bf16-logits fast path uses (docs/PERFORMANCE.md, +18%
+    measured). Softmax/normalizations/reductions still compute in f32
+    (upcast on entry below); graph OUTPUTS keep their declared f32 dtype
+    (skipped here, enforced again at the _run_traced boundary)."""
+    env = ctx.env or {}
+    if (env.get("__bf16_storage__")
+            and getattr(y, "dtype", None) == jnp.float32
+            and ctx.node.outputs
+            and ctx.node.outputs[0] not in env.get("__graph_outputs__", ())):
+        return y.astype(jnp.bfloat16)
+    return y
+
+
 @op("MatMul")
 def op_matmul(ctx: Ctx, a, b):
-    return jnp.matmul(jnp.asarray(a), jnp.asarray(b))
+    return _store_act(ctx, jnp.matmul(jnp.asarray(a), jnp.asarray(b)))
 
 
 @op("Gemm")
@@ -717,7 +736,7 @@ def op_gemm(ctx: Ctx, a, b, c=None):
     y = alpha * (a @ b)
     if c is not None:
         y = y + beta * jnp.asarray(c)
-    return y
+    return _store_act(ctx, y)
 
 
 @op("Einsum")
@@ -727,6 +746,9 @@ def op_einsum(ctx: Ctx, *ins):
 
 def _softmax_like(ctx: Ctx, x, fn):
     x = jnp.asarray(x)
+    out_dt = x.dtype
+    if x.dtype == jnp.bfloat16:  # bf16-storage mode: the exp-sum reduction
+        x = x.astype(jnp.float32)  # must accumulate in f32 (stored back bf16)
     opset = (ctx.env or {}).get("__opset__")
     if opset is not None and opset < 13:
         # opset < 13: softmax over the FLATTENED trailing dims from `axis`
@@ -734,8 +756,8 @@ def _softmax_like(ctx: Ctx, x, fn):
         axis = ctx.attr("axis", 1) % x.ndim
         lead = x.shape[:axis]
         flat = jnp.reshape(x, (int(np.prod(lead, dtype=np.int64)), -1))
-        return jnp.reshape(fn(flat, axis=-1), x.shape)
-    return fn(x, axis=ctx.attr("axis", -1))
+        return jnp.reshape(fn(flat, axis=-1), x.shape).astype(out_dt)
+    return fn(x, axis=ctx.attr("axis", -1)).astype(out_dt)
 
 
 @op("Softmax")
@@ -756,6 +778,8 @@ def op_layernorm(ctx: Ctx, x, scale, bias=None):
         axis += x.ndim
     axes = tuple(range(axis, x.ndim))
     x = jnp.asarray(x)
+    if x.dtype == jnp.bfloat16:  # bf16-storage mode: stats in f32
+        x = x.astype(jnp.float32)
     mean = jnp.mean(x, axis=axes, keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
     inv = 1.0 / jnp.sqrt(var + eps)
@@ -772,6 +796,8 @@ def op_layernorm(ctx: Ctx, x, scale, bias=None):
 def op_instancenorm(ctx: Ctx, x, scale, bias):
     eps = ctx.attr("epsilon", 1e-5)
     x = jnp.asarray(x)
+    if x.dtype == jnp.bfloat16:  # bf16-storage mode: stats in f32
+        x = x.astype(jnp.float32)
     axes = tuple(range(2, x.ndim))
     mean = jnp.mean(x, axis=axes, keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
@@ -785,6 +811,8 @@ def op_groupnorm(ctx: Ctx, x, scale, bias):
     eps = ctx.attr("epsilon", 1e-5)
     g = ctx.attr("num_groups")
     x = jnp.asarray(x)
+    if x.dtype == jnp.bfloat16:  # bf16-storage mode: stats in f32
+        x = x.astype(jnp.float32)
     n, c = x.shape[:2]
     sp = x.shape[2:]
     y = jnp.reshape(x, (n, g, c // g) + sp)
@@ -879,7 +907,7 @@ def op_conv(ctx: Ctx, x, w, b=None):
     )
     if b is not None:
         out = out + jnp.reshape(b, (1, -1) + (1,) * nd)
-    return out
+    return _store_act(ctx, out)
 
 
 @op("ConvTranspose")
@@ -933,7 +961,7 @@ def op_convtranspose(ctx: Ctx, x, w, b=None):
     )
     if b is not None:
         out = out + jnp.reshape(b, (1, -1) + (1,) * nd)
-    return out
+    return _store_act(ctx, out)
 
 
 def _pool(ctx: Ctx, x, reducer, init, is_avg: bool):
@@ -2008,7 +2036,13 @@ class OnnxExecutor:
         return names
 
     def __init__(self, graph: OnnxGraph, *,
-                 matmul_precision: str = "float32"):
+                 matmul_precision: str = "float32",
+                 bf16_storage: bool = False):
+        """``bf16_storage``: store MatMul/Gemm/Conv outputs as bfloat16
+        inside the traced program (softmax/norm/reduce still compute f32;
+        graph outputs keep their declared f32 dtype). The op-by-op graph's
+        HBM-traffic analog of the native engine's bf16-logits fast path —
+        opt-in throughput mode, NOT for the ORT-parity gate."""
         self.graph = graph
         self._static_inits: dict[str, np.ndarray] = {}
         self._weights: dict[str, jax.Array] = {}
@@ -2035,6 +2069,7 @@ class OnnxExecutor:
         avail = (set(self.input_names) | init_names)
         self._nodes = _toposort(graph, avail)
         self._matmul_precision = matmul_precision
+        self._bf16_storage = bool(bf16_storage)
         self._jfn = jax.jit(self._run_traced)
 
     # -- trace-time evaluation -------------------------------------------
@@ -2043,6 +2078,9 @@ class OnnxExecutor:
         # reserved key consulted by opset-sensitive ops (Softmax < 13);
         # If/Loop/Scan bodies inherit it via their env copies
         env["__opset__"] = self.graph.opset
+        if self._bf16_storage:
+            env["__bf16_storage__"] = True
+            env["__graph_outputs__"] = frozenset(self.output_names)
         env.update(weights)
         for name, arr in zip(self.input_names, inputs):
             env[name] = arr
@@ -2051,7 +2089,10 @@ class OnnxExecutor:
         outs = []
         for name in self.output_names:
             v = env[name]
-            outs.append(jnp.asarray(v) if _is_static(v) else v)
+            v = jnp.asarray(v) if _is_static(v) else v
+            if self._bf16_storage and getattr(v, "dtype", None) == jnp.bfloat16:
+                v = v.astype(jnp.float32)  # keep the declared output contract
+            outs.append(v)
         return tuple(outs)
 
     # -- public API --------------------------------------------------------

@@ -31,8 +31,8 @@ MODEL_FILES = ("duration_predictor", "text_encoder",
                "vector_estimator", "vocoder")
 
 
-def load_executors(onnx_dir: str, *, matmul_precision: str = "float32"
-                   ) -> dict[str, OnnxExecutor]:
+def load_executors(onnx_dir: str, *, matmul_precision: str = "float32",
+                   bf16_storage: bool = False) -> dict[str, OnnxExecutor]:
     """The four graphs from a reference-layout directory
     (py/helper.py:289-306), one jitted executor each. Shared by the
     per-call pipeline below and the fused engine backend (onnx_backend)."""
@@ -40,7 +40,8 @@ def load_executors(onnx_dir: str, *, matmul_precision: str = "float32"
     for name in MODEL_FILES:
         path = os.path.join(onnx_dir, f"{name}.onnx")
         execs[name] = OnnxExecutor(load_onnx(path),
-                                   matmul_precision=matmul_precision)
+                                   matmul_precision=matmul_precision,
+                                   bf16_storage=bf16_storage)
     return execs
 
 

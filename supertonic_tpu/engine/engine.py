@@ -103,6 +103,7 @@ class PendingBatch:
 
     wav_dev: object
     dur_dev: object
+    wav_src: object  # pre-sliced egress view (host-output path) or None
     dev_args: tuple
     text_mask: np.ndarray
     b_true: int
@@ -113,6 +114,16 @@ class PendingBatch:
     device_output: bool
     t_start: float
     n_chars: int
+
+
+def _early_egress() -> bool:
+    """Start the waveform device->host copy at DISPATCH time (default) so
+    audio streams back the moment compute finishes instead of waiting for
+    resolve()'s fetch request — worth one link round-trip per utterance on
+    high-RTT device links. TTS_EARLY_EGRESS=0 opts out (A/B lever)."""
+    import os
+
+    return os.getenv("TTS_EARLY_EGRESS", "1") != "0"
 
 
 def _tree_has_key(tree, key: str) -> bool:
@@ -201,10 +212,16 @@ class SynthesisEngine(LongFormSynthesis):
         # multiplies flow+vocoder compute. Estimate = max over a recent
         # window (converges after ONE batch, no slow drift flipping buckets)
         # times a safety margin; overflow triggers a re-run (rare).
-        from collections import deque
-
-        self._spc_window = deque(maxlen=16)  # empty -> prior (possibly cached)
-        self._spc_prior = self._load_rate_cache() or (1.0 / 11.0)
+        # learned seconds-per-char, tracked PER TEXT-LENGTH BUCKET: short
+        # texts run at a visibly higher sec/char than long ones (fixed
+        # prosodic overhead), so a single max-over-recent-requests estimate
+        # lets a short request inflate the next mid/long request's latent
+        # bucket — measured r3: the mid protocol text sits at 255/256 frames
+        # and one cross-text bump pushed every batch to T320 (-36%
+        # throughput). Per-bucket windows are tight AND stable.
+        self._spc_windows: dict[int, object] = {}
+        self._spc_priors: dict[int, float] = self._load_rate_cache()
+        self._spc_default_prior = 1.0 / 11.0
         self._spc_margin = 1.1
         # device-resident styles: uploading the [B,S,D] style tensors on
         # every request costs host->device round-trips that dominate short-
@@ -212,9 +229,9 @@ class SynthesisEngine(LongFormSynthesis):
         # pairs hit this cache instead (VERDICT r1 item 5)
         self._style_dev_cache: dict[int, tuple] = {}
 
-    # persisted learned speaking rate: a fresh process otherwise spends its
-    # first request on the conservative-prior latent bucket (one extra
-    # compiled program that is never used again)
+    # persisted learned speaking rates (one per text-length bucket): a fresh
+    # process otherwise spends its first requests on the conservative-prior
+    # latent bucket (extra compiled programs that are never used again)
     def _rate_cache_path(self) -> str:
         import hashlib
         import os
@@ -227,24 +244,29 @@ class SynthesisEngine(LongFormSynthesis):
             "JAX_COMPILATION_CACHE_DIR",
             os.path.expanduser("~/.cache/jax_comp_cache"),
         )
-        return os.path.join(base, f"stpu_rate_{cfg_key}.txt")
+        return os.path.join(base, f"stpu_rates_{cfg_key}.json")
 
-    def _load_rate_cache(self) -> float | None:
+    def _load_rate_cache(self) -> dict[int, float]:
+        import json
+
         try:
             with open(self._rate_cache_path()) as f:
-                v = float(f.read().strip())
-            return v if 0.001 < v < 1.0 else None
-        except (OSError, ValueError):
-            return None
+                raw = json.load(f)
+            return {int(k): float(v) for k, v in raw.items()
+                    if 0.001 < float(v) < 1.0}
+        except (OSError, ValueError, AttributeError):
+            return {}
 
-    def _save_rate_cache(self, value: float) -> None:
+    def _save_rate_cache(self) -> None:
+        import json
         import os
 
         try:
             path = self._rate_cache_path()
             os.makedirs(os.path.dirname(path), exist_ok=True)
             with open(path, "w") as f:
-                f.write(f"{value:.6f}")
+                json.dump({str(k): round(v, 6)
+                           for k, v in sorted(self._spc_priors.items())}, f)
         except OSError:
             pass
 
@@ -255,6 +277,42 @@ class SynthesisEngine(LongFormSynthesis):
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
+
+    def _spc_window_for(self, l_bucket: int):
+        """This text-length bucket's recent-rate window, created on first
+        use SEEDED with the persisted prior: the estimate (and therefore the
+        latent bucket + egress-slice width) is then IDENTICAL from batch 1
+        across process restarts, so fresh-process traffic re-uses the last
+        session's compiled programs instead of compiling a slightly-shifted
+        shape (minutes per new shape through a remote-compile tunnel —
+        measured r3: one drifted slice width cost a 284 s bench case). The
+        seed ages out of the 16-deep window, after which the genuinely
+        observed rate governs. Priors for unseen buckets inherit the largest
+        SMALLER bucket's prior (rates fall with text length), else the
+        conservative default."""
+        w = self._spc_windows.get(l_bucket)
+        if w is None:
+            from collections import deque
+
+            prior = self._spc_priors.get(l_bucket)
+            if prior is None:
+                smaller = [b for b in self._spc_priors if b <= l_bucket]
+                prior = (self._spc_priors[max(smaller)] if smaller
+                         else self._spc_default_prior)
+            w = self._spc_windows[l_bucket] = deque([prior], maxlen=16)
+        return w
+
+    def _spc_estimate(self, l_bucket: int) -> float:
+        return max(self._spc_window_for(l_bucket))
+
+    def _pin_rate(self, rate: float = 1.0 / 11.0) -> None:
+        """Test/bench hook: force a uniform learned rate — every text-length
+        bucket derives its latent bucket and slice width from ``rate``
+        (exact-match tests need two engines on the SAME noise grid; the
+        persisted priors would otherwise steer them apart)."""
+        self._spc_windows = {}
+        self._spc_priors = {}
+        self._spc_default_prior = rate
 
     def _pad_batch(self, arrs: list[np.ndarray], b_bucket: int) -> list[np.ndarray]:
         """Pad batch dim by repeating row 0 (sliced off after compute)."""
@@ -386,7 +444,7 @@ class SynthesisEngine(LongFormSynthesis):
         # production path: one fused program, no mid-pipeline sync.
         # t bucket from the learned sec/char estimate; the returned
         # (unclamped) duration exposes overflows, which re-run bigger.
-        spc_est = max(self._spc_window) if self._spc_window else self._spc_prior
+        spc_est = self._spc_estimate(text_mask.shape[1])
         est_secs = l_true * spc_est * self._spc_margin / min(speed, 1.0)
         t_guess = buckets.latent_len_for_duration(est_secs, sr, chunk)
         t_bucket = buckets.pick_bucket(t_guess, rt.latent_buckets)
@@ -406,12 +464,24 @@ class SynthesisEngine(LongFormSynthesis):
                 jnp.float32(speed), int(total_step), int(t_bucket),
                 self.egress_format,
             )
+        # start BOTH device->host copies at dispatch time: the data then
+        # streams back as soon as compute finishes instead of waiting for
+        # end()'s fetch request — on a high-RTT device link that request
+        # costs a full round-trip per resolved batch (probe r3: ~35 ms here,
+        # the dominant term in single-utterance latency)
+        wav_src = None
+        if not device_output:
+            wav_src = (wav_dev if n_xfer >= t_bucket
+                       else wav_dev[:, : n_xfer * chunk])
         try:
             dur_dev.copy_to_host_async()
+            if wav_src is not None and _early_egress():
+                wav_src.copy_to_host_async()
         except (AttributeError, NotImplementedError):
             pass  # backend without async copies: end() fetches synchronously
         return PendingBatch(
-            wav_dev=wav_dev, dur_dev=dur_dev, dev_args=dev_args,
+            wav_dev=wav_dev, dur_dev=dur_dev, wav_src=wav_src,
+            dev_args=dev_args,
             text_mask=text_mask, b_true=b_true, t_bucket=t_bucket,
             n_xfer=n_xfer, total_step=total_step, speed=speed,
             device_output=device_output, t_start=t_start,
@@ -432,6 +502,7 @@ class SynthesisEngine(LongFormSynthesis):
         speed = pending.speed
         text_mask = pending.text_mask
         wav_dev, dur_dev = pending.wav_dev, pending.dur_dev
+        wav_src = pending.wav_src
         t_bucket, n_xfer = pending.t_bucket, pending.n_xfer
         for _attempt in range(4):
             if device_output:
@@ -444,9 +515,11 @@ class SynthesisEngine(LongFormSynthesis):
                 # through the device tunnel). Transfer only the frames the
                 # duration estimate (incl. margin) predicts exist — bucket
                 # padding beyond that is garbage bytes on a slow link; the
-                # rare underestimate fetches the missing tail below.
-                wav_src = (wav_dev if n_xfer >= t_bucket
-                           else wav_dev[:, : n_xfer * chunk])
+                # rare underestimate fetches the missing tail below. begin()
+                # already sliced wav_src and started both async copies.
+                if wav_src is None:  # overflow re-run below resets it
+                    wav_src = (wav_dev if n_xfer >= t_bucket
+                               else wav_dev[:, : n_xfer * chunk])
                 with self.profiler.stage("egress"):
                     wav_host, dur = jax.device_get((wav_src, dur_dev))
             t_needed = int(
@@ -458,10 +531,19 @@ class SynthesisEngine(LongFormSynthesis):
             )
             obs_spc = float((dur[:b_true] * speed / row_chars).max())
             if not getattr(self, "_rate_frozen", False):
-                if not self._spc_window:
-                    # warm-start future processes
-                    self._save_rate_cache(obs_spc)
-                self._spc_window.append(obs_spc)
+                lb = pending.text_mask.shape[1]
+                self._spc_window_for(lb).append(obs_spc)
+                # the persisted prior RATCHETS up (ceil to the 1e-6 grid the
+                # cache file round-trips exactly) and never chases transient
+                # lows: a monotone prior is a fixed point across restarts,
+                # so the bucket/slice shapes a fresh process derives are
+                # exactly the ones already compiled
+                import math
+
+                q = math.ceil(obs_spc * 1e6) / 1e6
+                if q > self._spc_priors.get(lb, 0.0):
+                    self._spc_priors[lb] = q
+                    self._save_rate_cache()
             if t_needed <= t_bucket:
                 if not device_output and t_needed > n_xfer:
                     # sliced transfer undershot the true duration: fetch the
@@ -487,6 +569,7 @@ class SynthesisEngine(LongFormSynthesis):
                     jnp.float32(speed), int(pending.total_step),
                     int(t_bucket), self.egress_format,
                 )
+            wav_src = None  # re-slice at the new bucket on the next pass
         else:
             # duration is deterministic per input, so one retry always fits;
             # reaching here means something is deeply wrong — returning
@@ -574,17 +657,15 @@ class SynthesisEngine(LongFormSynthesis):
         # pays a fresh overflow-retry compile, the very thing warmup exists
         # to prevent)
         live_profiler = self.profiler
-        live_window = self._spc_window
-        from collections import deque
-
+        live_windows = self._spc_windows
         self.profiler = StageProfiler()
-        self._spc_window = deque(maxlen=16)
+        self._spc_windows = {}
         self._rate_frozen = True
         try:
             n = self._warmup_lattice(bss, lbs, total_steps, progress, rng)
         finally:
             self.profiler = live_profiler
-            self._spc_window = live_window
+            self._spc_windows = live_windows
             self._rate_frozen = False
         return n
 
@@ -735,7 +816,7 @@ class SynthesisEngine(LongFormSynthesis):
         t0 = time.perf_counter()
         dev_args, _text_mask, l_true, _b, _bb = self._prepare_inputs(
             [text], [lang], style)
-        spc = max(self._spc_window) if self._spc_window else self._spc_prior
+        spc = self._spc_estimate(dev_args[0].shape[1])
         est = l_true * spc * self._spc_margin / min(speed, 1.0)
         t_bucket = buckets.pick_bucket(
             buckets.latent_len_for_duration(est, sr, chunk),
@@ -756,6 +837,12 @@ class SynthesisEngine(LongFormSynthesis):
                     halo, self.egress_format)
 
             first = win(0)
+            try:  # start both copies now: first audio streams back the
+                # moment the window finishes, no fetch-request round-trip
+                dur_dev.copy_to_host_async()
+                first[2].copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass
             with self.profiler.stage("egress"):
                 w0_np, dur = jax.device_get((first[2], dur_dev))
             wav_len = int(float(dur[0]) * sr)

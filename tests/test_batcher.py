@@ -230,11 +230,12 @@ def test_warmup_does_not_pollute_learned_rate(engine, tiny_config,
     # one real observation first (this one legitimately writes the cache)
     engine.infer_batch(["A real sentence for the rate learner."], ["en"],
                        style, total_step=2)
-    window_before = list(engine._spc_window)
-    cache_before = {p: p.read_text() for p in tmp_path.glob("stpu_rate_*")}
+    window_before = {k: list(w) for k, w in engine._spc_windows.items()}
+    cache_before = {p: p.read_text() for p in tmp_path.glob("stpu_rate*")}
     engine.warmup(batch_sizes=(1,), text_buckets=(32,), total_steps=(2,))
-    assert list(engine._spc_window) == window_before  # no synthetic rows
-    cache_after = {p: p.read_text() for p in tmp_path.glob("stpu_rate_*")}
+    window_after = {k: list(w) for k, w in engine._spc_windows.items()}
+    assert window_after == window_before  # no synthetic rows
+    cache_after = {p: p.read_text() for p in tmp_path.glob("stpu_rate*")}
     assert cache_after == cache_before  # warmup never writes the rate cache
     # empty tuples warm NOTHING (not the default lattice)
     assert engine.warmup(batch_sizes=(), total_steps=(2,)) == 0

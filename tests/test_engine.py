@@ -241,11 +241,11 @@ def test_egress_tail_fetch_on_underestimate(tiny_config):
     text = ["A tail fetch exercise sentence."]
 
     ok = SynthesisEngine(params, tiny_config, proc, precision="f32", seed=9)
-    ok._spc_window.clear(); ok._spc_prior = 1.0 / 11.0
+    ok._pin_rate(1.0 / 11.0)
     w_ok, d_ok = ok.infer_batch(text, ["en"], style, total_step=2)
 
     low = SynthesisEngine(params, tiny_config, proc, precision="f32", seed=9)
-    low._spc_window.clear(); low._spc_prior = 1.0 / 11.0
+    low._pin_rate(1.0 / 11.0)
     low._spc_margin = 0.25  # force a severe underestimate
     w_low, d_low = low.infer_batch(text, ["en"], style, total_step=2)
 

@@ -17,8 +17,7 @@ def _pin_rate(*engines, rate=1.0 / 11.0):
     just saved, land in a different bucket, and draw a different noise
     grid (same duration, different waveform)."""
     for e in engines:
-        e._spc_window.clear()
-        e._spc_prior = rate
+        e._pin_rate(rate)
 
 
 def _style(cfg, n=1, seed=7):

@@ -160,8 +160,7 @@ def test_backend_mesh_matches_single_device(onnx_dir):  # noqa: F811
     # pin both engines to the same latent-bucket prior (the learned-rate
     # disk cache would otherwise steer them to different noise grids)
     for e in (single, sharded):
-        e._spc_window.clear()
-        e._spc_prior = 1.0 / 11.0
+        e._pin_rate(1.0 / 11.0)
 
     texts = [f"Mesh utterance number {i}." for i in range(8)]
     rng = np.random.default_rng(13)

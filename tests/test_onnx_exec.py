@@ -1763,3 +1763,60 @@ def test_small_float_initializers_are_jit_arguments(rng):
                inputs=[("x", F32, (1, 2, 4))], outputs=[("y", F32, (1, 2, 8))])
     assert "s" in ex._static_inits
     assert run1(ex, x=xr).shape == (1, 2, 8)
+
+
+def test_bf16_storage_mode(rng):
+    """bf16_storage=True: attention-shaped graphs run with MatMul/Conv
+    outputs stored bfloat16 (softmax/norm still f32-accumulated), graph
+    outputs keep their declared f32 dtype, and results stay within bf16
+    rounding of the strict-f32 run."""
+    q = rng.standard_normal((2, 8, 16)).astype(F32)
+    k = rng.standard_normal((2, 16, 8)).astype(F32)
+    v = rng.standard_normal((2, 8, 16)).astype(F32)
+    scale = np.ones((16,), F32)
+    bias = np.zeros((16,), F32)
+
+    def make(**kw):
+        data = R.encode_model(
+            "g",
+            [R.encode_node("MatMul", ["q", "k"], ["logits"], name="n0"),
+             R.encode_node("Softmax", ["logits"], ["p"], name="n1",
+                           attrs={"axis": -1}),
+             R.encode_node("MatMul", ["p", "v"], ["ctxv"], name="n2"),
+             R.encode_node("LayerNormalization", ["ctxv", "scale", "bias"],
+                           ["y"], name="n3", attrs={"axis": -1})],
+            [R.encode_tensor("k", k), R.encode_tensor("v", v),
+             R.encode_tensor("scale", scale), R.encode_tensor("bias", bias)],
+            [R.encode_value_info("q", F32, (2, 8, 16))],
+            [R.encode_value_info("y", F32, (2, 8, 16))],
+        )
+        return OnnxExecutor(R.parse_model(data), **kw)
+
+    ref = make().run(None, {"q": q})[0]
+    got = make(bf16_storage=True).run(None, {"q": q})[0]
+    assert got.dtype == np.float32
+    assert np.max(np.abs(got - ref)) < 0.1  # bf16 rounding, not divergence
+    np.testing.assert_allclose(got, ref, atol=0.1, rtol=0.1)
+
+
+def test_bf16_storage_conv(rng):
+    """Conv outputs store bf16 under the flag; final graph output is f32."""
+    x = rng.standard_normal((1, 4, 16)).astype(F32)
+    w = (rng.standard_normal((8, 4, 3)) * 0.2).astype(F32)
+    ex = build([("Conv", ["x", "w"], ["h"], {"pads": [1, 1]}),
+                ("Relu", ["h"], ["h2"]),
+                ("ReduceMean", ["h2"], ["y"], {"axes": [2]})],
+               inits={"w": w},
+               inputs=[("x", F32, (1, 4, 16))],
+               outputs=[("y", F32, (1, 8, 1))])
+    ref = run1(ex, x=x)
+    ex2 = build([("Conv", ["x", "w"], ["h"], {"pads": [1, 1]}),
+                 ("Relu", ["h"], ["h2"]),
+                 ("ReduceMean", ["h2"], ["y"], {"axes": [2]})],
+                inits={"w": w},
+                inputs=[("x", F32, (1, 4, 16))],
+                outputs=[("y", F32, (1, 8, 1))])
+    ex2._bf16_storage = True
+    got = ex2.run(None, {"x": x})[0]
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)

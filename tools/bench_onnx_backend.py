@@ -124,6 +124,9 @@ def main(argv=None) -> int:
     ap.add_argument("--native", action="store_true",
                     help="add a third arm: the bundle auto-mapped onto the "
                          "tuned native engine (assets/automap.py)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="add a fused-executor arm with bf16 activation "
+                         "storage (TTS_ONNX_BF16, assets/onnx_exec.py)")
     ap.add_argument("--skip-adapter", action="store_true")
     args = ap.parse_args(argv)
 
@@ -154,6 +157,17 @@ def main(argv=None) -> int:
             fused_tts.engine, _style_for(fused_tts), batch=args.batch,
             steps=args.total_step, text=args.text)
     del fused_tts
+    if args.bf16:
+        os.environ["TTS_ONNX_BF16"] = "1"
+        b16 = TTS(args.assets_dir)
+        out["fused_bf16"] = measure(b16, n=args.n, steps=args.total_step,
+                                    text=args.text)
+        if args.batch:
+            out["fused_bf16"]["batch"] = measure_batch(
+                b16.engine, _style_for(b16), batch=args.batch,
+                steps=args.total_step, text=args.text)
+        del b16
+        os.environ.pop("TTS_ONNX_BF16", None)
     if args.native:
         nat = native_tts(args.assets_dir)
         out["native"] = measure(nat, n=args.n, steps=args.total_step,

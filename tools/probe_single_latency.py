@@ -80,7 +80,7 @@ def main():
     sdp_dev, sttl_dev = engine._device_style(style, 1)
     dev_args = (ids_dev, mask_dev, sdp_dev, sttl_dev)
 
-    spc_est = max(engine._spc_window) if engine._spc_window else engine._spc_prior
+    spc_est = engine._spc_estimate(ids_p.shape[1])
     est = ids.shape[1] * spc_est * engine._spc_margin
     chunk = engine.cfg.chunk_size
     t_guess = buckets.latent_len_for_duration(est, engine.cfg.sample_rate, chunk)
