@@ -893,6 +893,20 @@ def _conv_pads(ctx: Ctx, x, w, strides, dils) -> list[tuple[int, int]]:
     return _window_pads(ctx, x.shape, w.shape[2:], strides, dils)
 
 
+def _conv_operands(x, w):
+    """lax.conv requires matching operand dtypes. Under bf16 activation
+    storage an f32-weight conv can receive a bf16 input: compute with bf16
+    operands and f32 accumulation (the MXU-native mixed mode)."""
+    x, w = jnp.asarray(x), jnp.asarray(w)
+    if x.dtype == w.dtype:
+        return x, w, None
+    if jnp.bfloat16 in (x.dtype, w.dtype):
+        return (x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                jnp.float32)
+    dt = jnp.promote_types(x.dtype, w.dtype)
+    return x.astype(dt), w.astype(dt), None
+
+
 @op("Conv")
 def op_conv(ctx: Ctx, x, w, b=None):
     nd = x.ndim - 2
@@ -901,9 +915,11 @@ def op_conv(ctx: Ctx, x, w, b=None):
     group = ctx.attr("group", 1)
     padding = _conv_pads(ctx, x, w, strides, dils)
     dn = lax.conv_dimension_numbers(x.shape, w.shape, _spec(nd))
+    x2, w2, acc = _conv_operands(x, w)
     out = lax.conv_general_dilated(
-        jnp.asarray(x), jnp.asarray(w), strides, padding,
+        x2, w2, strides, padding,
         rhs_dilation=dils, dimension_numbers=dn, feature_group_count=group,
+        preferred_element_type=acc,
     )
     if b is not None:
         out = out + jnp.reshape(b, (1, -1) + (1,) * nd)
@@ -954,10 +970,12 @@ def op_convtranspose(ctx: Ctx, x, w, b=None):
         for i in range(nd)
     ]
     dn = lax.conv_dimension_numbers(x.shape, w2.shape, _spec(nd))
+    x2, w2, acc = _conv_operands(x, w2)
     out = lax.conv_general_dilated(
-        jnp.asarray(x), w2, (1,) * nd, conv_pads,
+        x2, w2, (1,) * nd, conv_pads,
         lhs_dilation=strides, rhs_dilation=dils, dimension_numbers=dn,
         feature_group_count=group,
+        preferred_element_type=acc,
     )
     if b is not None:
         out = out + jnp.reshape(b, (1, -1) + (1,) * nd)

@@ -130,21 +130,26 @@ def bench_batch_throughput(engine, style, text: str, *, batch: int = 32,
         if jax.default_backend() != "cpu" else 1
 
     # analytic matmul-FLOPs at the ACTUAL padded bucket shapes this batch
-    # dispatched (VERDICT r2 item 5: MFU from the bench itself)
-    from ..engine import buckets as _buckets
-    from .flops import fused_synthesis_flops, mfu as _mfu
+    # dispatched (VERDICT r2 item 5: MFU from the bench itself). Engines
+    # without a frontend/bucket surface (the per-call adapter implements
+    # begin/end as eager passthrough) report throughput without MFU.
+    flops = tflops_eff = mfu_frac = None
+    chip = None
+    if hasattr(engine, "processor") and hasattr(pend, "t_bucket"):
+        from ..engine import buckets as _buckets
+        from .flops import fused_synthesis_flops, mfu as _mfu
 
-    rt = engine.cfg.runtime
-    ids, _ = engine.processor([text], ["en"])
-    l_bucket = _buckets.pick_bucket(ids.shape[1], rt.text_buckets)
-    b_bucket = _buckets.pick_bucket(batch, rt.batch_buckets)
-    flops = fused_synthesis_flops(engine.cfg, b_bucket, l_bucket,
-                                  pend.t_bucket, total_step)
-    kind = getattr(jax.devices()[0], "device_kind", "").lower()
-    chip = ("v5e" if "v5 lite" in kind or "v5e" in kind else
-            "v5p" if "v5" in kind else
-            "v4" if "v4" in kind else "cpu")
-    tflops_eff, mfu_frac = _mfu(flops, t, chip, n_chips)
+        rt = engine.cfg.runtime
+        ids, _ = engine.processor([text], ["en"])
+        l_bucket = _buckets.pick_bucket(ids.shape[1], rt.text_buckets)
+        b_bucket = _buckets.pick_bucket(batch, rt.batch_buckets)
+        flops = fused_synthesis_flops(engine.cfg, b_bucket, l_bucket,
+                                      pend.t_bucket, total_step)
+        kind = getattr(jax.devices()[0], "device_kind", "").lower()
+        chip = ("v5e" if "v5 lite" in kind or "v5e" in kind else
+                "v5p" if "v5" in kind else
+                "v4" if "v4" in kind else "cpu")
+        tflops_eff, mfu_frac = _mfu(flops, t, chip, n_chips)
     return {
         "batch": batch,
         "total_step": total_step,
@@ -156,8 +161,10 @@ def bench_batch_throughput(engine, style, text: str, *, batch: int = 32,
         "audio_sec_per_sec_e2e": total_audio / (t + egress_s),
         "aggregate_realtime_x": total_audio / t,
         "flops_per_batch": flops,
-        "tflops_effective": round(tflops_eff, 2),
+        "tflops_effective": (None if tflops_eff is None
+                             else round(tflops_eff, 2)),
         "mfu": None if mfu_frac is None else round(mfu_frac, 4),
         "chip": chip,
-        "bucket_shapes": {"b": b_bucket, "l": l_bucket, "t": pend.t_bucket},
+        "bucket_shapes": (None if flops is None else
+                          {"b": b_bucket, "l": l_bucket, "t": pend.t_bucket}),
     }
