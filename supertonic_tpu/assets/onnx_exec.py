@@ -307,6 +307,11 @@ def _reduce(fn_name: str):
         if axes_in is not None:
             axes = [int(a) for a in ctx.static(axes_in, "axes").ravel()]
         keep = bool(ctx.attr("keepdims", 1))
+        if getattr(x, "dtype", None) == jnp.bfloat16:
+            # bf16-storage mode: accumulate reductions in f32 (an 8-bit
+            # mantissa loses digits over long axes — decomposed norms reduce
+            # over thousands of frames)
+            x = x.astype(jnp.float32)
         if axes is None:
             if ctx.attr("noop_with_empty_axes", 0):
                 return x
@@ -844,6 +849,8 @@ def op_lpnorm(ctx: Ctx, x):
 def op_mvn(ctx: Ctx, x):
     axes = tuple(ctx.attr("axes", [0, 2, 3]))
     x = jnp.asarray(x)
+    if x.dtype == jnp.bfloat16:  # bf16-storage mode: stats in f32
+        x = x.astype(jnp.float32)
     mean = jnp.mean(x, axis=axes, keepdims=True)
     var = jnp.mean(jnp.square(x), axis=axes, keepdims=True) - jnp.square(mean)
     return (x - mean) / jnp.sqrt(var + 1e-9)

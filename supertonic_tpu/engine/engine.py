@@ -221,6 +221,7 @@ class SynthesisEngine(LongFormSynthesis):
         # throughput). Per-bucket windows are tight AND stable.
         self._spc_windows: dict[int, object] = {}
         self._spc_priors: dict[int, float] = self._load_rate_cache()
+        self._spc_counts: dict[int, int] = {}  # real observations per bucket
         self._spc_default_prior = 1.0 / 11.0
         self._spc_margin = 1.1
         # device-resident styles: uploading the [B,S,D] style tensors on
@@ -254,8 +255,8 @@ class SynthesisEngine(LongFormSynthesis):
                 raw = json.load(f)
             return {int(k): float(v) for k, v in raw.items()
                     if 0.001 < float(v) < 1.0}
-        except (OSError, ValueError, AttributeError):
-            return {}
+        except (OSError, ValueError, AttributeError, TypeError):
+            return {}  # corrupted/hand-edited cache: start from defaults
 
     def _save_rate_cache(self) -> None:
         import json
@@ -312,6 +313,7 @@ class SynthesisEngine(LongFormSynthesis):
         persisted priors would otherwise steer them apart)."""
         self._spc_windows = {}
         self._spc_priors = {}
+        self._spc_counts = {}
         self._spc_default_prior = rate
 
     def _pad_batch(self, arrs: list[np.ndarray], b_bucket: int) -> list[np.ndarray]:
@@ -532,17 +534,28 @@ class SynthesisEngine(LongFormSynthesis):
             obs_spc = float((dur[:b_true] * speed / row_chars).max())
             if not getattr(self, "_rate_frozen", False):
                 lb = pending.text_mask.shape[1]
-                self._spc_window_for(lb).append(obs_spc)
+                win = self._spc_window_for(lb)
+                win.append(obs_spc)
+                self._spc_counts[lb] = self._spc_counts.get(lb, 0) + 1
                 # the persisted prior RATCHETS up (ceil to the 1e-6 grid the
                 # cache file round-trips exactly) and never chases transient
                 # lows: a monotone prior is a fixed point across restarts,
                 # so the bucket/slice shapes a fresh process derives are
-                # exactly the ones already compiled
+                # exactly the ones already compiled. Self-heal against a
+                # one-off outlier poisoning the disk forever: once a FULL
+                # window of real observations sits well below the prior
+                # (seed evicted), write the prior down to the observed max.
                 import math
 
                 q = math.ceil(obs_spc * 1e6) / 1e6
-                if q > self._spc_priors.get(lb, 0.0):
+                prior = self._spc_priors.get(lb, 0.0)
+                if q > prior:
                     self._spc_priors[lb] = q
+                    self._save_rate_cache()
+                elif (self._spc_counts[lb] >= win.maxlen
+                      and prior > 0.0
+                      and max(win) < prior * 0.9):
+                    self._spc_priors[lb] = math.ceil(max(win) * 1e6) / 1e6
                     self._save_rate_cache()
             if t_needed <= t_bucket:
                 if not device_output and t_needed > n_xfer:
@@ -837,12 +850,13 @@ class SynthesisEngine(LongFormSynthesis):
                     halo, self.egress_format)
 
             first = win(0)
-            try:  # start both copies now: first audio streams back the
-                # moment the window finishes, no fetch-request round-trip
-                dur_dev.copy_to_host_async()
-                first[2].copy_to_host_async()
-            except (AttributeError, NotImplementedError):
-                pass
+            if _early_egress():
+                try:  # start both copies now: first audio streams back the
+                    # moment the window finishes, no fetch-request round-trip
+                    dur_dev.copy_to_host_async()
+                    first[2].copy_to_host_async()
+                except (AttributeError, NotImplementedError):
+                    pass
             with self.profiler.stage("egress"):
                 w0_np, dur = jax.device_get((first[2], dur_dev))
             wav_len = int(float(dur[0]) * sr)

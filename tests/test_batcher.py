@@ -239,3 +239,30 @@ def test_warmup_does_not_pollute_learned_rate(engine, tiny_config,
     assert cache_after == cache_before  # warmup never writes the rate cache
     # empty tuples warm NOTHING (not the default lattice)
     assert engine.warmup(batch_sizes=(), total_steps=(2,)) == 0
+
+
+def test_rate_prior_ratchets_and_self_heals(engine, tiny_config,
+                                            monkeypatch, tmp_path):
+    """The persisted per-bucket rate prior ratchets UP on new highs, and
+    writes DOWN once a full window of real observations sits well below a
+    poisoned prior (one outlier must not inflate the bucket forever)."""
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path))
+    style = _style(tiny_config)
+    text = "A steady sentence for the rate learner to observe."
+
+    engine.infer_batch([text], ["en"], style, total_step=2)
+    lb = next(iter(engine._spc_windows))
+    obs = max(engine._spc_window_for(lb))
+    assert engine._spc_priors[lb] >= obs  # ratcheted up from the first obs
+
+    # poison the prior far above reality (simulates a one-off outlier that
+    # got persisted) and feed a full window of normal observations
+    engine._spc_priors[lb] = obs * 4.0
+    engine._spc_counts[lb] = 0
+    engine._spc_windows.pop(lb)
+    for _ in range(engine._spc_window_for(lb).maxlen):
+        engine.infer_batch([text], ["en"], style, total_step=2)
+    healed = engine._spc_priors[lb]
+    assert healed < obs * 1.5, f"prior did not heal: {healed} vs obs {obs}"
+    # and the healed value persisted
+    assert engine._load_rate_cache()[lb] == healed

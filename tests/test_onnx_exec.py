@@ -16,9 +16,9 @@ from supertonic_tpu.assets.onnx_exec import OnnxExecutor, UnsupportedOp
 F32, I64 = np.float32, np.int64
 
 
-def build(nodes, inits=None, inputs=(), outputs=()):
+def build(nodes, inits=None, inputs=(), outputs=(), **exec_kw):
     """nodes: (op, ins, outs[, attrs]); inputs/outputs: (name, dtype, shape);
-    inits: {name: array}. Returns an executor."""
+    inits: {name: array}. Returns an executor (extra kwargs forwarded)."""
     node_bufs = []
     for i, spec in enumerate(nodes):
         op, ins, outs = spec[0], spec[1], spec[2]
@@ -30,7 +30,7 @@ def build(nodes, inits=None, inputs=(), outputs=()):
     in_vis = [R.encode_value_info(n, dt, sh) for n, dt, sh in inputs]
     out_vis = [R.encode_value_info(n, dt, sh) for n, dt, sh in outputs]
     data = R.encode_model("g", node_bufs, init_bufs, in_vis, out_vis)
-    return OnnxExecutor(R.parse_model(data))
+    return OnnxExecutor(R.parse_model(data), **exec_kw)
 
 
 def run1(ex, **feeds):
@@ -1815,8 +1815,8 @@ def test_bf16_storage_conv(rng):
                  ("ReduceMean", ["h2"], ["y"], {"axes": [2]})],
                 inits={"w": w},
                 inputs=[("x", F32, (1, 4, 16))],
-                outputs=[("y", F32, (1, 8, 1))])
-    ex2._bf16_storage = True
+                outputs=[("y", F32, (1, 8, 1))],
+                bf16_storage=True)
     got = ex2.run(None, {"x": x})[0]
     assert got.dtype == np.float32
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)

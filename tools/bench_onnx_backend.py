@@ -139,6 +139,9 @@ def main(argv=None) -> int:
     setup_compilation_cache()
     from supertonic_tpu import TTS
 
+    # arm isolation: a pre-exported TTS_ONNX_BF16=1 would silently make the
+    # baseline fused arm bf16 too (A/B delta ~0); env edits are process-local
+    os.environ.pop("TTS_ONNX_BF16", None)
     out: dict = {"total_step": args.total_step, "n": args.n,
                  # all arms pay the same waveform egress (the adapter has
                  # no device-resident output mode), so singles latency
