@@ -290,8 +290,16 @@ def tts_config_from_reference_dict(raw: dict[str, Any]) -> TTSConfig:
     # (go/helper.go:64-68): a foreign idim must re-derive the encoder dim,
     # or the proj_out matmul is shape-incoherent (caught by the config
     # drill, tests/test_config_drill.py)
-    text_encoder = dataclasses.replace(TextEncoderHParams(),
-                                       dim=ttl.proj_out_idim)
+    te_defaults = TextEncoderHParams()
+    if ttl.proj_out_idim % te_defaults.n_heads:
+        # fail at config level with the field names, not as a raw reshape
+        # size mismatch deep inside attention head splitting
+        raise ValueError(
+            f"ttl.text_encoder.proj_out.idim={ttl.proj_out_idim} is not "
+            f"divisible by the text encoder's n_heads="
+            f"{te_defaults.n_heads}; the encoder width cannot split into "
+            f"attention heads")
+    text_encoder = dataclasses.replace(te_defaults, dim=ttl.proj_out_idim)
     return TTSConfig(ae=ae, ttl=ttl, dp=dp, vocoder=vocoder,
                      text_encoder=text_encoder)
 

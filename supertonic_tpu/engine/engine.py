@@ -167,6 +167,7 @@ class SynthesisEngine(LongFormSynthesis):
         self.attn_fn = attn_fn or L.attention_core
         self.mesh = mesh
         self.backend = backend
+        self._fused_ffn = fused_ffn
         if backend is not None and params is None:
             params = backend.params
         # NOTE: models.fuse_projections (merged QKV/KV matmuls) was measured
@@ -189,6 +190,15 @@ class SynthesisEngine(LongFormSynthesis):
         self.profiler = StageProfiler()
         self.egress_format = egress_format
         self._key = jax.random.key(seed)
+        # guards the engine's HOST-side mutable state (PRNG chain, learned
+        # rate, style cache, lazy program builds) — the batcher thread and
+        # windowed-streaming handler threads drive the same engine
+        # concurrently. Deliberately NOT held across device dispatch/fetch:
+        # that would serialize begin/end pipelining (XLA dispatch itself is
+        # thread-safe).
+        import threading
+
+        self._host_mutex = threading.RLock()
         self._flow_fn = self._voc_win_fn = None  # built lazily (native only)
         if backend is not None:
             self._text_fn = backend.text_fn
@@ -276,8 +286,10 @@ class SynthesisEngine(LongFormSynthesis):
     # ------------------------------------------------------------------
 
     def _next_key(self):
-        self._key, sub = jax.random.split(self._key)
-        return sub
+        with self._host_mutex:  # racing read-split-assign would hand two
+            # requests the identical subkey (identical noise)
+            self._key, sub = jax.random.split(self._key)
+            return sub
 
     def _spc_window_for(self, l_bucket: int):
         """This text-length bucket's recent-rate window, created on first
@@ -291,20 +303,45 @@ class SynthesisEngine(LongFormSynthesis):
         observed rate governs. Priors for unseen buckets inherit the largest
         SMALLER bucket's prior (rates fall with text length), else the
         conservative default."""
-        w = self._spc_windows.get(l_bucket)
-        if w is None:
-            from collections import deque
+        with self._host_mutex:
+            w = self._spc_windows.get(l_bucket)
+            if w is None:
+                from collections import deque
 
-            prior = self._spc_priors.get(l_bucket)
-            if prior is None:
-                smaller = [b for b in self._spc_priors if b <= l_bucket]
-                prior = (self._spc_priors[max(smaller)] if smaller
-                         else self._spc_default_prior)
-            w = self._spc_windows[l_bucket] = deque([prior], maxlen=16)
-        return w
+                prior = self._spc_priors.get(l_bucket)
+                if prior is None:
+                    smaller = [b for b in self._spc_priors if b <= l_bucket]
+                    prior = (self._spc_priors[max(smaller)] if smaller
+                             else self._spc_default_prior)
+                w = self._spc_windows[l_bucket] = deque([prior], maxlen=16)
+            return w
 
     def _spc_estimate(self, l_bucket: int) -> float:
         return max(self._spc_window_for(l_bucket))
+
+    def _observe_rate(self, l_bucket: int, obs_spc: float) -> None:
+        """Feed one observed seconds-per-char into the learned-rate state:
+        window append, count, prior ratchet-up (1e-6 ceil grid the cache
+        file round-trips exactly) and the poisoned-prior write-down once a
+        FULL window of real observations sits well below it."""
+        if getattr(self, "_rate_frozen", False):
+            return
+        import math
+
+        with self._host_mutex:
+            win = self._spc_window_for(l_bucket)
+            win.append(obs_spc)
+            self._spc_counts[l_bucket] = self._spc_counts.get(l_bucket, 0) + 1
+            q = math.ceil(obs_spc * 1e6) / 1e6
+            prior = self._spc_priors.get(l_bucket, 0.0)
+            if q > prior:
+                self._spc_priors[l_bucket] = q
+                self._save_rate_cache()
+            elif (self._spc_counts[l_bucket] >= win.maxlen
+                  and prior > 0.0
+                  and max(win) < prior * 0.9):
+                self._spc_priors[l_bucket] = math.ceil(max(win) * 1e6) / 1e6
+                self._save_rate_cache()
 
     def _pin_rate(self, rate: float = 1.0 / 11.0) -> None:
         """Test/bench hook: force a uniform learned rate — every text-length
@@ -335,20 +372,22 @@ class SynthesisEngine(LongFormSynthesis):
         time; the fingerprint (~1 ms to hash 3 MB, cached on the object) is
         what makes repeat presets hit instead of re-uploading."""
         key = (style.fingerprint(), b_bucket)
-        hit = self._style_dev_cache.pop(key, None)
-        if hit is not None:
-            self._style_dev_cache[key] = hit  # LRU: re-insert as newest
-            return hit
+        with self._host_mutex:
+            hit = self._style_dev_cache.pop(key, None)
+            if hit is not None:
+                self._style_dev_cache[key] = hit  # LRU: re-insert as newest
+                return hit
         ttl, dp = self._pad_batch([style.ttl, style.dp], b_bucket)
-        dp_dev = jnp.asarray(dp, jnp.float32)
-        ttl_dev = jnp.asarray(ttl, jnp.float32)
+        dp_dev = jnp.asarray(dp, jnp.float32)  # upload outside the lock —
+        ttl_dev = jnp.asarray(ttl, jnp.float32)  # idempotent on a miss race
         if self.mesh is not None:
             from ..parallel.mesh import shard_batch
 
             dp_dev, ttl_dev = shard_batch(self.mesh, dp_dev, ttl_dev)
-        while len(self._style_dev_cache) >= 32:  # bound resident HBM
-            self._style_dev_cache.pop(next(iter(self._style_dev_cache)))
-        self._style_dev_cache[key] = (dp_dev, ttl_dev)
+        with self._host_mutex:
+            while len(self._style_dev_cache) >= 32:  # bound resident HBM
+                self._style_dev_cache.pop(next(iter(self._style_dev_cache)))
+            self._style_dev_cache[key] = (dp_dev, ttl_dev)
         return dp_dev, ttl_dev
 
     def _prepare_inputs(self, text_list, lang_list, style,
@@ -532,31 +571,10 @@ class SynthesisEngine(LongFormSynthesis):
                 np.asarray(text_mask)[:b_true].sum(axis=1), 1.0
             )
             obs_spc = float((dur[:b_true] * speed / row_chars).max())
-            if not getattr(self, "_rate_frozen", False):
-                lb = pending.text_mask.shape[1]
-                win = self._spc_window_for(lb)
-                win.append(obs_spc)
-                self._spc_counts[lb] = self._spc_counts.get(lb, 0) + 1
-                # the persisted prior RATCHETS up (ceil to the 1e-6 grid the
-                # cache file round-trips exactly) and never chases transient
-                # lows: a monotone prior is a fixed point across restarts,
-                # so the bucket/slice shapes a fresh process derives are
-                # exactly the ones already compiled. Self-heal against a
-                # one-off outlier poisoning the disk forever: once a FULL
-                # window of real observations sits well below the prior
-                # (seed evicted), write the prior down to the observed max.
-                import math
-
-                q = math.ceil(obs_spc * 1e6) / 1e6
-                prior = self._spc_priors.get(lb, 0.0)
-                if q > prior:
-                    self._spc_priors[lb] = q
-                    self._save_rate_cache()
-                elif (self._spc_counts[lb] >= win.maxlen
-                      and prior > 0.0
-                      and max(win) < prior * 0.9):
-                    self._spc_priors[lb] = math.ceil(max(win) * 1e6) / 1e6
-                    self._save_rate_cache()
+            # monotone ratchet + full-window write-down: a fresh process
+            # re-derives the exact shapes already compiled, and a one-off
+            # outlier cannot inflate a bucket's latent allocation forever
+            self._observe_rate(pending.text_mask.shape[1], obs_spc)
             if t_needed <= t_bucket:
                 if not device_output and t_needed > n_xfer:
                     # sliced transfer undershot the true duration: fetch the
@@ -817,17 +835,19 @@ class SynthesisEngine(LongFormSynthesis):
         LongFormSynthesis.stream_windows."""
         from ..models.vocoder import receptive_field_frames
 
-        if self._voc_win_fn is None:
-            self._flow_fn = synthesis.jit_flow_fused(
-                self.cfg, precision=self.precision, attn_fn=self.attn_fn)
-            self._voc_win_fn = synthesis.jit_vocode_window(
-                self.cfg, precision=self.precision)
+        with self._host_mutex:  # two handler threads must not double-build
+            if self._voc_win_fn is None:
+                self._flow_fn = synthesis.jit_flow_fused(
+                    self.cfg, precision=self.precision, attn_fn=self.attn_fn,
+                    fused_ffn=self._fused_ffn)
+                self._voc_win_fn = synthesis.jit_vocode_window(
+                    self.cfg, precision=self.precision)
         rt = self.cfg.runtime
         chunk = self.cfg.chunk_size
         sr = self.cfg.sample_rate
         halo = receptive_field_frames(self.cfg)
         t0 = time.perf_counter()
-        dev_args, _text_mask, l_true, _b, _bb = self._prepare_inputs(
+        dev_args, text_mask, l_true, _b, _bb = self._prepare_inputs(
             [text], [lang], style)
         spc = self._spc_estimate(dev_args[0].shape[1])
         est = l_true * spc * self._spc_margin / min(speed, 1.0)
@@ -868,6 +888,11 @@ class SynthesisEngine(LongFormSynthesis):
         else:
             raise RuntimeError("latent bucket overflow persisted in "
                                "windowed streaming")
+        # feed the learned rate like infer_batch_end does — a stream-only
+        # server must also learn away its overflow re-runs
+        n_chars = max(float(np.asarray(text_mask)[0].sum()), 1.0)
+        self._observe_rate(dev_args[0].shape[1],
+                           float(dur[0]) * speed / n_chars)
         emitted = 0
 
         def emit(k0, start, wav_np):

@@ -125,6 +125,7 @@ def flow_stage(
     *,
     precision: str = "bf16",
     attn_fn=L.attention_core,
+    fused_ffn: bool = False,
 ) -> jax.Array:
     """acoustic_stage WITHOUT the vocoder: returns the denoised latent
     [B, T, C] (device-resident) — the input to windowed vocoding."""
@@ -138,6 +139,7 @@ def flow_stage(
         return vector_estimator.step(
             params["vector_estimator"], cfg, x, text_emb, style_ttl,
             text_mask, latent_mask, cur, tot, dtype=dtype, attn_fn=attn_fn,
+            fused_ffn=fused_ffn,
         )
 
     return jax.lax.fori_loop(0, total_step, body, x0)
@@ -157,6 +159,7 @@ def flow_fused(
     *,
     precision: str = "bf16",
     attn_fn=L.attention_core,
+    fused_ffn: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """synthesize_fused WITHOUT the vocoder: text stage + on-device noise +
     flow loop in ONE program with ZERO host syncs. Returns (latent
@@ -177,14 +180,16 @@ def flow_fused(
     noise = jax.random.normal(key, (b, t_pad, cfg.latent_channels),
                               jnp.float32)
     xt = flow_stage(params, cfg, emb, style_ttl, text_mask, latent_mask,
-                    noise, total_step, precision=precision, attn_fn=attn_fn)
+                    noise, total_step, precision=precision, attn_fn=attn_fn,
+                    fused_ffn=fused_ffn)
     return xt, dur, jnp.max(latent_mask, axis=0)
 
 
 def jit_flow_fused(cfg: TTSConfig, *, precision="bf16",
-                   attn_fn=None) -> Callable:
+                   attn_fn=None, fused_ffn=False) -> Callable:
     fn = functools.partial(flow_fused, precision=precision,
-                           attn_fn=attn_fn or L.attention_core)
+                           attn_fn=attn_fn or L.attention_core,
+                           fused_ffn=fused_ffn)
 
     def closed(params, ids, mask, sdp, sttl, key, speed, total_step, t_pad):
         return fn(params, cfg, ids, mask, sdp, sttl, key, speed,

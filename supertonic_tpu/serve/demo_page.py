@@ -6,8 +6,9 @@ status + per-step progress, and Blob WAV playback/download
 capability as ONE dependency-free HTML string served by the HTTP server —
 synthesis runs server-side on the TPU instead of in-browser WASM/WebGPU, so
 there is no model download and no JS build system. Voices come from
-GET /voices; audio from POST /tts (or /tts/stream for long-form, which the
-<audio> element plays as it arrives).
+GET /voices; audio from POST /tts (or /tts/stream for long-form, played
+progressively via Web Audio as PCM chunks arrive — time-to-first-audio is
+shown live).
 """
 
 DEMO_HTML = """<!doctype html>
@@ -51,6 +52,9 @@ fetch('/voices').then(r => r.json()).then(v => {
     $('voice').appendChild(o);
   }
 });
+// JSON content type is required by the FastAPI twin (serve/app.py serves
+// this same page); fetch defaults to text/plain and Pydantic would 422
+const JSON_HDRS = {'Content-Type': 'application/json'};
 $('go').onclick = async () => {
   const body = JSON.stringify({
     text: $('text').value, lang: $('lang').value,
@@ -61,20 +65,73 @@ $('go').onclick = async () => {
   try {
     if ($('stream').checked) {
       $('status').textContent = 'streaming…';
-      // the chunked WAV starts playing as bytes arrive
-      const r = await fetch('/tts/stream', {method: 'POST', body});
+      const r = await fetch('/tts/stream',
+                            {method: 'POST', headers: JSON_HDRS, body});
       if (!r.ok) throw new Error((await r.json()).detail || r.status);
-      const blob = await r.blob();
-      finish(blob, t0);
+      await streamPlay(r, t0);  // progressive Web Audio playback
     } else {
       $('status').textContent = 'synthesizing…';
-      const r = await fetch('/tts', {method: 'POST', body});
+      const r = await fetch('/tts', {method: 'POST', headers: JSON_HDRS, body});
       if (!r.ok) throw new Error((await r.json()).detail || r.status);
       finish(await r.blob(), t0);
     }
   } catch (e) { $('status').textContent = 'error: ' + e.message; }
   $('go').disabled = false;
 };
+// Progressive playback of the chunked WAV: PCM16 pieces are scheduled as
+// sequential Web Audio buffers the moment they arrive, so playback starts
+// at the server's time-to-first-audio instead of after the full response
+// (await r.blob() would buffer everything — the anti-pattern this replaces).
+async function streamPlay(r, t0) {
+  const reader = r.body.getReader();
+  const actx = new (window.AudioContext || window.webkitAudioContext)();
+  let head = new Uint8Array(0), sr = 44100, headerDone = false;
+  let playT = 0, ttfa = null, total = 0;
+  const parts = [];
+  let carry = new Uint8Array(0);
+  for (;;) {
+    const {done, value} = await reader.read();
+    if (done) break;
+    parts.push(value);
+    let buf = value;
+    if (!headerDone) {
+      const h = new Uint8Array(head.length + buf.length);
+      h.set(head); h.set(buf, head.length); head = h;
+      if (head.length < 44) continue;       // RIFF + fmt + data prelude
+      sr = new DataView(head.buffer).getUint32(24, true);
+      buf = head.subarray(44); headerDone = true;
+    }
+    if (carry.length) {
+      const b2 = new Uint8Array(carry.length + buf.length);
+      b2.set(carry); b2.set(buf, carry.length); buf = b2;
+    }
+    const n = buf.length >> 1;              // whole PCM16 samples
+    carry = buf.slice(n * 2);               // odd trailing byte, if any
+    if (!n) continue;
+    const i16 = new Int16Array(buf.slice(0, n * 2).buffer);
+    const ab = actx.createBuffer(1, n, sr);
+    ab.copyToChannel(Float32Array.from(i16, x => x / 32768), 0);
+    const src = actx.createBufferSource();
+    src.buffer = ab; src.connect(actx.destination);
+    const at = Math.max(actx.currentTime + 0.03, playT);
+    src.start(at); playT = at + ab.duration; total += n;
+    if (ttfa === null) {
+      ttfa = (performance.now() - t0) / 1000;
+      $('status').textContent =
+        `first audio in ${(ttfa * 1000).toFixed(0)} ms — streaming…`;
+    }
+  }
+  const secs = (performance.now() - t0) / 1000;
+  const audioSecs = total / sr;
+  const blob = new Blob(parts, {type: 'audio/wav'});
+  const url = URL.createObjectURL(blob);
+  $('player').src = url;                    // replayable copy + download
+  $('dl').href = url; $('dl').hidden = false;
+  $('status').textContent =
+    `streamed ${audioSecs.toFixed(2)}s: first audio ` +
+    `${((ttfa || 0) * 1000).toFixed(0)} ms, full stream ${secs.toFixed(2)}s` +
+    ` · RTF ${(secs / audioSecs).toFixed(3)}`;
+}
 function finish(blob, t0) {
   const secs = (performance.now() - t0) / 1000;
   const url = URL.createObjectURL(blob);

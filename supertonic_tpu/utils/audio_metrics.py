@@ -13,9 +13,11 @@ Two standards:
   frames (Kubichek 1993). Rule of thumb: < 0.5 dB inaudible, ~1 dB subtle,
   > 2-3 dB clearly audible.
 
-The mel frontend takes its geometry from the config's spec_processor block
-(tts.json schema, reference go/helper.go:30-40) so it matches the model's
-own analysis settings when real assets are mounted.
+The mel frontend defaults to a standard 1024/256/80 analysis; pass ``spec``
+(the config's spec_processor block — tts.json schema, reference
+go/helper.go:30-40) to ``precision_ladder_report`` to measure in the
+model's own analysis geometry when real assets are mounted
+(tools/precision_ladder.py does).
 """
 
 from __future__ import annotations
@@ -101,8 +103,16 @@ def _dct2(x: np.ndarray) -> np.ndarray:
 
 
 def precision_ladder_report(ref_wav: np.ndarray, others: dict[str, np.ndarray],
-                            sr: int) -> dict[str, dict[str, float]]:
-    """{name: {mcd_db, log_mel_snr_db, wav_snr_db}} vs the f32 reference."""
+                            sr: int, spec=None) -> dict[str, dict[str, float]]:
+    """{name: {mcd_db, log_mel_snr_db, wav_snr_db}} vs the f32 reference.
+
+    ``spec``: optional SpecProcessorConfig (config.py) — mel geometry then
+    follows the model's own analysis settings (n_fft / hop_length / n_mels)
+    instead of the 1024/256/80 defaults."""
+    geo = {}
+    if spec is not None:
+        geo = {"n_fft": spec.n_fft, "hop": spec.hop_length,
+               "n_mels": spec.n_mels}
     out = {}
     ref = np.ravel(np.asarray(ref_wav, np.float64))
     for name, wav in others.items():
@@ -113,8 +123,8 @@ def precision_ladder_report(ref_wav: np.ndarray, others: dict[str, np.ndarray],
                    10.0 * np.log10(np.mean(ref[:n] ** 2)
                                    / max(np.mean(d ** 2), 1e-300)))
         out[name] = {
-            "mcd_db": mcd(ref, w, sr),
-            "log_mel_snr_db": log_mel_snr(ref, w, sr),
+            "mcd_db": mcd(ref, w, sr, **geo),
+            "log_mel_snr_db": log_mel_snr(ref, w, sr, **geo),
             "wav_snr_db": wav_snr,
         }
     return out

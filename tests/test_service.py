@@ -480,3 +480,9 @@ def test_demo_page_served_at_root(base_url):
     assert r.headers["content-type"].startswith("text/html")
     body = r.text
     assert "/tts" in body and "/voices" in body and "<audio" in body
+    # the page MUST send JSON content type (the FastAPI twin 422s on the
+    # fetch default text/plain) and stream progressively via Web Audio
+    # instead of buffering the whole response into a blob
+    assert "'Content-Type': 'application/json'" in body
+    assert "streamPlay" in body and "AudioContext" in body
+    assert "getReader()" in body

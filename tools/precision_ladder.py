@@ -105,7 +105,8 @@ def main(argv=None) -> int:
         wavs["bf16_mulaw8"] = mulaw_decode(mulaw_encode(wavs["bf16_mulaw8"]))
 
         ref = wavs.pop("f32")
-        rep = precision_ladder_report(ref, wavs, cfg.sample_rate)
+        rep = precision_ladder_report(ref, wavs, cfg.sample_rate,
+                                      spec=cfg.ae.spec_processor)
         for tier, m in rep.items():
             row = {"text": label, "tier": tier, "total_step": args.total_step,
                    **{k: round(v, 3) for k, v in m.items()}}
