@@ -38,6 +38,7 @@ def main() -> None:
 
     quick = "--quick" in sys.argv
     iters = 2 if quick else 5
+    reps = 1 if quick else 3  # median-of-N batch rows (VERDICT r3 weak #1)
 
     tts = TTS()  # random-init fallback exercises the identical compute graph
     engine = tts.engine
@@ -49,32 +50,29 @@ def main() -> None:
     cases = (("mid", MID_TEXT),) if quick else (
         ("short", SHORT_TEXT), ("mid", MID_TEXT), ("long", LONG_TEXT))
     step_counts = (5,) if quick else (2, 5)
-    for name, text in cases:
-        for steps in step_counts:
-            r = bench_single(engine, style, text, f"{name}_{steps}step",
-                             total_step=steps, iters=iters)
-            report["singles"].append(r.as_dict())
-            print(
-                f"# {r.name}: rtf={r.rtf:.4f} chars/s={r.chars_per_sec:.0f} "
-                f"synth={r.synth_seconds*1e3:.1f}ms audio={r.audio_seconds:.2f}s",
-                file=sys.stderr,
-            )
 
-    if not quick:
+    if quick:
+        arms = [("", engine)]
+    else:
         # latency-serving configuration: 8-bit mu-law egress halves the
         # device->host bytes (G.711, ~13-bit speech quality, decoded on the
         # host). Same compute graph; shares the device-resident params.
+        # Measured INTERLEAVED with the int16 arm so tunnel drift over the
+        # window hits both arms equally (VERDICT r3 weak #3).
         from supertonic_tpu.engine import SynthesisEngine
 
         mulaw_engine = SynthesisEngine(
             engine.params, tts.cfg, engine.processor,
             precision=engine.precision, egress_format="mulaw",
         )
-        for name, text in cases:
-            for steps in step_counts:
-                r = bench_single(mulaw_engine, style, text,
-                                 f"{name}_{steps}step_mulaw8",
-                                 total_step=steps, iters=iters)
+        arms = [("", engine), ("_mulaw8", mulaw_engine)]
+
+    from supertonic_tpu.bench import bench_single_ab
+
+    for name, text in cases:
+        for steps in step_counts:
+            for r in bench_single_ab(arms, style, text, f"{name}_{steps}step",
+                                     total_step=steps, iters=iters):
                 report["singles"].append(r.as_dict())
                 print(
                     f"# {r.name}: rtf={r.rtf:.4f} "
@@ -99,12 +97,15 @@ def main() -> None:
     with trace_ctx:
         for b, steps in batch_cases:
             tp = bench_batch_throughput(engine, style, MID_TEXT, batch=b,
-                                        total_step=steps, iters=iters)
+                                        total_step=steps, iters=iters,
+                                        reps=reps)
             report[f"batch{b}_{steps}step"] = tp
             print(f"# batch{b} {steps}-step: "
                   f"{tp['audio_sec_per_sec_per_chip']:.1f} "
                   f"audio-sec/s/chip ({tp['aggregate_realtime_x']:.0f}x "
-                  f"realtime, egress {tp['egress_s_per_batch']:.2f}s, "
+                  f"realtime, median of {tp['reps']} reps spread "
+                  f"{tp['spread']*100:.1f}%, egress "
+                  f"{tp['egress_s_per_batch']:.2f}s, "
                   f"{tp['tflops_effective']:.1f} TFLOP/s eff"
                   + (f", MFU {tp['mfu']*100:.1f}%" if tp["mfu"] is not None
                      else "") + ")",
@@ -129,6 +130,8 @@ def main() -> None:
         "vs_baseline": round(value / REFERENCE_BEST_AUDIO_SEC_PER_SEC, 3),
         "mfu": tp["mfu"],
         "tflops_effective": tp["tflops_effective"],
+        "reps": tp["reps"],
+        "spread": tp["spread"],
     }))
 
 

@@ -4,7 +4,7 @@ Run one process per host across a v5e/v5p slice:
 
     TTS_COORD=<host0>:8476 NPROC=4 PID=$SLURM_PROCID python examples/example_pod.py
 
-Architecture (see supertonic_tpu/parallel/multihost.py): the 63 M model is
+Architecture (see supertonic_tpu/parallel/multihost.py): the 66 M model is
 replicated per host; each host's engine serves its shard of the request
 stream over its local devices (data parallelism over utterances). No
 cross-host collectives in the request path — DCN carries only control.

@@ -300,18 +300,22 @@ def op_mean(ctx: Ctx, *ins):
 # reductions
 # ---------------------------------------------------------------------------
 
+def _acc_upcast(ctx: Ctx, x):
+    """f32-accumulation policy for reductions/normalizations: bf16 inputs
+    upcast to f32 before the reduction (an 8-bit mantissa loses digits over
+    long axes). Returns ``(x_f32, restore_dtype)``: under bf16-storage mode
+    the f32 result is kept (it is this executor's own storage cast being
+    undone; declared dtypes are restored at the _run_traced boundary), but
+    for a genuinely-bf16 graph (flag off) the result must be cast back to
+    the declared bf16 — ``restore_dtype`` says which."""
+    if getattr(x, "dtype", None) != jnp.bfloat16:
+        return x, None
+    restore = None if (ctx.env or {}).get("__bf16_storage__") else jnp.bfloat16
+    return jnp.asarray(x).astype(jnp.float32), restore
+
+
 def _reduce(fn_name: str):
-    @op(fn_name, static_ok=True)
-    def h(ctx: Ctx, x, axes_in=None):
-        axes = ctx.attr("axes")
-        if axes_in is not None:
-            axes = [int(a) for a in ctx.static(axes_in, "axes").ravel()]
-        keep = bool(ctx.attr("keepdims", 1))
-        if getattr(x, "dtype", None) == jnp.bfloat16:
-            # bf16-storage mode: accumulate reductions in f32 (an 8-bit
-            # mantissa loses digits over long axes — decomposed norms reduce
-            # over thousands of frames)
-            x = x.astype(jnp.float32)
+    def body(ctx: Ctx, x, axes, keep):
         if axes is None:
             if ctx.attr("noop_with_empty_axes", 0):
                 return x
@@ -341,6 +345,16 @@ def _reduce(fn_name: str):
             s = jax.nn.logsumexp(jnp.asarray(x), axis=axes_t, keepdims=True)
             return s if keep else jnp.squeeze(s, axis=axes_t)
         return red[fn_name](x, axis=axes_t, keepdims=keep)
+
+    @op(fn_name, static_ok=True)
+    def h(ctx: Ctx, x, axes_in=None):
+        axes = ctx.attr("axes")
+        if axes_in is not None:
+            axes = [int(a) for a in ctx.static(axes_in, "axes").ravel()]
+        keep = bool(ctx.attr("keepdims", 1))
+        x, odt = _acc_upcast(ctx, x)
+        res = body(ctx, x, axes, keep)
+        return res.astype(odt) if odt is not None else res
     h.__name__ = f"op_{fn_name.lower()}"
     return h
 
@@ -782,15 +796,15 @@ def op_layernorm(ctx: Ctx, x, scale, bias=None):
     if axis < 0:
         axis += x.ndim
     axes = tuple(range(axis, x.ndim))
-    x = jnp.asarray(x)
-    if x.dtype == jnp.bfloat16:  # bf16-storage mode: stats in f32
-        x = x.astype(jnp.float32)
+    x, odt = _acc_upcast(ctx, jnp.asarray(x))  # stats in f32
     mean = jnp.mean(x, axis=axes, keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
     inv = 1.0 / jnp.sqrt(var + eps)
     y = (x - mean) * inv * scale
     if bias is not None:
         y = y + bias
+    if odt is not None:
+        y = y.astype(odt)
     outs = ctx.node.outputs
     if len(outs) == 1:
         return y
@@ -800,24 +814,21 @@ def op_layernorm(ctx: Ctx, x, scale, bias=None):
 @op("InstanceNormalization")
 def op_instancenorm(ctx: Ctx, x, scale, bias):
     eps = ctx.attr("epsilon", 1e-5)
-    x = jnp.asarray(x)
-    if x.dtype == jnp.bfloat16:  # bf16-storage mode: stats in f32
-        x = x.astype(jnp.float32)
+    x, odt = _acc_upcast(ctx, jnp.asarray(x))  # stats in f32
     axes = tuple(range(2, x.ndim))
     mean = jnp.mean(x, axis=axes, keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
     shape = (1, -1) + (1,) * (x.ndim - 2)
-    return ((x - mean) / jnp.sqrt(var + eps)) * scale.reshape(shape) \
+    y = ((x - mean) / jnp.sqrt(var + eps)) * scale.reshape(shape) \
         + bias.reshape(shape)
+    return y.astype(odt) if odt is not None else y
 
 
 @op("GroupNormalization")
 def op_groupnorm(ctx: Ctx, x, scale, bias):
     eps = ctx.attr("epsilon", 1e-5)
     g = ctx.attr("num_groups")
-    x = jnp.asarray(x)
-    if x.dtype == jnp.bfloat16:  # bf16-storage mode: stats in f32
-        x = x.astype(jnp.float32)
+    x, odt = _acc_upcast(ctx, jnp.asarray(x))  # stats in f32
     n, c = x.shape[:2]
     sp = x.shape[2:]
     y = jnp.reshape(x, (n, g, c // g) + sp)
@@ -828,7 +839,8 @@ def op_groupnorm(ctx: Ctx, x, scale, bias):
     y = jnp.reshape(y, x.shape)
     shape = (1, -1) + (1,) * (x.ndim - 2)
     # opset-18 semantics: scale/bias are per-channel [C]
-    return y * jnp.reshape(scale, shape) + jnp.reshape(bias, shape)
+    y = y * jnp.reshape(scale, shape) + jnp.reshape(bias, shape)
+    return y.astype(odt) if odt is not None else y
 
 
 @op("LpNormalization")
@@ -848,12 +860,11 @@ def op_lpnorm(ctx: Ctx, x):
 @op("MeanVarianceNormalization")
 def op_mvn(ctx: Ctx, x):
     axes = tuple(ctx.attr("axes", [0, 2, 3]))
-    x = jnp.asarray(x)
-    if x.dtype == jnp.bfloat16:  # bf16-storage mode: stats in f32
-        x = x.astype(jnp.float32)
+    x, odt = _acc_upcast(ctx, jnp.asarray(x))  # stats in f32
     mean = jnp.mean(x, axis=axes, keepdims=True)
     var = jnp.mean(jnp.square(x), axis=axes, keepdims=True) - jnp.square(mean)
-    return (x - mean) / jnp.sqrt(var + 1e-9)
+    y = (x - mean) / jnp.sqrt(var + 1e-9)
+    return y.astype(odt) if odt is not None else y
 
 
 @op("BatchNormalization")

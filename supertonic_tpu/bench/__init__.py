@@ -5,6 +5,7 @@ from .harness import (
     BenchResult,
     bench_batch_throughput,
     bench_single,
+    bench_single_ab,
     time_synthesis,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "SHORT_TEXT",
     "bench_batch_throughput",
     "bench_single",
+    "bench_single_ab",
     "time_synthesis",
 ]

@@ -73,8 +73,39 @@ def bench_single(engine, style, text: str, name: str, *, lang="en",
     )
 
 
+def bench_single_ab(engines_named, style, text: str, name: str, *, lang="en",
+                    total_step=5, speed=1.05, warmup=2,
+                    iters=5) -> list[BenchResult]:
+    """Interleaved A/B of N engine arms on the SAME text: arms alternate
+    within each iteration, so tunnel/host drift over the measurement window
+    hits every arm equally (VERDICT r3 weak #3: the mu-law-vs-int16 singles
+    comparison was confounded by running the arms in separate windows).
+    Returns one BenchResult per arm, each the median over ``iters``."""
+    arms = [(suffix, eng, []) for suffix, eng in engines_named]
+    audio_s = 1.0
+    for _, eng, _t in arms:  # compile + cache-warm every arm first
+        for _ in range(warmup):
+            _, dur = eng.batch([text], [lang], style, total_step, speed)
+            audio_s = float(dur[0])
+    for _ in range(iters):
+        for _, eng, times in arms:
+            t0 = time.perf_counter()
+            _, dur = eng.batch([text], [lang], style, total_step, speed)
+            times.append(time.perf_counter() - t0)
+            audio_s = float(dur[0])
+    out = []
+    for suffix, _eng, times in arms:
+        t = float(np.median(times))
+        out.append(BenchResult(
+            name=name + suffix, chars=len(text), audio_seconds=audio_s,
+            synth_seconds=t, rtf=t / audio_s, chars_per_sec=len(text) / t,
+        ))
+    return out
+
+
 def bench_batch_throughput(engine, style, text: str, *, batch: int = 32,
-                           total_step: int = 5, warmup=2, iters=5) -> dict:
+                           total_step: int = 5, warmup=2, iters=5,
+                           reps: int = 3) -> dict:
     """Aggregate audio-seconds synthesized per wall second per chip at a
     fixed batch (BASELINE: audio-sec/s/chip).
 
@@ -86,6 +117,12 @@ def bench_batch_throughput(engine, style, text: str, *, batch: int = 32,
     tunnel with ~11 MB/s device->host bandwidth, an artifact three orders
     of magnitude below production PCIe/DMA, so folding it into the primary
     metric would benchmark the tunnel, not the TPU.
+
+    Repeatability protocol (VERDICT r3 weak #1): the whole ``iters``-batch
+    pipelined measurement repeats ``reps`` times; the reported per-batch
+    time is the MEDIAN rep and ``spread`` = (max-min)/median over reps, so
+    one tunnel hiccup cannot set the headline and the capture itself says
+    how stable the number is.
     """
     import jax
 
@@ -102,20 +139,30 @@ def bench_batch_throughput(engine, style, text: str, *, batch: int = 32,
     for _ in range(warmup):
         engine.infer_batch_end(begin())
 
-    # depth-2 pipeline: batch k+1 dispatches BEFORE batch k's duration is
-    # fetched, so the per-batch host round-trip (the dominant fixed cost on
-    # a high-RTT device link) overlaps device compute instead of stalling
-    # it. This is the continuous batcher's serving schedule. The final
-    # end() fences the last batch (its duration fetch completes only after
-    # the device finishes), so the wall clock is honest.
-    t0 = time.perf_counter()
-    pend = begin()
-    for _ in range(iters - 1):
-        nxt = begin()
+    def one_rep():
+        # depth-2 pipeline: batch k+1 dispatches BEFORE batch k's duration
+        # is fetched, so the per-batch host round-trip (the dominant fixed
+        # cost on a high-RTT device link) overlaps device compute instead of
+        # stalling it. This is the continuous batcher's serving schedule.
+        # The final end() fences the last batch (its duration fetch
+        # completes only after the device finishes), so the wall clock is
+        # honest.
+        t0 = time.perf_counter()
+        pend = begin()
+        for _ in range(iters - 1):
+            nxt = begin()
+            engine.infer_batch_end(pend)
+            pend = nxt
         wav_dev, dur = engine.infer_batch_end(pend)
-        pend = nxt
-    wav_dev, dur = engine.infer_batch_end(pend)
-    t = (time.perf_counter() - t0) / iters
+        return (time.perf_counter() - t0) / iters, wav_dev, dur, pend
+
+    rep_times = []
+    for _ in range(max(1, reps)):
+        t_rep, wav_dev, dur, pend = one_rep()
+        rep_times.append(t_rep)
+    t = float(np.median(rep_times))
+    spread = (max(rep_times) - min(rep_times)) / t if len(rep_times) > 1 \
+        else 0.0
     # audio volume measured from a TIMED batch (inputs are identical each
     # iteration, so any batch's durations represent all of them); computing
     # it here also makes warmup=0 legal
@@ -155,6 +202,9 @@ def bench_batch_throughput(engine, style, text: str, *, batch: int = 32,
         "total_step": total_step,
         "audio_seconds_per_batch": total_audio,
         "synth_seconds": t,
+        "reps": len(rep_times),
+        "spread": round(spread, 4),
+        "rep_batch_seconds": [round(x, 5) for x in rep_times],
         "egress_s_per_batch": egress_s,
         "audio_sec_per_sec": total_audio / t,
         "audio_sec_per_sec_per_chip": total_audio / t / n_chips,

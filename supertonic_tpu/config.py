@@ -85,8 +85,12 @@ class DPConfig:
 
 # ---------------------------------------------------------------------------
 # Model hyper-parameters (ours — the reference freezes these inside ONNX).
-# Defaults are sized so the total parameter count lands near the published
-# 66 M (reference README.md:60).
+# Defaults are sized so the total parameter count matches the published
+# 66 M budget (reference README.md:60): 66.37 M total = duration predictor
+# 4.84 M + text encoder 7.67 M + vector estimator 40.76 M + vocoder 13.11 M.
+# The extra depth (vs the pre-r4 63.2 M config) goes to the text encoder and
+# duration predictor — the once-per-request stages outside the O(total_step)
+# flow loop — so the budget match costs the least flow-loop FLOPs.
 # ---------------------------------------------------------------------------
 
 
@@ -94,7 +98,7 @@ class DPConfig:
 class TextEncoderHParams:
     vocab_size: int = 2048
     dim: int = 256
-    n_layers: int = 4
+    n_layers: int = 6
     n_heads: int = 4
     ffn_mult: int = 4
     conv_kernel: int = 5
@@ -104,7 +108,7 @@ class TextEncoderHParams:
 class DurationPredictorHParams:
     vocab_size: int = 2048
     dim: int = 256
-    n_layers: int = 3
+    n_layers: int = 4
     n_heads: int = 4
     ffn_mult: int = 4
 

@@ -275,9 +275,14 @@ class SynthesisEngine(LongFormSynthesis):
         try:
             path = self._rate_cache_path()
             os.makedirs(os.path.dirname(path), exist_ok=True)
-            with open(path, "w") as f:
+            # write-then-rename: a concurrently starting process must never
+            # read a torn file (it would silently discard the learned
+            # priors and the shape-stable warm start they exist to provide)
+            tmp = f"{path}.{os.getpid()}.tmp"
+            with open(tmp, "w") as f:
                 json.dump({str(k): round(v, 6)
                            for k, v in sorted(self._spc_priors.items())}, f)
+            os.replace(tmp, path)
         except OSError:
             pass
 
@@ -541,7 +546,6 @@ class SynthesisEngine(LongFormSynthesis):
         b_true = pending.b_true
         device_output = pending.device_output
         speed = pending.speed
-        text_mask = pending.text_mask
         wav_dev, dur_dev = pending.wav_dev, pending.dur_dev
         wav_src = pending.wav_src
         t_bucket, n_xfer = pending.t_bucket, pending.n_xfer
@@ -566,15 +570,6 @@ class SynthesisEngine(LongFormSynthesis):
             t_needed = int(
                 ((dur[:b_true] * sr).astype(np.int64).max() + chunk - 1) // chunk
             )
-            # update the learned sec/char from this batch's worst case
-            row_chars = np.maximum(
-                np.asarray(text_mask)[:b_true].sum(axis=1), 1.0
-            )
-            obs_spc = float((dur[:b_true] * speed / row_chars).max())
-            # monotone ratchet + full-window write-down: a fresh process
-            # re-derives the exact shapes already compiled, and a one-off
-            # outlier cannot inflate a bucket's latent allocation forever
-            self._observe_rate(pending.text_mask.shape[1], obs_spc)
             if t_needed <= t_bucket:
                 if not device_output and t_needed > n_xfer:
                     # sliced transfer undershot the true duration: fetch the
@@ -611,6 +606,18 @@ class SynthesisEngine(LongFormSynthesis):
                 f"(needed {t_needed} > bucket {t_bucket}); refusing to "
                 f"return truncated audio"
             )
+        # update the learned sec/char from this batch's worst case — ONCE
+        # per request (outside the overflow-retry loop: duration is
+        # deterministic per input, so retries would append the identical
+        # observation twice and double-count toward the full-window
+        # write-down). Monotone ratchet + full-window write-down: a fresh
+        # process re-derives the exact shapes already compiled, and a
+        # one-off outlier cannot inflate a bucket's allocation forever.
+        row_chars = np.maximum(
+            np.asarray(pending.text_mask)[:b_true].sum(axis=1), 1.0
+        )
+        obs_spc = float((dur[:b_true] * speed / row_chars).max())
+        self._observe_rate(pending.text_mask.shape[1], obs_spc)
         audio_s = float(np.sum(dur[:b_true]))
         n_chars = pending.n_chars
         if device_output:

@@ -366,7 +366,7 @@ def jit_synthesize_fused(cfg: TTSConfig, *, precision="bf16", attn_fn=None,
 def jit_text_stage(cfg: TTSConfig, *, precision="bf16", attn_fn=None,
                    in_shardings=None, out_shardings=None) -> Callable:
     """jit of text_stage taking params as a RUNTIME ARGUMENT. Never close jit
-    over the 59M-param tree: captured arrays are baked into the HLO as
+    over the 66M-param tree: captured arrays are baked into the HLO as
     constants, which bloats every compiled program by ~235 MB and multiplies
     (remote-)compile time."""
     fn = functools.partial(

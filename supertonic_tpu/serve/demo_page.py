@@ -98,8 +98,33 @@ async function streamPlay(r, t0) {
       const h = new Uint8Array(head.length + buf.length);
       h.set(head); h.set(buf, head.length); head = h;
       if (head.length < 44) continue;       // RIFF + fmt + data prelude
-      sr = new DataView(head.buffer).getUint32(24, true);
-      buf = head.subarray(44); headerDone = true;
+      // validate the canonical header before decoding: silently playing
+      // noise if the server writer ever changes layout would be worse
+      // than a visible error
+      const dv = new DataView(head.buffer);
+      const tag = (o) => String.fromCharCode(head[o], head[o+1], head[o+2], head[o+3]);
+      if (tag(0) !== 'RIFF' || tag(8) !== 'WAVE') {
+        $('status').textContent = 'stream error: not a WAV response';
+        return;
+      }
+      // walk chunks to the 'data' chunk (fmt may grow extension bytes)
+      let off = 12, fmtOk = false, dataOff = -1;
+      while (off + 8 <= head.length) {
+        const id = tag(off), sz = dv.getUint32(off + 4, true);
+        if (id === 'fmt ') {
+          fmtOk = dv.getUint16(off + 8, true) === 1 &&       // PCM
+                  dv.getUint16(off + 10, true) === 1 &&      // mono
+                  dv.getUint16(off + 22, true) === 16;       // 16-bit
+          sr = dv.getUint32(off + 12, true);
+        } else if (id === 'data') { dataOff = off + 8; break; }
+        off += 8 + sz + (sz & 1);
+      }
+      if (dataOff < 0) continue;            // data chunk not seen yet
+      if (!fmtOk) {
+        $('status').textContent = 'stream error: unsupported WAV format';
+        return;
+      }
+      buf = head.subarray(dataOff); headerDone = true;
     }
     if (carry.length) {
       const b2 = new Uint8Array(carry.length + buf.length);

@@ -1,7 +1,7 @@
 """Config drill: a tts.json with dims UNLIKE the defaults must re-derive the
 whole native stack consistently (VERDICT r2 weak #2 de-risk: if the real
 model lands at different shapes, nothing may be silently pinned to the
-invented 59M-param defaults).
+invented 66M-param defaults).
 
 The foreign file changes every consumed knob (reference schema per
 go/helper.go:25-84; the four inference-consumed values per
