@@ -540,7 +540,13 @@ def _device_memory_stats() -> dict | None:
 
 def make_server(tts, host: str = "0.0.0.0", port: int = 8000,
                 *, use_batcher: bool = True,
-                max_batch: int = 32) -> ThreadingHTTPServer:
+                max_batch: int = 32,
+                fault_delay_s: float = 0.0) -> ThreadingHTTPServer:
+    """``fault_delay_s`` (env TTS_FAULT_DELAY_S): chaos-injection knob —
+    sleep this long before serving each synthesis request, simulating a
+    degraded-but-alive host (thermal throttle, noisy neighbor, dying disk).
+    Used by the pod straggler tests to prove the router's least-pending
+    policy sheds load from a slow backend; never set in production."""
     service = TTSService(tts, use_batcher=use_batcher, max_batch=max_batch)
 
     class Handler(BaseHTTPRequestHandler):
@@ -634,6 +640,8 @@ def make_server(tts, host: str = "0.0.0.0", port: int = 8000,
             if self.path not in ("/tts", "/tts/stream", "/v1/audio/speech"):
                 self._send_json(404, {"detail": "not found"})
                 return
+            if fault_delay_s > 0:  # chaos injection (see make_server doc)
+                time.sleep(fault_delay_s)
             t0 = time.perf_counter()
             try:
                 try:
@@ -751,7 +759,9 @@ def main():
             # warmup inputs then mismatch the graphs) must not kill serving
             log.warning("warmup_failed", error=f"{type(e).__name__}: {e}")
     server = make_server(tts, host, port, use_batcher=use_batcher,
-                         max_batch=max_batch)
+                         max_batch=max_batch,
+                         fault_delay_s=float(os.getenv("TTS_FAULT_DELAY_S",
+                                                       "0")))
     print(f"Serving Supertonic-TPU TTS on {host}:{port} "
           f"(batcher={'on' if use_batcher else 'off'})")
 

@@ -6,9 +6,12 @@ request retry on host loss). Each TPU host runs the regular batcher-backed
 server (serve.http_server / examples/example_pod.py); this router sits in
 front and provides:
 
-  * **least-pending dispatch** — each request goes to the healthy backend
-    with the fewest in-flight requests (utterance-level data parallelism
-    across hosts; no cross-host collectives anywhere in the request path);
+  * **least-expected-wait dispatch** — each request goes to the healthy
+    backend minimizing (pending + 1) x EWMA(service time): least-pending
+    load balancing that also sheds traffic from a degraded-but-alive
+    straggler (utterance-level data parallelism across hosts; no cross-host
+    collectives anywhere in the request path); an idle-probe window bounds
+    starvation so a recovered host earns its way back;
   * **health checking** — a background thread polls ``GET /health`` on every
     backend; failures eject a backend from rotation, recovery re-adds it;
   * **retry on host loss** — connection errors / 5xx responses re-dispatch
@@ -42,6 +45,10 @@ class Backend:
     consecutive_failures: int = 0
     requests: int = 0
     retries_absorbed: int = 0
+    # EWMA of observed service time (seconds); None until the first
+    # completed request. Drives least-expected-wait dispatch (pick()).
+    ewma_s: float | None = None
+    last_pick_t: float = 0.0
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     @property
@@ -61,6 +68,14 @@ class Backend:
     def mark_ok(self):
         self.consecutive_failures = 0
         self.healthy = True
+
+    def observe_latency(self, seconds: float):
+        """Fold one completed request's service time into the EWMA (0.3 new
+        / 0.7 old: a straggler's first slow response already moves its
+        estimate most of the way, while one outlier can't poison a healthy
+        backend's)."""
+        self.ewma_s = (seconds if self.ewma_s is None
+                       else 0.3 * seconds + 0.7 * self.ewma_s)
 
     def mark_failed(self, threshold: int):
         self.consecutive_failures += 1
@@ -116,7 +131,8 @@ class Router:
                  failure_threshold: int = 2,
                  health_interval_s: float = 2.0,
                  request_timeout_s: float = 300.0,
-                 max_attempts: int | None = None):
+                 max_attempts: int | None = None,
+                 probe_after_s: float = 15.0):
         if not backend_urls:
             raise ValueError("router needs at least one backend")
         self.backends = [Backend(u.rstrip("/")) for u in backend_urls]
@@ -124,6 +140,10 @@ class Router:
         self.health_interval_s = health_interval_s
         self.request_timeout_s = request_timeout_s
         self.max_attempts = max_attempts or len(self.backends)
+        # a backend idle & unrouted for this long gets the next request
+        # regardless of its latency estimate — a recovered straggler must
+        # be able to prove itself again (bounds EWMA-induced starvation)
+        self.probe_after_s = probe_after_s
         self._stop = threading.Event()
         self._health_thread: threading.Thread | None = None
 
@@ -160,6 +180,15 @@ class Router:
 
     # -------------------------------------------------------------- dispatch
     def pick(self, exclude: set[str] = frozenset()) -> Backend:
+        """Least-expected-wait dispatch: route to the backend minimizing
+        (pending + 1) * EWMA(service time). Pure least-pending keeps
+        re-feeding a degraded-but-alive straggler one request at a time the
+        moment it goes idle — every such request pays the straggler's full
+        latency, putting client p95 AT the straggler's service time.
+        Folding the latency estimate in sheds that traffic onto fast
+        backends unless their queues grow long enough that waiting is
+        genuinely cheaper. Idle-probe (probe_after_s) bounds starvation so
+        a recovered host earns its way back."""
         candidates = [b for b in self.backends
                       if b.healthy and b.url not in exclude]
         if not candidates:
@@ -168,7 +197,26 @@ class Router:
             candidates = [b for b in self.backends if b.url not in exclude]
         if not candidates:
             raise NoBackendAvailable("no backend available")
-        return min(candidates, key=lambda b: b.pending)
+        now = time.time()
+        for b in candidates:
+            if b.pending == 0 and now - b.last_pick_t > self.probe_after_s:
+                b.last_pick_t = now
+                return b  # probe: let a long-unrouted idle backend re-prove
+        floor = min((b.ewma_s for b in candidates if b.ewma_s is not None),
+                    default=None)
+
+        def expected_wait(b: Backend) -> float:
+            if b.ewma_s is None:
+                # unproven backend: assume it is as fast as the best known
+                # (optimistic probe), but never stack a second request on
+                # it before the first returns an actual measurement
+                return ((b.pending + 1) * (floor or 1.0)
+                        if b.pending == 0 else float("inf"))
+            return (b.pending + 1) * b.ewma_s
+
+        chosen = min(candidates, key=expected_wait)
+        chosen.last_pick_t = now
+        return chosen
 
     def _raw_request(self, backend: Backend, method: str, path: str,
                      body: bytes | None, *, headers: dict | None = None,
@@ -198,6 +246,7 @@ class Router:
                 break
             tried.add(backend.url)
             backend.acquire()
+            t0 = time.perf_counter()
             try:
                 status, hdrs, payload = self._raw_request(
                     backend, method, path, body, headers=headers)
@@ -216,6 +265,11 @@ class Router:
                 last_err = RuntimeError(f"{backend.url} -> {status}")
                 continue
             backend.mark_ok()
+            if method == "POST" and status < 400:
+                # synthesis-shaped work only: 4xx rejections and GET
+                # passthroughs return in microseconds and would wash a
+                # straggler's estimate back toward zero
+                backend.observe_latency(time.perf_counter() - t0)
             return status, hdrs, payload, backend.url
         raise NoBackendAvailable(
             f"all backends failed after {len(tried)} attempts: {last_err}")
@@ -240,6 +294,7 @@ class Router:
             host, port = backend.hostport
             conn = http.client.HTTPConnection(
                 host, port, timeout=self.request_timeout_s)
+            t0 = time.perf_counter()
             try:
                 conn.request(method, path, body=body, headers=headers or {})
                 resp = conn.getresponse()
@@ -261,6 +316,10 @@ class Router:
                 last_err = RuntimeError(f"{backend.url} -> {resp.status}")
                 continue
             backend.mark_ok()
+            if method == "POST" and resp.status < 400:
+                # streaming: time-to-headers is the per-backend cost signal
+                # (the body drains at the client's pace, not the backend's)
+                backend.observe_latency(time.perf_counter() - t0)
             handle = _StreamHandle(conn, resp, backend)
             return resp.status, dict(resp.getheaders()), handle, backend.url
         raise NoBackendAvailable(
@@ -276,7 +335,9 @@ class Router:
             "backends": {
                 b.url: {"healthy": b.healthy, "pending": b.pending,
                         "requests": b.requests,
-                        "retries_absorbed": b.retries_absorbed}
+                        "retries_absorbed": b.retries_absorbed,
+                        "ewma_latency_s": (None if b.ewma_s is None
+                                           else round(b.ewma_s, 4))}
                 for b in self.backends
             },
         }

@@ -26,10 +26,12 @@ def _free_port() -> int:
     return port
 
 
-def _spawn_backend(onnx_dir: str, port: int) -> subprocess.Popen:
+def _spawn_backend(onnx_dir: str, port: int,
+                   extra_env: dict | None = None) -> subprocess.Popen:
     env = dict(os.environ)
     env.update(TTS_PLATFORM="cpu", TTS_ASSETS_DIR=onnx_dir,
                TTS_HOST="127.0.0.1", TTS_PORT=str(port), TTS_BATCHER="1")
+    env.update(extra_env or {})
     return subprocess.Popen(
         [sys.executable, "-m", "supertonic_tpu.serve.http_server"],
         env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
@@ -248,3 +250,110 @@ def test_graceful_sigterm_drain(onnx_dir):  # noqa: F811
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_pod_straggler_load_shedding(onnx_dir):  # noqa: F811
+    """Straggler hardening (VERDICT r3 item 8): one backend is DEGRADED but
+    alive — health checks pass, every synthesis request pays an injected
+    delay ~10x the healthy service time (TTS_FAULT_DELAY_S). The router's
+    least-expected-wait policy ((pending+1) x EWMA service time) must
+    (a) shed almost all traffic onto the healthy backend and (b) keep
+    client p95 latency bounded below the straggler's injected delay — the
+    failure modes this guards against are round-robin (half of all
+    requests queue behind the slow host) and pure least-pending (the idle
+    straggler keeps being re-fed one request at a time, so ~1 request per
+    delay-window pays full straggler latency and p95 sits AT the injected
+    delay — measured before the EWMA policy landed)."""
+    delay_s = 2.0  # ~10x the warm tiny-bundle service time on CPU
+    ports = [_free_port(), _free_port()]
+    # backend 0 is the straggler; list order means pending TIES pick it
+    # first, so the test cannot pass by ordering luck
+    procs = [
+        _spawn_backend(onnx_dir, ports[0],
+                       {"TTS_FAULT_DELAY_S": str(delay_s)}),
+        _spawn_backend(onnx_dir, ports[1]),
+    ]
+    urls = [f"http://127.0.0.1:{p}" for p in ports]
+    router = front = None
+    errors: list[str] = []
+    latencies: list[float] = []
+    lat_lock = threading.Lock()
+    try:
+        for u, pr in zip(urls, procs):
+            _wait_healthy(u, pr)
+        # warm both backends DIRECTLY (first synthesis may compile); the
+        # measured window must contain only steady-state service time
+        for u in urls:
+            r = httpx.post(f"{u}/tts", json={"text": "Warm up run.",
+                                             "total_step": 2}, timeout=300)
+            assert r.status_code == 200
+        router = Router(urls, health_interval_s=0.2, failure_threshold=2)
+        router.check_health()
+        router.start_health_loop()
+        # the straggler must STAY healthy the whole test: shedding has to
+        # come from dispatch policy, not from health ejection
+        agg = router.health()[1]
+        assert sum(b["healthy"] for b in agg["backends"].values()) == 2
+        front = make_router_server(router, "127.0.0.1", 0)
+        threading.Thread(target=front.serve_forever, daemon=True).start()
+        front_url = f"http://127.0.0.1:{front.server_address[1]}"
+
+        n_workers, per_worker = 4, 16
+
+        def soak(w: int):
+            for i in range(per_worker):
+                t0 = time.perf_counter()
+                try:
+                    r = httpx.post(
+                        f"{front_url}/tts",
+                        json={"text": f"Straggler probe {w}-{i}.",
+                              "total_step": 2}, timeout=120)
+                    if r.status_code != 200 or len(r.content) <= 44:
+                        errors.append(f"req {w}-{i}: {r.status_code}")
+                        return
+                except Exception as e:  # noqa: BLE001
+                    errors.append(f"req {w}-{i}: {type(e).__name__}: {e}")
+                    return
+                with lat_lock:
+                    latencies.append(time.perf_counter() - t0)
+
+        workers = [threading.Thread(target=soak, args=(w,))
+                   for w in range(n_workers)]
+        for w in workers:
+            w.start()
+        for w in workers:
+            w.join(timeout=300)
+        assert not errors, f"{len(errors)} errors, first: {errors[:5]}"
+        total = n_workers * per_worker
+        assert len(latencies) == total
+
+        # (a) load shed: the straggler absorbed a small minority of traffic
+        reqs = [httpx.get(f"{u}/metrics", timeout=10).json()["requests"]
+                for u in urls]
+        slow_share = (reqs[0] - 1) / total  # -1: the direct warmup request
+        assert slow_share < 0.15, (
+            f"straggler absorbed {slow_share:.0%} of traffic "
+            f"(reqs={reqs}); dispatch failed to shed load")
+        # (b) bounded client latency: p95 must sit BELOW the injected delay
+        # (round-robin would put every other request behind the straggler,
+        # pushing p95 to >= delay_s)
+        p95 = sorted(latencies)[int(0.95 * (len(latencies) - 1))]
+        assert p95 < delay_s, (
+            f"client p95 {p95:.2f}s >= injected straggler delay {delay_s}s")
+        # the straggler was never ejected: its traffic share came from
+        # routing pressure, not health removal
+        agg = router.health()[1]
+        assert sum(b["healthy"] for b in agg["backends"].values()) == 2
+    finally:
+        if front is not None:
+            front.shutdown()
+        if router is not None:
+            router.close()
+        for pr in procs:
+            if pr.poll() is None:
+                pr.terminate()
+        for pr in procs:
+            try:
+                pr.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                pr.kill()

@@ -256,3 +256,57 @@ def test_router_forwards_openai_speech(pod):
                          "total_step": 2}, timeout=120)
     assert r.status_code == 200
     assert r.content[:4] == b"RIFF"
+
+
+def test_pick_least_expected_wait_and_probe_recovery():
+    """Dispatch policy unit test (no HTTP): a backend with a 10x EWMA stops
+    receiving traffic even while idle (pure least-pending would re-feed
+    it), and the idle-probe window re-admits it so a recovered straggler
+    can prove itself again."""
+    import time as _time
+
+    router = Router(["http://a:1", "http://b:1"], probe_after_s=0.3)
+    slow, fast = router.backends
+    now = _time.time()
+    slow.last_pick_t = fast.last_pick_t = now  # both freshly routed
+    slow.ewma_s, fast.ewma_s = 2.0, 0.2
+
+    # idle straggler is NOT picked: expected wait 1*2.0 > 1*0.2
+    assert router.pick() is fast
+    # even with a queue on the fast backend, waiting there is cheaper
+    # until the queue is ~10 deep
+    fast.pending = 5
+    assert router.pick() is fast
+    fast.pending = 12
+    assert router.pick() is slow  # queueing finally costs more than 2.0s
+    slow.last_pick_t = now  # undo the pick bookkeeping
+    fast.pending = 0
+
+    # probe: once the straggler has sat unrouted past probe_after_s it gets
+    # exactly one request to re-measure itself...
+    _time.sleep(0.35)
+    fast.last_pick_t = _time.time()
+    assert router.pick() is slow
+    # ...and not a second while the first is unresolved
+    slow.pending = 1
+    assert router.pick() is fast
+    slow.pending = 0
+
+    # the probes measure a recovered host: each one decays the stale
+    # estimate by 0.7x, so traffic returns over a handful of probe windows
+    for _ in range(8):
+        slow.observe_latency(0.05)
+    assert slow.ewma_s < fast.ewma_s
+    assert router.pick() is slow
+
+
+def test_pick_unproven_backend_not_stacked():
+    """A backend with no latency measurement yet gets ONE optimistic
+    request, not a pile (a cold straggler would otherwise absorb several
+    requests before its first measurement lands)."""
+    router = Router(["http://a:1", "http://b:1"], probe_after_s=1e9)
+    a, b = router.backends
+    b.ewma_s = 0.2
+    assert router.pick() is a  # optimistic: assumed as fast as best known
+    a.pending = 1  # first request still in flight
+    assert router.pick() is b  # not stacked
