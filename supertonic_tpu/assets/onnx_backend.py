@@ -223,15 +223,21 @@ def load_onnx_backend(onnx_dir: str, cfg: TTSConfig, *,
     §7.3 hard part 2), "default" for the bf16-pass TPU fast path.
     ``bf16_storage``: store MatMul/Conv activations bfloat16 inside the
     traced graphs — halves the flow loop's HBM traffic, the same lever as
-    the native engine's bf16 fast path. Default: the TTS_ONNX_BF16 env flag
-    (off). Not for the parity gate.
+    the native engine's bf16 fast path (+35% executor throughput measured,
+    docs/PERFORMANCE.md). Default: ON whenever the serving precision is the
+    bf16 fast path, OFF in strict-f32 mode (the ORT-parity gate passes
+    False explicitly); TTS_ONNX_BF16=0/1 overrides either way. The default
+    is gated by the parity-floor test (wav RMS diff vs the f32 executor
+    <= 1% of signal RMS, tests/test_onnx_backend.py).
     """
     import os
 
     from .onnx_pipeline import load_executors
 
     if bf16_storage is None:
-        bf16_storage = os.getenv("TTS_ONNX_BF16", "0") == "1"
+        env = os.getenv("TTS_ONNX_BF16")
+        bf16_storage = (env == "1" if env is not None
+                        else matmul_precision != "float32")
     return OnnxStageBackend(
         load_executors(onnx_dir, matmul_precision=matmul_precision,
                        bf16_storage=bf16_storage), cfg)

@@ -129,6 +129,7 @@ def apply(
     *,
     frame_mask: jax.Array | None = None,  # [T] or [B, T]: 1 = real frame
     dtype=jnp.float32,
+    fused_resblocks: bool | None = None,
 ) -> jax.Array:
     """Returns wav [B, T * chunk_size] float32.
 
@@ -139,8 +140,29 @@ def apply(
     halo ~receptive-field frames back into the valid tail. Per-ROW padding
     (shorter rows inside the batch max) is deliberately NOT masked — the
     reference vocoder graph is mask-free (§2.2) and runs at batch-max
-    length, so its per-row halo is part of the reference semantics."""
+    length, so its per-row halo is part of the reference semantics.
+
+    ``fused_resblocks`` (default: the TTS_VOC_FUSED env flag, read at trace
+    time): run the fine-timeline resblock chains through the Pallas fused
+    kernel (ops/vocoder_fused.py) — one HBM read+write over the activation
+    per chain instead of one per conv. Only chains with a shared-across-
+    batch frame mask and VMEM-resident weights (C <= 384) fuse; others
+    (the coarse pre_res at C=512, per-row masks) keep the XLA path."""
+    import os
+
     hp = cfg.vocoder
+    if fused_resblocks is None:
+        fused_resblocks = os.environ.get("TTS_VOC_FUSED", "0") == "1"
+
+    def res(p, x, m):
+        if (fused_resblocks and x.shape[-1] <= 384
+                and (m is None or m.shape[0] == 1)):
+            from ..ops import vocoder_fused
+
+            return vocoder_fused.fused_resblock(
+                p, x, hp.resblock_dilations, m)
+        return _resblock(p, x, hp.resblock_dilations, m)
+
     m = None
     if frame_mask is not None:
         m = frame_mask.astype(dtype)
@@ -148,7 +170,7 @@ def apply(
     x = L.conv1d(params["pre"], latent.astype(dtype))
     if m is not None:
         x = x * m
-    x = _resblock(params["pre_res"], x, hp.resblock_dilations, m)
+    x = res(params["pre_res"], x, m)
     for sp, factor in zip(params["stages"], hp.upsample_factors):
         h = L.conv1d(sp["up"], jax.nn.silu(x))          # [B, T, cout*factor]
         b, t, cf = h.shape
@@ -156,7 +178,7 @@ def apply(
         if m is not None:
             m = jnp.repeat(m, factor, axis=1)
             x = x * m
-        x = _resblock(sp["res"], x, hp.resblock_dilations, m)
+        x = res(sp["res"], x, m)
     wav = L.conv1d(params["head"], jax.nn.silu(x))       # [B, Tf, final_depth]
     b, tf, d = wav.shape
     return jnp.tanh(wav.astype(jnp.float32).reshape(b, tf * d))

@@ -256,3 +256,37 @@ def test_untraceable_fused_backend_falls_back_to_adapter(
     monkeypatch.delenv("TTS_ONNX_FUSED", raising=False)
     tts = TTS(str(d))
     assert isinstance(tts.engine, OnnxEngineAdapter)
+
+
+def test_bf16_storage_parity_floor(onnx_dir):  # noqa: F811
+    """Gate for the bf16-activation-storage DEFAULT on graph serving
+    (VERDICT r3 item 3): with identical seed/noise, the bf16-storage
+    executor's waveform must stay within 1% RMS of the f32 executor's.
+    Also pins the default wiring: bf16 storage ON for the bf16 fast path,
+    OFF under strict f32 (the parity-gate arm)."""
+    cfg = load_tts_json(os.path.join(onnx_dir, "tts.json"))
+    with open(os.path.join(onnx_dir, "unicode_indexer.json")) as f:
+        processor = UnicodeProcessor(np.asarray(json.load(f), np.int64))
+
+    # default wiring (no explicit bf16_storage):
+    b_f32 = load_onnx_backend(onnx_dir, cfg, matmul_precision="float32")
+    b_fast = load_onnx_backend(onnx_dir, cfg, matmul_precision="default")
+    assert not b_f32.execs["vector_estimator"]._bf16_storage
+    assert b_fast.execs["vector_estimator"]._bf16_storage
+
+    text, lang = ["Parity floor sentence for the bf16 gate."], ["en"]
+    rng = np.random.default_rng(7)
+    style = _style(rng)
+    e_f32 = SynthesisEngine(b_f32.params, cfg, processor, precision="f32",
+                            seed=3, backend=b_f32)
+    e_bf16 = SynthesisEngine(b_fast.params, cfg, processor, precision="f32",
+                             seed=3, backend=b_fast)
+    w32, d32 = e_f32.infer_batch(text, lang, style, total_step=2)
+    w16, d16 = e_bf16.infer_batch(text, lang, style, total_step=2)
+    np.testing.assert_allclose(d32, d16, rtol=1e-2)
+    n = min(w32.shape[1], w16.shape[1])
+    sig = float(np.sqrt(np.mean(w32[:, :n] ** 2)))
+    diff = float(np.sqrt(np.mean((w32[:, :n] - w16[:, :n]) ** 2)))
+    assert sig > 0
+    assert diff <= 0.01 * sig, (
+        f"bf16 storage wav RMS diff {diff/sig:.2%} exceeds the 1% floor")

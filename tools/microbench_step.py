@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--variants", default="bf16,int8")
     ap.add_argument("--estimator-only", action="store_true",
                     help="time one estimator step instead of the full stage")
+    ap.add_argument("--vocoder-only", action="store_true",
+                    help="time the vocoder alone (latent [B,T,C] -> wav)")
+    ap.add_argument("--trace-dir", default=None,
+                    help="capture a jax.profiler device trace of the "
+                         "timed window into this directory")
     args = ap.parse_args()
 
     from supertonic_tpu.config import TTSConfig
@@ -77,7 +82,18 @@ def main():
             params = jax.tree_util.tree_map(jnp.asarray, base_params)
             precision = variant
 
-        if args.estimator_only:
+        if args.vocoder_only:
+            from supertonic_tpu.models import vocoder as _voc
+
+            dtype = jnp.float32 if precision == "f32" else jnp.bfloat16
+            fmask = jnp.ones((T,), jnp.float32)
+
+            @jax.jit
+            def vfn(p, x, fm):
+                return _voc.apply(p, cfg, x, frame_mask=fm, dtype=dtype)
+
+            run = functools.partial(vfn, params["vocoder"], noise, fmask)
+        elif args.estimator_only:
             dtype = jnp.float32 if precision == "f32" else jnp.bfloat16
             cur = jnp.zeros((b,), jnp.float32)
             tot = jnp.full((b,), float(args.steps), jnp.float32)
@@ -113,13 +129,21 @@ def main():
         # steady-state device time: dispatch all iters back-to-back and sync
         # ONCE — a per-iteration sync would measure the ~35 ms tunnel RTT,
         # not the chip (cf. bench.harness.bench_batch_throughput)
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = run()
-        fetch_scalar(out)
-        avg = (time.perf_counter() - t0) / args.iters
+        import contextlib
+
+        trace_ctx = contextlib.nullcontext()
+        if args.trace_dir:
+            from supertonic_tpu.utils.timing import device_trace
+            trace_ctx = device_trace(f"{args.trace_dir}/{variant}")
+        with trace_ctx:
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out = run()
+            fetch_scalar(out)
+            avg = (time.perf_counter() - t0) / args.iters
         results[variant] = avg
-        label = "step" if args.estimator_only else "stage"
+        label = ("voc" if args.vocoder_only
+                 else "step" if args.estimator_only else "stage")
         extra = "" if args.estimator_only else (
             f"  ({audio_sec / avg:.0f} audio-sec/s at this shape)")
         print(f"{variant:>6}: {avg * 1e3:8.2f} ms/{label} (mean over one "

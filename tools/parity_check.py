@@ -217,7 +217,8 @@ def compare_fused_backend(assets_dir: str, total_step: int,
     cfg = load_tts_json(os.path.join(assets_dir, "tts.json"))
     with open(os.path.join(assets_dir, "unicode_indexer.json")) as f:
         proc = UnicodeProcessor(np.asarray(_json.load(f), np.int64))
-    backend = load_onnx_backend(assets_dir, cfg, matmul_precision="float32")
+    backend = load_onnx_backend(assets_dir, cfg, matmul_precision="float32",
+                                bf16_storage=False)  # strict parity arm
     eng = SynthesisEngine(backend.params, cfg, proc, precision="f32",
                           backend=backend)
     pipe = load_onnx_pipeline(assets_dir, matmul_precision="float32")
