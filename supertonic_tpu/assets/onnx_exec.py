@@ -2011,6 +2011,24 @@ def _run_nodes(nodes: list[OnnxNode], env: dict) -> None:
 # executor
 # ---------------------------------------------------------------------------
 
+def _dce(nodes: list[OnnxNode], outputs) -> list[OnnxNode]:
+    """Dead-code elimination over a topologically-ordered node list: keep
+    only nodes whose outputs transitively feed ``outputs``. Exporters
+    routinely leave dead shape chains behind (torch.onnx.export emits
+    Shape/Gather/Concat trees for branches the final graph never reads);
+    every ONNX op in this registry is pure, so dropping them changes
+    nothing but trace/compile time and op count. Subgraph-carrying nodes
+    (If/Loop/Scan) are kept whole whenever any of their outputs is live —
+    their bodies are traced lazily by their handlers."""
+    live = set(outputs)
+    kept_rev: list[OnnxNode] = []
+    for n in reversed(nodes):
+        if any(o and o in live for o in n.outputs):
+            kept_rev.append(n)
+            live.update(i for i in n.inputs if i)
+    return kept_rev[::-1]
+
+
 def _toposort(graph: OnnxGraph, available: set[str]) -> list[OnnxNode]:
     """ONNX requires topological order, but be tolerant of producers that
     violate it. Kahn's algorithm over value names."""
@@ -2103,7 +2121,7 @@ class OnnxExecutor:
         if not self.output_names:
             raise ValueError("graph has no declared outputs")
         avail = (set(self.input_names) | init_names)
-        self._nodes = _toposort(graph, avail)
+        self._nodes = _dce(_toposort(graph, avail), self.output_names)
         self._matmul_precision = matmul_precision
         self._bf16_storage = bool(bf16_storage)
         self._jfn = jax.jit(self._run_traced)

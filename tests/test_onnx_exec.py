@@ -1820,3 +1820,22 @@ def test_bf16_storage_conv(rng):
     got = ex2.run(None, {"x": x})[0]
     assert got.dtype == np.float32
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
+
+
+def test_dead_shape_chain_pruned():
+    """Exporter-left dead branches (Shape/Gather trees feeding nothing) are
+    eliminated before tracing — a dead node with an op the registry does
+    NOT support must not break execution of the live path."""
+    ex = build(
+        [
+            ("Relu", ["x"], ["y"]),
+            # dead chain, including an op this executor has no handler for
+            ("Shape", ["x"], ["d_shape"]),
+            ("NonMaxSuppression", ["d_shape"], ["d_boxes"]),
+        ],
+        inputs=[("x", F32, (2, 3))],
+        outputs=[("y", F32, (2, 3))],
+    )
+    assert [n.op_type for n in ex._nodes] == ["Relu"]
+    x = np.array([[-1, 2, -3], [4, -5, 6]], F32)
+    np.testing.assert_array_equal(run1(ex, x=x), np.maximum(x, 0))
