@@ -130,6 +130,7 @@ def apply(
     frame_mask: jax.Array | None = None,  # [T] or [B, T]: 1 = real frame
     dtype=jnp.float32,
     fused_resblocks: bool | None = None,
+    up_matmul: bool | None = None,
 ) -> jax.Array:
     """Returns wav [B, T * chunk_size] float32.
 
@@ -147,12 +148,25 @@ def apply(
     kernel (ops/vocoder_fused.py) — one HBM read+write over the activation
     per chain instead of one per conv. Only chains with a shared-across-
     batch frame mask and VMEM-resident weights (C <= 384) fuse; others
-    (the coarse pre_res at C=512, per-row masks) keep the XLA path."""
+    (the coarse pre_res at C=512, per-row masks) keep the XLA path.
+
+    ``up_matmul`` (default: the TTS_VOC_UP_MATMUL env flag): lower each
+    upsample conv as ONE K-stacked matmul ([B,T,k*Cin] @ [k*Cin, Cout*f])
+    instead of conv_general_dilated. Numerically identical modulo K-sum
+    order. Why: XLA's conv kernels emit a batch-minor {2,0,1} layout, and
+    the depth-to-space reshape that follows then needs a full relayout
+    copy of the largest activation in the model (measured 1.65 ms/iter of
+    the 14.5 ms b64/T256 vocoder — tools/xplane_summary.py on the device
+    trace); a dot emits row-major, making the reshape a free bitcast. The
+    k-stacked operand costs one extra fused concat write, which the trace
+    shows is cheaper than the relayout it removes."""
     import os
 
     hp = cfg.vocoder
     if fused_resblocks is None:
         fused_resblocks = os.environ.get("TTS_VOC_FUSED", "0") == "1"
+    if up_matmul is None:
+        up_matmul = os.environ.get("TTS_VOC_UP_MATMUL", "0") == "1"
 
     def res(p, x, m):
         if (fused_resblocks and x.shape[-1] <= 384
@@ -172,7 +186,21 @@ def apply(
         x = x * m
     x = res(params["pre_res"], x, m)
     for sp, factor in zip(params["stages"], hp.upsample_factors):
-        h = L.conv1d(sp["up"], jax.nn.silu(x))          # [B, T, cout*factor]
+        if up_matmul:
+            w = jnp.asarray(sp["up"]["w"])               # [k, cin, cout*f]
+            k = w.shape[0]
+            half = (k - 1) // 2
+            s = jax.nn.silu(x)
+            s = jnp.pad(s, ((0, 0), (half, k - 1 - half), (0, 0)))
+            t_len = x.shape[1]
+            xk = jnp.concatenate(
+                [s[:, i:i + t_len] for i in range(k)], axis=-1)
+            h = jnp.matmul(
+                xk, w.reshape(-1, w.shape[-1]).astype(x.dtype),
+                preferred_element_type=jnp.float32)
+            h = (h + sp["up"]["b"]).astype(x.dtype)
+        else:
+            h = L.conv1d(sp["up"], jax.nn.silu(x))      # [B, T, cout*factor]
         b, t, cf = h.shape
         x = h.reshape(b, t * factor, cf // factor)       # depth-to-space
         if m is not None:

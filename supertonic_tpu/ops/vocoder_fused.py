@@ -89,9 +89,18 @@ def _kernel(x_hbm, mask_ref, wa_ref, ba_ref, wb_ref, bb_ref, out_ref,
                                 preferred_element_type=jnp.float32)
         return acc.astype(dt) * m
 
+    def silu(v):
+        # explicit f32 transcendental + round back to storage dtype:
+        # jax.nn.silu on a bf16 operand trips a Mosaic verifier bug on TPU
+        # ('vector.broadcast' f32->bf16 element-type mismatch inside the
+        # logistic lowering); XLA's own bf16 silu also evaluates the
+        # sigmoid in f32 and rounds, so numerics are unchanged.
+        vf = v.astype(jnp.float32)
+        return (vf * jax.lax.logistic(vf)).astype(dt)
+
     for i, d in enumerate(dilations):
-        h = conv(jax.nn.silu(x), wa_ref, ba_ref, i, d)
-        h = conv(jax.nn.silu(h), wb_ref, bb_ref, i, 1)
+        h = conv(silu(x), wa_ref, ba_ref, i, d)
+        h = conv(silu(h), wb_ref, bb_ref, i, 1)
         x = x + h
 
     out_ref[0] = x[halo:halo + t_blk]

@@ -90,3 +90,21 @@ def test_chain_halo_matches_receptive_field_math():
                     for d in hp.resblock_dilations)
     assert vf.chain_halo(hp.resblock_kernel, hp.resblock_dilations) \
         == per_chain
+
+
+def test_up_matmul_matches_conv_path():
+    """vocoder.apply(up_matmul=True) — each upsample conv lowered as one
+    K-stacked matmul (TTS_VOC_UP_MATMUL) — must match the conv path to
+    K-sum-order tolerance, including bucket-pad masking semantics.
+    (Measured neutral on the TPU and default-off; the flag stays because
+    the layout analysis in docs/PERFORMANCE.md is anchored on it.)"""
+    cfg = TTSConfig()
+    rng = np.random.default_rng(3)
+    params = jax.tree_util.tree_map(jnp.asarray, vocoder.init(rng, cfg))
+    t = 24
+    lat = jnp.asarray(
+        rng.standard_normal((2, t, cfg.latent_channels)), jnp.float32)
+    fm = jnp.ones((t,), jnp.float32).at[-5:].set(0.0)
+    ref = vocoder.apply(params, cfg, lat, frame_mask=fm, up_matmul=False)
+    got = vocoder.apply(params, cfg, lat, frame_mask=fm, up_matmul=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

@@ -78,6 +78,19 @@ def main():
             params = jax.tree_util.tree_map(
                 jnp.asarray, quantize_params(base_params))
             precision = "int8"
+        elif variant == "bf16w":
+            # bf16 WEIGHT STORAGE: cast every >=2-D leaf (matmul/conv
+            # weights) to bf16 on the host; 1-D leaves (biases, norm
+            # gains) stay f32. In bf16 activation mode this is bit-
+            # identical to the f32-stored path (the graph casts w to
+            # x.dtype at use anyway) but halves the per-step HBM->VMEM
+            # weight traffic the estimator trace showed on the critical
+            # path (~3.8 ms of the 7.9 ms step).
+            params = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.bfloat16)
+                if getattr(a, "ndim", 0) >= 2 else jnp.asarray(a),
+                base_params)
+            precision = "bf16"
         else:
             params = jax.tree_util.tree_map(jnp.asarray, base_params)
             precision = variant
