@@ -39,6 +39,12 @@ def main() -> None:
     quick = "--quick" in sys.argv
     iters = 2 if quick else 5
     reps = 1 if quick else 3  # median-of-N batch rows (VERDICT r3 weak #1)
+    # batch rows dispatch MORE batches per rep than singles: the capture
+    # fences only the last batch, so pipeline fill/drain (~1.5 batch times)
+    # is amortized over the batch count — at 5 iters it inflated the
+    # per-batch wall ~11% over the measured steady state
+    # (tools/probe_batch_overhead.py: 60.9 ms steady vs 68.3 ms captured)
+    batch_iters = 2 if quick else 16
 
     tts = TTS()  # random-init fallback exercises the identical compute graph
     engine = tts.engine
@@ -97,7 +103,7 @@ def main() -> None:
     with trace_ctx:
         for b, steps in batch_cases:
             tp = bench_batch_throughput(engine, style, MID_TEXT, batch=b,
-                                        total_step=steps, iters=iters,
+                                        total_step=steps, iters=batch_iters,
                                         reps=reps)
             report[f"batch{b}_{steps}step"] = tp
             print(f"# batch{b} {steps}-step: "

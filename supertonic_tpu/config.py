@@ -152,7 +152,11 @@ class RuntimeConfig:
     # Text-length bucket ladder (characters incl. lang tags): pad L up to one of
     # these to bound XLA recompiles.
     text_buckets: tuple[int, ...] = (32, 64, 128, 192, 256, 320, 384)
-    # Latent-length bucket ladder (frames).
+    # Latent-length bucket ladder (frames). Do NOT densify with
+    # non-power-of-two-friendly rungs: a 240 bucket (6% fewer elements than
+    # 256) measured 6% SLOWER end-to-end in an interleaved A/B (64.2 vs
+    # 60.5 ms/batch at b64/5-step, round 4) — XLA/MXU tiling of the
+    # T-dimension matmuls loses more on a 240-shape than the padding costs.
     latent_buckets: tuple[int, ...] = (64, 128, 192, 256, 320, 448, 640)
     # Batch-size bucket ladder. Deliberately coarse (4x steps): every rung
     # is one more compiled program per (L, T, steps) combination, and padding

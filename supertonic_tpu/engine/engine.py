@@ -233,7 +233,18 @@ class SynthesisEngine(LongFormSynthesis):
         self._spc_priors: dict[int, float] = self._load_rate_cache()
         self._spc_counts: dict[int, int] = {}  # real observations per bucket
         self._spc_default_prior = 1.0 / 11.0
-        self._spc_margin = 1.1
+        # Safety factor over the learned window-max sec/char when choosing
+        # the latent bucket. The window max is already the worst case seen
+        # for this text-length bucket and the ratcheted prior persists it
+        # across processes; an undershoot on a truly novel text is caught
+        # by the overflow-retry path (one slow batch, then the ratchet
+        # learns it). 1.05 instead of 1.10 lands boundary texts one rung
+        # lower on the ladder and trims the egress slice width. (A 240
+        # bucket to exploit this at the ~150-char point measured SLOWER
+        # than 256 — see config.latent_buckets — so the ladder is
+        # unchanged; the tighter margin still helps wherever the rung
+        # below is a power-of-two-friendly shape.)
+        self._spc_margin = 1.05
         # device-resident styles: uploading the [B,S,D] style tensors on
         # every request costs host->device round-trips that dominate short-
         # utterance latency behind a slow link; identical (style, bucket)
