@@ -44,7 +44,7 @@ def main() -> None:
     # is amortized over the batch count — at 5 iters it inflated the
     # per-batch wall ~11% over the measured steady state
     # (tools/probe_batch_overhead.py: 60.9 ms steady vs 68.3 ms captured)
-    batch_iters = 2 if quick else 16
+    batch_iters = 2 if quick else 24
 
     tts = TTS()  # random-init fallback exercises the identical compute graph
     engine = tts.engine

@@ -103,7 +103,7 @@ def main():
         if args.hlo and name != "i8_pallas":
             txt = jfn.lower(x, y).compile().as_text()
             dots = [ln.strip() for ln in txt.splitlines()
-                    if ("dot(" in ln or "convert(" in ln) and "fusion" not in ln]
+                    if "dot(" in ln or " = s32[" in ln or "convert(" in ln]
             print(f"# --- {name} compiled HLO (dot/convert lines) ---")
             for ln in dots[:8]:
                 print(f"#   {ln[:160]}")
