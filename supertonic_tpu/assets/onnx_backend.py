@@ -65,9 +65,9 @@ def _caller(name: str, exe: OnnxExecutor) -> Callable:
             f"reference contract {sorted(expected)} (SURVEY.md §2.2)"
         )
 
-    def call(weights: dict, **by_name):
+    def call(weights: dict, time_mask=None, **by_name):
         return exe._run_traced(
-            weights, tuple(by_name[n] for n in exe.input_names)
+            weights, tuple(by_name[n] for n in exe.input_names), time_mask
         )
 
     return call
@@ -126,7 +126,16 @@ class OnnxStageBackend:
             return x2.astype(x.dtype)
 
         xt = jax.lax.fori_loop(0, total_step, body, x0)
-        (wav,) = self._call["vocoder"](params["vocoder"], latent=xt)
+        # BATCH-MAX frame mask: the reference vocoder graph is mask-free
+        # and runs at batch-max length (per-row halo = reference
+        # semantics), but frames beyond the longest utterance are BUCKET
+        # padding this engine adds — pre-mask the latent and let the
+        # executor re-zero them after every conv (_apply_time_mask), making
+        # bucketed execution bit-identical to exact-length execution.
+        fmask = jnp.max(lmask.astype(jnp.float32), axis=0)  # [T]
+        xt = xt * fmask[None, None, :]
+        (wav,) = self._call["vocoder"](params["vocoder"], latent=xt,
+                                       time_mask=fmask)
         return self._fit_wav(wav, lmask.shape[1])
 
     def _fit_wav(self, wav, t_frames: int):
@@ -205,9 +214,12 @@ class OnnxStageBackend:
             )
             return jnp.transpose(x2, (0, 2, 1)).astype(x.dtype)
 
-        def _voc(params, x):
+        def _voc(params, x, fm):
+            # fm [T]: batch-max frame mask (see _acoustic_stage) — pre-mask
+            # the latent and re-zero after every conv inside the graph
+            xm = jnp.transpose(x, (0, 2, 1)) * fm[None, None, :]
             (wav,) = self._call["vocoder"](
-                params["vocoder"], latent=jnp.transpose(x, (0, 2, 1)))
+                params["vocoder"], latent=xm, time_mask=fm)
             return self._fit_wav(wav, x.shape[1])
 
         return None, jax.jit(_step), jax.jit(_voc)

@@ -303,15 +303,19 @@ def op_mean(ctx: Ctx, *ins):
 def _acc_upcast(ctx: Ctx, x):
     """f32-accumulation policy for reductions/normalizations: bf16 inputs
     upcast to f32 before the reduction (an 8-bit mantissa loses digits over
-    long axes). Returns ``(x_f32, restore_dtype)``: under bf16-storage mode
-    the f32 result is kept (it is this executor's own storage cast being
-    undone; declared dtypes are restored at the _run_traced boundary), but
-    for a genuinely-bf16 graph (flag off) the result must be cast back to
-    the declared bf16 — ``restore_dtype`` says which."""
+    long axes). Returns ``(x_f32, restore_dtype)``: the f32 ACCUMULATION is
+    kept in both modes, but the stored RESULT goes back to bf16 — for a
+    genuinely-bf16 graph (flag off) because that is its declared dtype, and
+    under bf16-storage mode because keeping norm outputs f32 re-inflates
+    the very activations the mode exists to halve (measured round 4: the
+    six per-step LayerNorm fusions in the 66M estimator carried
+    f32[64,256,512] in+out — ~1.5 ms/step of the executor-vs-native gap;
+    the native engine computes norms in f32 and stores bf16 identically).
+    Declared graph-output dtypes are restored at the _run_traced
+    boundary."""
     if getattr(x, "dtype", None) != jnp.bfloat16:
         return x, None
-    restore = None if (ctx.env or {}).get("__bf16_storage__") else jnp.bfloat16
-    return jnp.asarray(x).astype(jnp.float32), restore
+    return jnp.asarray(x).astype(jnp.float32), jnp.bfloat16
 
 
 def _reduce(fn_name: str):
@@ -925,6 +929,34 @@ def _conv_operands(x, w):
     return x.astype(dt), w.astype(dt), None
 
 
+def _apply_time_mask(ctx: Ctx, y):
+    """Bucket-padding halo guard for mask-free conv-stack graphs (the
+    reference vocoder, SURVEY.md §2.2 — it runs at batch-max length with no
+    mask input). The engine serves bucket-PADDED shapes (frames beyond the
+    longest utterance in the batch), and a conv's bias makes those padded
+    frames nonzero, which the next (dilated/transposed) conv bleeds back
+    into the valid tail — the exact bug fixed for the native vocoder with
+    batch-max frame masking (models/vocoder.py). When the caller passes a
+    ``time_mask`` ([T_latent] f32, 1 = real frame) to ``_run_traced``,
+    every Conv/ConvTranspose output whose trailing axis is an integer
+    upsample multiple of T_latent is re-zeroed on the padded frames; since
+    only convs mix across time (pointwise ops cannot leak pad values into
+    valid frames), this makes bucket-padded execution bit-identical to
+    exact-length execution by the same receptive-field argument as the
+    native path. Per-ROW padding below batch-max stays UNMASKED — that
+    halo is reference semantics. Non-integer-multiple timelines (e.g. a
+    downsampling conv) are left unmasked: not a reference-vocoder shape."""
+    m = (ctx.env or {}).get("__time_mask__")
+    if m is None or getattr(y, "ndim", 0) != 3:
+        return y
+    t = int(m.shape[0])
+    tp = int(y.shape[-1])
+    if tp % t == 0:
+        mm = jnp.repeat(m.astype(y.dtype), tp // t)
+        return y * mm[None, None, :]
+    return y
+
+
 @op("Conv")
 def op_conv(ctx: Ctx, x, w, b=None):
     nd = x.ndim - 2
@@ -941,7 +973,7 @@ def op_conv(ctx: Ctx, x, w, b=None):
     )
     if b is not None:
         out = out + jnp.reshape(b, (1, -1) + (1,) * nd)
-    return _store_act(ctx, out)
+    return _store_act(ctx, _apply_time_mask(ctx, out))
 
 
 @op("ConvTranspose")
@@ -997,7 +1029,7 @@ def op_convtranspose(ctx: Ctx, x, w, b=None):
     )
     if b is not None:
         out = out + jnp.reshape(b, (1, -1) + (1,) * nd)
-    return _store_act(ctx, out)
+    return _store_act(ctx, _apply_time_mask(ctx, out))
 
 
 def _pool(ctx: Ctx, x, reducer, init, is_avg: bool):
@@ -2127,11 +2159,15 @@ class OnnxExecutor:
         self._jfn = jax.jit(self._run_traced)
 
     # -- trace-time evaluation -------------------------------------------
-    def _run_traced(self, weights: dict, inputs: tuple):
+    def _run_traced(self, weights: dict, inputs: tuple, time_mask=None):
         env: dict[str, Any] = dict(self._static_inits)
         # reserved key consulted by opset-sensitive ops (Softmax < 13);
         # If/Loop/Scan bodies inherit it via their env copies
         env["__opset__"] = self.graph.opset
+        if time_mask is not None:
+            # [T_latent] validity mask: re-zero bucket-padded frames after
+            # every Conv/ConvTranspose (see _apply_time_mask)
+            env["__time_mask__"] = jnp.asarray(time_mask, jnp.float32)
         if self._bf16_storage:
             env["__bf16_storage__"] = True
             env["__graph_outputs__"] = frozenset(self.output_names)

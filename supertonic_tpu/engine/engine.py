@@ -789,9 +789,13 @@ class SynthesisEngine(LongFormSynthesis):
                     cross_cache=cache,
                 )
 
-            def _voc(params, x):
+            def _voc(params, x, fm):
+                # batch-max frame mask: without it, bucket-padded frames
+                # (conv-bias nonzero) bleed a dilated-conv halo into the
+                # valid audio tail — same fix as the fused path
+                # (synthesis.py acoustic tail) and the graph backend
                 return _vocoder.apply(params["vocoder"], self.cfg, x,
-                                      dtype=_dt)
+                                      frame_mask=fm, dtype=_dt)
 
             self._cross_fn = jax.jit(_cross)
             self._step_fn = jax.jit(_one_step)
@@ -832,7 +836,8 @@ class SynthesisEngine(LongFormSynthesis):
                 # means COMPLETED steps, so sync before reporting
                 jax.block_until_ready(xt)
                 progress_callback(step + 1, total_step)
-        wav = np.asarray(self._vocoder_fn(self.params, xt))
+        wav = np.asarray(self._vocoder_fn(self.params, xt,
+                                          jnp.asarray(lmask[0], jnp.float32)))
         return wav, dur
 
     def _vocode_stream(self, text: str, lang: str, style, total_step: int,

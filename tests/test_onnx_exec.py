@@ -10,6 +10,8 @@ ARE the oracle for those ops.
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 from supertonic_tpu.assets import onnx_reader as R
 from supertonic_tpu.assets.onnx_exec import OnnxExecutor, UnsupportedOp
 
@@ -1839,3 +1841,53 @@ def test_dead_shape_chain_pruned():
     assert [n.op_type for n in ex._nodes] == ["Relu"]
     x = np.array([[-1, 2, -3], [4, -5, 6]], F32)
     np.testing.assert_array_equal(run1(ex, x=x), np.maximum(x, 0))
+
+
+def test_time_mask_makes_bucket_padded_conv_stack_exact():
+    """Regression for the round-4 bucket-halo bug: a mask-free conv-stack
+    graph (the reference vocoder shape, §2.2) run at BUCKET-padded length
+    bleeds conv-bias halo from the padded frames into the valid tail —
+    dilated and overlapping-transposed convs carry it several frames in.
+    With ``time_mask`` passed to ``_run_traced``, the executor re-zeroes
+    padded frames after every Conv/ConvTranspose, making padded execution
+    bit-identical to exact-length execution. (The synthetic four-graph
+    bundle's vocoder is a NON-overlapping stride==kernel ConvTranspose, so
+    the module-level backend tests could never catch this.)"""
+    from test_onnx_pipeline import _model
+
+    rng = np.random.default_rng(7)
+    c, up, k_up, k = 4, 4, 8, 3
+    w_up = rng.standard_normal((c, c, k_up)).astype(np.float32) * 0.3
+    b_up = rng.standard_normal((c,)).astype(np.float32)
+    w_c = rng.standard_normal((c, c, k)).astype(np.float32) * 0.3
+    b_c = rng.standard_normal((c,)).astype(np.float32)
+    model = _model(
+        [("ConvTranspose", ["latent", "w_up", "b_up"], ["h"],
+          {"strides": [up], "kernel_shape": [k_up], "pads": [2, 2]}),
+         ("Conv", ["h", "w_c", "b_c"], ["h2"],
+          {"kernel_shape": [k], "dilations": [2], "pads": [2, 2]}),
+         ("Tanh", ["h2"], ["wav"], None)],
+        {"w_up": w_up, "b_up": b_up, "w_c": w_c, "b_c": b_c},
+        [("latent", np.float32, ("B", c, "T"))],
+        [("wav", np.float32, ("B", c, "W"))],
+    )
+    exe = OnnxExecutor(R.parse_model(model))
+    t_true, pad = 11, 5
+    x = rng.standard_normal((2, c, t_true)).astype(np.float32)
+    (exact,) = exe._run_traced(exe._weights, (jnp.asarray(x),))
+
+    xp = np.zeros((2, c, t_true + pad), np.float32)
+    xp[:, :, :t_true] = x
+    mask = (np.arange(t_true + pad) < t_true).astype(np.float32)
+
+    # unmasked padded run DIFFERS in the valid tail (the bug this guards)
+    (padded_raw,) = exe._run_traced(exe._weights, (jnp.asarray(xp),))
+    assert not np.allclose(np.asarray(padded_raw)[..., : exact.shape[-1]],
+                           np.asarray(exact), atol=1e-6)
+
+    # masked padded run is EXACT in the valid region
+    (padded_masked,) = exe._run_traced(
+        exe._weights, (jnp.asarray(xp),), jnp.asarray(mask))
+    np.testing.assert_array_equal(
+        np.asarray(padded_masked)[..., : exact.shape[-1]],
+        np.asarray(exact))
