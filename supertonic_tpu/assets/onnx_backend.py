@@ -64,6 +64,14 @@ def _caller(name: str, exe: OnnxExecutor) -> Callable:
             f"{name}.onnx inputs {sorted(declared)} do not match the "
             f"reference contract {sorted(expected)} (SURVEY.md §2.2)"
         )
+    if "time_mask" in declared:  # unreachable under _CONTRACT today, but the
+        # failure mode would be obscure (ADVICE r4): call()'s reserved
+        # ``time_mask`` kwarg would swallow the graph input and the by_name
+        # lookup would KeyError far from the cause
+        raise ContractMismatch(
+            f"{name}.onnx declares an input literally named 'time_mask', "
+            "which collides with the executor's reserved padding-mask kwarg"
+        )
 
     def call(weights: dict, time_mask=None, **by_name):
         return exe._run_traced(

@@ -943,7 +943,18 @@ def _apply_time_mask(ctx: Ctx, y):
     only convs mix across time (pointwise ops cannot leak pad values into
     valid frames), this makes bucket-padded execution bit-identical to
     exact-length execution by the same receptive-field argument as the
-    native path. Per-ROW padding below batch-max stays UNMASKED — that
+    native path.
+
+    REQUIREMENT (ADVICE r4): the bit-identical guarantee additionally
+    relies on every op BETWEEN convs being zero-preserving (maps 0 -> 0 on
+    the padded frames). Silu/tanh/relu/mul/residual-add all are; a
+    Softplus, Sigmoid output, or Add-with-nonzero-constant would make the
+    padded frames nonzero again BEFORE the next conv reads them into the
+    valid tail, reintroducing the halo undetected. The invariant is NOT
+    assumed per-graph: ``tools/parity_check.py`` validates padded-vs-exact
+    vocoder execution bit-for-bit on the actual bundle being served
+    (compare_padded_vocoder), so a future graph with a non-zero-preserving
+    inter-conv op fails the gate instead of shipping a halo. Per-ROW padding below batch-max stays UNMASKED — that
     halo is reference semantics. Non-integer-multiple timelines (e.g. a
     downsampling conv) are left unmasked: not a reference-vocoder shape."""
     m = (ctx.env or {}).get("__time_mask__")

@@ -836,8 +836,12 @@ class SynthesisEngine(LongFormSynthesis):
                 # means COMPLETED steps, so sync before reporting
                 jax.block_until_ready(xt)
                 progress_callback(step + 1, total_step)
-        wav = np.asarray(self._vocoder_fn(self.params, xt,
-                                          jnp.asarray(lmask[0], jnp.float32)))
+        # batch-MAX frame mask, like _acoustic_stage — correct for any
+        # batch size, though this progress path always runs B=1 today
+        # (ADVICE r4: lmask[0] would mis-mask other rows if reused batched)
+        wav = np.asarray(self._vocoder_fn(
+            self.params, xt,
+            jnp.asarray(lmask, jnp.float32).max(axis=0)))
         return wav, dur
 
     def _vocode_stream(self, text: str, lang: str, style, total_step: int,

@@ -254,6 +254,58 @@ def compare_fused_backend(assets_dir: str, total_step: int,
     return rows, ok
 
 
+def compare_padded_vocoder(assets_dir: str) -> tuple[list[dict], bool]:
+    """Padded-vs-exact vocoder execution must be BIT-identical (ADVICE r4).
+
+    The executor's bucket-padding halo guard (_apply_time_mask) re-zeroes
+    padded frames after every conv; the guarantee additionally relies on
+    every op between convs mapping 0 -> 0. That zero-preservation property
+    is graph-dependent, so validate it HERE on the actual bundle being
+    served rather than assuming it: run the vocoder at exact length T and
+    again bucket-padded to T+pad with a [T+pad] validity mask, and require
+    the valid prefix of the waveforms to match bit-for-bit. A future graph
+    with a non-zero-preserving inter-conv op (Softplus, Sigmoid output,
+    Add-with-constant) fails this gate instead of shipping a halo."""
+    import json as _json
+
+    from supertonic_tpu.assets.onnx_exec import OnnxSession
+
+    with open(os.path.join(assets_dir, "tts.json")) as f:
+        cfg = _json.load(f)
+    ccf = int(cfg["ttl"]["chunk_compress_factor"])
+    c = int(cfg["ttl"]["latent_dim"]) * ccf
+    chunk = int(cfg["ae"]["base_chunk_size"]) * ccf
+    exe = OnnxSession(os.path.join(assets_dir, "vocoder.onnx"),
+                      matmul_precision="float32")
+    rng = np.random.default_rng(7)
+    rows, ok = [], True
+    for t, pad in ((24, 8), (40, 24)):
+        lat = rng.standard_normal((1, c, t)).astype(np.float32)
+        (wav_exact,) = exe._run_traced(
+            exe._weights, (jnp_asarray(lat),),
+            np.ones((t,), np.float32))
+        lat_pad = np.concatenate(
+            [lat, np.zeros((1, c, pad), np.float32)], axis=2)
+        mask = np.concatenate(
+            [np.ones((t,), np.float32), np.zeros((pad,), np.float32)])
+        (wav_pad,) = exe._run_traced(exe._weights, (jnp_asarray(lat_pad),),
+                                     mask)
+        a = np.asarray(wav_exact).reshape(1, -1)[:, : t * chunk]
+        b = np.asarray(wav_pad).reshape(1, -1)[:, : t * chunk]
+        row = {"stage": "padded_vs_exact_vocoder", "t": t, "pad": pad,
+               **_stats(b, a)}
+        row["ok"] = row["max_abs"] == 0.0  # bit-identical, not allclose
+        ok &= row["ok"]
+        rows.append(row)
+    return rows, ok
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
 def _load_any_style(assets_dir: str, rng) -> dict:
     """A real voice style when the bundle has one, else deterministic
     random with the tts.json dims (shape-compatible with the graphs only
@@ -324,6 +376,9 @@ def main(argv=None) -> int:
             rows += r
             all_ok &= ok
     r, ok = compare_fused_backend(args.assets_dir, args.total_step, args.tol)
+    rows += r
+    all_ok &= ok
+    r, ok = compare_padded_vocoder(args.assets_dir)
     rows += r
     all_ok &= ok
     for row in rows:
