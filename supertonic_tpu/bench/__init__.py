@@ -4,8 +4,11 @@ from .harness import (
     SHORT_TEXT,
     BenchResult,
     bench_batch_throughput,
+    bench_batch_sweep,
     bench_single,
     bench_single_ab,
+    bench_single_matrix,
+    link_fingerprint,
     time_synthesis,
 )
 
@@ -15,7 +18,10 @@ __all__ = [
     "MID_TEXT",
     "SHORT_TEXT",
     "bench_batch_throughput",
+    "bench_batch_sweep",
+    "link_fingerprint",
     "bench_single",
     "bench_single_ab",
+    "bench_single_matrix",
     "time_synthesis",
 ]

