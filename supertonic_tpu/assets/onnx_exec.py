@@ -228,9 +228,33 @@ def op_clip(ctx: Ctx, x, lo=None, hi=None):
 # binary / variadic
 # ---------------------------------------------------------------------------
 
-_simple("Add", lambda c, a, b: a + b, static_ok=True)
-_simple("Sub", lambda c, a, b: a - b, static_ok=True)
-_simple("Mul", lambda c, a, b: a * b, static_ok=True)
+def _store_mixed(ctx: Ctx, y, *ins):
+    """bf16-storage policy for binary pointwise arithmetic (Add/Sub/Mul/
+    Div): jnp type promotion turns a mixed bf16/f32 operand pair into an
+    f32 RESULT, which re-inflates the activation stream one op after every
+    MatMul/Conv stored it bf16. In the 66M estimator the residual Add and
+    the AdaLN modulation Mul are exactly such sites, and the f32 stream
+    they rebuild is what the per-step LayerNorm fusions then carry at
+    f32[64,256,512] (xplane r5: the six LN fusions cost ~7 ms/iter of the
+    executor-vs-native b64 gap). Under bf16-storage mode, if any floating
+    operand arrived bf16, the result is stored bf16 — matching the native
+    fast path's end-to-end bf16 activation stream (norm stats and softmax
+    still accumulate f32 at their op sites via _acc_upcast/_softmax_like;
+    declared graph outputs are restored at the _run_traced boundary)."""
+    env = ctx.env or {}
+    if (env.get("__bf16_storage__")
+            and not _is_static(y)
+            and getattr(y, "dtype", None) == jnp.float32
+            and any(getattr(i, "dtype", None) == jnp.bfloat16 for i in ins)
+            and ctx.node.outputs
+            and ctx.node.outputs[0] not in env.get("__graph_outputs__", ())):
+        return y.astype(jnp.bfloat16)
+    return y
+
+
+_simple("Add", lambda c, a, b: _store_mixed(c, a + b, a, b), static_ok=True)
+_simple("Sub", lambda c, a, b: _store_mixed(c, a - b, a, b), static_ok=True)
+_simple("Mul", lambda c, a, b: _store_mixed(c, a * b, a, b), static_ok=True)
 _simple("Pow", lambda c, a, b: c.xp.power(a, b))
 _simple("Equal", lambda c, a, b: c.xp.equal(a, b), static_ok=True)
 _simple("Greater", lambda c, a, b: c.xp.greater(a, b), static_ok=True)
@@ -254,7 +278,7 @@ def op_div(ctx: Ctx, a, b):
         if ctx.xp is np:
             return (np.abs(a) // np.abs(b)) * np.sign(a) * np.sign(b)
         return lax.div(jnp.asarray(a), jnp.asarray(b))
-    return a / b
+    return _store_mixed(ctx, a / b, a, b)
 
 
 @op("Mod", static_ok=True)

@@ -52,6 +52,14 @@ def linear(p: Params, x: jax.Array) -> jax.Array:
     if "w_q" in p:
         return _linear_w8a8(p, x)
     y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+    if x.dtype == jnp.bfloat16:
+        # store the accumulator bf16 BEFORE the bias add: with the f32 add
+        # first, XLA materializes the pre-cast f32 [B,T,D] product at
+        # multi-consumer sites in the flow loop (xplane r5: ~10 ms/iter of
+        # f32[64,256,512]/[64,242,512] writes at b64 that the op-by-op
+        # executor graph — matmul stored bf16, bias added in a bf16
+        # fusion — does not pay). The dot still accumulates f32 on the MXU.
+        return y.astype(jnp.bfloat16) + p["b"].astype(jnp.bfloat16)
     return (y + p["b"]).astype(x.dtype)
 
 
@@ -100,6 +108,13 @@ def layer_norm(p: Params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if x.dtype == jnp.bfloat16:
+        # normalize in f32, affine in bf16: the pre-LN output feeds 3 QKV
+        # consumers, and with the f32-affine form XLA breaks the fusion at
+        # the f32 [B,T,D] point (33 MB written per LN site at b64/T256 —
+        # xplane r5, the same finding as linear() above)
+        return (y.astype(jnp.bfloat16) * p["g"].astype(jnp.bfloat16)
+                + p["b"].astype(jnp.bfloat16))
     return (y * p["g"] + p["b"]).astype(x.dtype)
 
 
