@@ -160,8 +160,17 @@ def rope_angles(positions: jax.Array, head_dim: int, theta: float) -> tuple[jax.
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """x: [B, T, H, Dh]; cos/sin: [B, T, Dh//2] (broadcast over heads)."""
-    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    """x: [B, T, H, Dh]; cos/sin: [B, T, Dh//2] (broadcast over heads).
+
+    The rotation math still runs in f32 (x1*cos promotes element-wise, the
+    f32 cos/sin tables dominate the precision), but x is NOT upcast before
+    the split: an explicit f32 upcast of the whole tensor makes XLA
+    materialize the PRODUCER — the Q/K projection matmuls, whose f32
+    accumulator it would otherwise round to bf16 — as full f32 [B,T,D]
+    HBM tensors plus a layout copy to feed the rope fusion (xplane r5:
+    ~3 ms/iter of the b64 flow loop; the op-by-op executor graph, whose
+    decomposed rope consumes bf16, does not pay this)."""
+    x1, x2 = jnp.split(x, 2, axis=-1)
     if cos.ndim == 3:  # [B, T, Dh//2] -> add head axis
         cos = cos[:, :, None, :]
         sin = sin[:, :, None, :]
