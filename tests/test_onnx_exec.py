@@ -1891,3 +1891,39 @@ def test_time_mask_makes_bucket_padded_conv_stack_exact():
     np.testing.assert_array_equal(
         np.asarray(padded_masked)[..., : exact.shape[-1]],
         np.asarray(exact))
+
+
+def test_store_mixed_pointwise_policy():
+    """_store_mixed (r5): under bf16-storage mode a binary pointwise result
+    with any bf16 operand is stored bf16 — the policy that keeps the
+    residual/AdaLN activation stream bf16 between matmuls (the
+    executor-vs-native throughput gap of r4 was exactly this re-inflation).
+    Graph outputs and static (numpy) values are exempt."""
+    import jax.numpy as jnp
+
+    from supertonic_tpu.assets.onnx_exec import Ctx, _store_mixed
+    from supertonic_tpu.assets.onnx_reader import OnnxNode
+
+    node = OnnxNode("Add", "n", ["a", "b"], ["t"], {})
+    a16 = jnp.ones((2, 3, 4), jnp.bfloat16)
+    b32 = jnp.ones((2, 3, 4), jnp.float32)
+    y = a16 + b32  # jnp promotion -> f32
+    assert y.dtype == jnp.float32
+
+    on = {"__bf16_storage__": True, "__graph_outputs__": frozenset({"out"})}
+    ctx = Ctx(jnp, {}, node, on)
+    assert _store_mixed(ctx, y, a16, b32).dtype == jnp.bfloat16
+    # all-f32 operands: nothing arrived bf16, result stays f32
+    assert _store_mixed(ctx, y, b32, b32).dtype == jnp.float32
+    # flag off: untouched
+    assert _store_mixed(Ctx(jnp, {}, node, {}), y, a16, b32).dtype \
+        == jnp.float32
+    # declared graph output: keeps its f32 contract
+    out_node = OnnxNode("Add", "n2", ["a", "b"], ["out"], {})
+    assert _store_mixed(Ctx(jnp, {}, out_node, on), y, a16, b32).dtype \
+        == jnp.float32
+    # static numpy value (shape-math path): never touched
+    import numpy as _np
+
+    ys = _np.ones((2,), _np.float32)
+    assert _store_mixed(ctx, ys, a16, b32).dtype == _np.float32
