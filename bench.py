@@ -47,8 +47,6 @@ def _print_row(tp) -> None:
 
 
 def main() -> None:
-    import numpy as np  # noqa: F401  (kept: report post-processing)
-
     from supertonic_tpu import TTS
     from supertonic_tpu.bench import (
         LONG_TEXT,

@@ -222,7 +222,7 @@ def bench_single_matrix(arms, style, cases, step_counts, *, lang="en",
     rows equally; rows whose IQR/median spread still exceeds
     ``target_spread`` after ``iters`` rounds get extra rounds (to
     ``max_iters``). Returns one BenchResult per row, medians."""
-    rows = []  # (name, text, engine, steps, suffix, times)
+    rows = []  # [name, text, engine, steps, times] — times at index 4
     for name, text in cases:
         for steps in step_counts:
             for suffix, eng in arms:
@@ -244,10 +244,12 @@ def bench_single_matrix(arms, style, cases, step_counts, *, lang="en",
         for row in rows:
             one(row)
     for _ in range(iters, max_iters):
-        todo = [r for r in rows if _spread_iqr(r[4]) > target_spread]
-        if not todo:
+        if not any(_spread_iqr(r[4]) > target_spread for r in rows):
             break
-        for row in todo:
+        # extension rounds keep the FULL round-robin: extending only the
+        # out-of-spread rows would time them back-to-back, re-creating the
+        # tunnel-phase confound the interleave exists to eliminate
+        for row in rows:
             one(row)
     out = []
     for name, text, _eng, _steps, times in rows:
@@ -287,7 +289,10 @@ class _BatchCase:
         )
 
     def warmup(self, n: int):
-        for _ in range(max(1, n)):
+        # n=0 is legal and honored: interleaved A/B re-measure loops
+        # (tools/bench_onnx_backend.py) deliberately skip warmup between
+        # already-warm reps
+        for _ in range(max(0, n)):
             self.engine.infer_batch_end(self._begin())
 
     def run_rep(self) -> float:
@@ -312,7 +317,7 @@ class _BatchCase:
             last = self.engine.infer_batch_end(p)
         t = (time.perf_counter() - t0) / self.iters
         self.rep_times.append(t)
-        self._last = (last[0], last[1], p if fill else None)
+        self._last = (last[0], last[1])  # (wav_dev, dur) of the final batch
         return t
 
     def spread(self) -> float:
@@ -322,7 +327,7 @@ class _BatchCase:
         import jax
 
         engine = self.engine
-        wav_dev, dur, _ = self._last
+        wav_dev, dur = self._last
         rep_times = self.rep_times
         t = float(np.median(rep_times))
         # inputs are identical every iteration, so any batch's durations
@@ -427,10 +432,12 @@ def bench_batch_sweep(engine, style, text: str, cases, *, warmup=2, iters=24,
             if on_progress:
                 on_progress(o)
     for _ in range(min_reps, max_reps):
-        todo = [o for o in objs if o.spread() > target_spread]
-        if not todo:
+        if not any(o.spread() > target_spread for o in objs):
             break
-        for o in todo:
+        # extension rounds run EVERY config (see bench_single_matrix):
+        # extending only the out-of-spread one would time it back-to-back
+        # across a single tunnel phase, breaking cross-config comparability
+        for o in objs:
             o.run_rep()
             if on_progress:
                 on_progress(o)
