@@ -772,21 +772,32 @@ class SynthesisEngine(LongFormSynthesis):
 
             _dt = jnp.float32 if self.precision == "f32" else jnp.bfloat16
 
+            from ..models import layers as _L
+
+            # STATIC at closure-build time: the cache layout flag must not
+            # travel through the jit boundary inside the cache pytree (a
+            # Python bool leaf would become a tracer and mha's layout
+            # branch would fail)
+            _kt = (_L.kt_cache_enabled()
+                   and self.attn_fn is _L.attention_core)
+
             def _cross(params, emb, sttl, tmask):
-                return vector_estimator.precompute_cross(
+                mm, kvs, _flag = vector_estimator.precompute_cross(
                     params["vector_estimator"], self.cfg, emb, sttl, tmask,
-                    dtype=_dt,
+                    dtype=_dt, transposed=_kt,
                 )
+                return mm, kvs  # flag re-attached statically in _one_step
 
             def _one_step(params, x, emb, sttl, tmask, lmask, cur, tot,
                           cache):
                 # cross-attention K/V precomputed ONCE (each step here is a
                 # separate dispatch, so XLA cannot hoist across steps the
                 # way the fused fori_loop program can)
+                cache3 = None if cache is None else (*cache, _kt)
                 return vector_estimator.step(
                     params["vector_estimator"], self.cfg, x, emb, sttl,
                     tmask, lmask, cur, tot, dtype=_dt, attn_fn=self.attn_fn,
-                    cross_cache=cache,
+                    cross_cache=cache3,
                 )
 
             def _voc(params, x, fm):

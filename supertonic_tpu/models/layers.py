@@ -217,16 +217,39 @@ def _merge_heads(x: jax.Array) -> jax.Array:
     return x.reshape(b, t, h * dh)
 
 
-def attention_core(q, k, v, key_mask) -> jax.Array:
-    """q,k,v: [B,T,H,Dh]; key_mask: [B, Tk] (1 = valid). Returns [B,Tq,H,Dh].
+def kt_cache_enabled() -> bool:
+    """Opt-in transposed cross-attention K cache (env TTS_KT_CACHE=1, read
+    at trace time): kv_project emits k as [B,H,Dh,Tk] so the per-step
+    projection writes the logits matmul's preferred layout directly
+    (xplane r5: the standard layout costs a {2,1,0}->{1,2,0} relayout copy
+    per block per step in the fused flow loop). Only honored on the
+    default attention_core path — custom attn_fn kernels keep the
+    standard [B,Tk,H,Dh] contract."""
+    import os
+
+    return os.environ.get("TTS_KT_CACHE", "0") == "1"
+
+
+def attention_core(q, k, v, key_mask, *, k_transposed: bool = False) -> jax.Array:
+    """q,v: [B,T,H,Dh]; k: [B,Tk,H,Dh], or pre-transposed [B,H,Dh,Tk] when
+    ``k_transposed`` (the opt-in TTS_KT_CACHE cross-cache layout — see
+    kv_project); key_mask: [B, Tk] (1 = valid). Returns [B,Tq,H,Dh].
 
     Plain XLA path; the Pallas fused kernel in ops/attention.py is a drop-in
-    replacement selected by the engine.
+    replacement selected by the engine (standard k layout only).
     """
     dh = q.shape[-1]
-    logits = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) / math.sqrt(dh)
+    if k_transposed:
+        # [B,H,Dh,Tk] k: contraction written against the lane-major layout
+        # the logits matmul wants, so the per-step cross K projection feeds
+        # it without the {2,1,0}->{1,2,0} relayout copy (xplane r5)
+        logits = jnp.einsum(
+            "bqhd,bhdk->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / math.sqrt(dh)
+    else:
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / math.sqrt(dh)
     if key_mask is not None:
         bias = (1.0 - key_mask.astype(jnp.float32))[:, None, None, :] * NEG_INF
         logits = logits + bias
@@ -253,6 +276,7 @@ def mha(
     k_rope: tuple[jax.Array, jax.Array] | None = None,
     attn_fn=attention_core,
     kv_cache: tuple[jax.Array, jax.Array] | None = None,
+    kv_transposed: bool = False,
 ) -> jax.Array:
     """Multi-head attention; self-attn when memory is None.
 
@@ -269,7 +293,12 @@ def mha(
         if q_rope is not None:
             q = apply_rope(q, *q_rope)
         k, v = kv_cache
-        out = attn_fn(q, k, v, key_mask)
+        if kv_transposed:  # k is [B,H,Dh,Tk] (kv_project transposed=True);
+            # only attention_core understands this layout — the engine
+            # gates the flag off for custom attn_fn kernels
+            out = attn_fn(q, k, v, key_mask, k_transposed=True)
+        else:
+            out = attn_fn(q, k, v, key_mask)
         return linear(p["o"], _merge_heads(out))
     mem = x if memory is None else memory
     if memory is None and "qkv" in p:
@@ -297,9 +326,17 @@ def mha(
 
 
 def kv_project(p: Params, mem: jax.Array, n_heads: int,
-               k_rope=None) -> tuple[jax.Array, jax.Array]:
+               k_rope=None, *, transposed: bool = False
+               ) -> tuple[jax.Array, jax.Array]:
     """Project memory into head-split (k, v) with optional rotation —
-    the precompute half of a cross-attention KV cache."""
+    the precompute half of a cross-attention KV cache.
+
+    ``transposed`` (opt-in, env TTS_KT_CACHE at the engine): emit k as
+    [B,H,Dh,Tk] so the logits matmul consumes it in its preferred
+    lane-major layout — the adjacent explicit transpose lets XLA's layout
+    assignment produce the projection directly in that layout instead of
+    inserting a per-step relayout copy (attention_core k_transposed arm;
+    standard layout remains the contract for custom attn_fn kernels)."""
     if "kv" in p:
         kv = linear(p["kv"], mem)
         k_, v_ = jnp.split(kv, 2, axis=-1)
@@ -310,6 +347,8 @@ def kv_project(p: Params, mem: jax.Array, n_heads: int,
         v = _split_heads(linear(p["v"], mem), n_heads)
     if k_rope is not None:
         k = apply_rope(k, *k_rope)
+    if transposed:
+        k = jnp.transpose(k, (0, 2, 3, 1))  # [B,T,H,D] -> [B,H,D,T]
     return k, v
 
 
@@ -365,6 +404,7 @@ def block(
     attn_fn=attention_core,
     fused_ffn: bool = False,
     cross_kv: tuple[jax.Array, jax.Array] | None = None,
+    cross_kv_transposed: bool = False,
 ) -> jax.Array:
     """Pre-LN transformer block: self-attn [+ cross-attn] + FFN, optionally
     AdaLN-Zero conditioned on ``cond`` [B, cond_dim]. ``fused_ffn`` routes
@@ -393,7 +433,8 @@ def block(
         x = x + gate * mha(p["cross"], h, n_heads, memory=memory,
                            key_mask=memory_mask,
                            q_rope=q_rope_cross, k_rope=k_rope_cross,
-                           attn_fn=attn_fn, kv_cache=cross_kv)
+                           attn_fn=attn_fn, kv_cache=cross_kv,
+                           kv_transposed=cross_kv_transposed)
         i_sub += 1
     if fused_ffn and mods is not None:
         from ..ops.ffn import fused_adaln_ffn

@@ -59,6 +59,7 @@ def precompute_cross(
     text_mask: jax.Array,   # [B, L]
     *,
     dtype=jnp.float32,
+    transposed: bool = False,
 ):
     """Everything about the cross-attention memory that is INVARIANT across
     denoise steps: projected [style;text] memory, its mask, and per-block
@@ -66,7 +67,11 @@ def precompute_cross(
     2 matmuls + rope per block per step (the reference pays them inside its
     vector_estimator graph on every call, py/helper.py:200-213).
 
-    Returns (mem_mask [B, S+L], [(k, v)] per block).
+    ``transposed``: emit each k as [B,H,Dh,Tk] (layers.kv_project) — the
+    opt-in TTS_KT_CACHE layout; the flag travels IN the returned cache so
+    producer and consumer cannot disagree.
+
+    Returns (mem_mask [B, S+L], [(k, v)] per block, transposed).
     """
     hp = cfg.vector_estimator
     b = text_emb.shape[0]
@@ -88,10 +93,11 @@ def precompute_cross(
     )
     mem_rope = L.rope_angles(mem_pos, head_dim, hp.larope_theta)
     kvs = [
-        L.kv_project(bp["cross"], memory, hp.n_heads, k_rope=mem_rope)
+        L.kv_project(bp["cross"], memory, hp.n_heads, k_rope=mem_rope,
+                     transposed=transposed)
         for bp in params["blocks"]
     ]
-    return mem_mask, kvs
+    return mem_mask, kvs, transposed
 
 
 def velocity(
@@ -120,9 +126,13 @@ def velocity(
 
     if cross_cache is None:
         cross_cache = precompute_cross(
-            params, cfg, text_emb, style_ttl, text_mask, dtype=dtype
+            params, cfg, text_emb, style_ttl, text_mask, dtype=dtype,
+            # transposed-K layout only on the default attention path —
+            # custom attn_fn kernels keep the standard [B,Tk,H,Dh] contract
+            transposed=(L.kt_cache_enabled()
+                        and attn_fn is L.attention_core),
         )
-    mem_mask, kvs = cross_cache
+    mem_mask, kvs, kt = cross_cache
 
     head_dim = hp.dim // hp.n_heads
     lat_len = jnp.sum(latent_mask, axis=-1)
@@ -136,7 +146,7 @@ def velocity(
             memory_mask=mem_mask,
             q_rope_cross=q_rope,
             cond=cond, attn_fn=attn_fn, fused_ffn=fused_ffn,
-            cross_kv=kv,
+            cross_kv=kv, cross_kv_transposed=kt,
         )
 
     h = L.layer_norm(params["ln_out"], x)

@@ -211,3 +211,47 @@ def test_fused_projections_parity(tiny_config):
     dgot = jax.jit(lambda: duration_predictor.apply(
         fused["duration_predictor"], tiny_config, ids, style, mask))()
     np.testing.assert_allclose(np.asarray(dgot), np.asarray(dref), atol=1e-6)
+
+
+def test_kt_cache_matches_standard_layout(tiny_config, rng, monkeypatch):
+    """TTS_KT_CACHE=1 (transposed cross-K cache) must produce the same
+    velocity field as the standard layout — same math, different operand
+    layout for the logits matmul (layers.kv_project transposed arm)."""
+    import jax.numpy as jnp
+
+    from supertonic_tpu.models import init_all, layers as L, vector_estimator
+
+    cfg = tiny_config
+    params = init_all(0, cfg)["vector_estimator"]
+    hp = cfg.vector_estimator
+    b, T, Lt = 2, 8, 6
+    lat = rng.standard_normal((b, T, cfg.latent_channels)).astype("float32")
+    emb = rng.standard_normal((b, Lt, cfg.ttl.proj_out_odim)).astype("float32")
+    st = rng.standard_normal(
+        (b, cfg.ttl.style.n_style, cfg.ttl.style.style_value_dim)
+    ).astype("float32")
+    tmask = jnp.ones((b, Lt), jnp.float32)
+    lmask = jnp.ones((b, T), jnp.float32)
+    t = jnp.full((b,), 0.3, jnp.float32)
+
+    def run():
+        return vector_estimator.velocity(
+            params, cfg, jnp.asarray(lat), jnp.asarray(emb), jnp.asarray(st),
+            tmask, lmask, t)
+
+    monkeypatch.delenv("TTS_KT_CACHE", raising=False)
+    ref = run()
+    monkeypatch.setenv("TTS_KT_CACHE", "1")
+    assert L.kt_cache_enabled()
+    got = run()
+    import numpy as np
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+    # custom attn_fn keeps the standard contract: flag must be ignored
+    got2 = vector_estimator.velocity(
+        params, cfg, jnp.asarray(lat), jnp.asarray(emb), jnp.asarray(st),
+        tmask, lmask, t,
+        attn_fn=lambda q, k, v, m: L.attention_core(q, k, v, m))
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
