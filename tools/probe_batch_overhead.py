@@ -75,7 +75,7 @@ def main():
         print(f"  {k:18s} {med(phases[k])*1e3:8.2f}")
 
     # -- steady-state pipelined loop (the bench capture schedule)
-    for depth in (1, 2, 3):
+    for depth in (1, 2, 3, 4):
         times = []
         pend = [begin() for _ in range(depth)]
         for _ in range(args.iters):
